@@ -1,0 +1,58 @@
+"""Stream positions.
+
+Semantics mirror the reference's ``StreamPosition`` (a pair of Kafka
+offset and event-time watermark, ordered by offset —
+reference model/StreamPosition.scala:17-19) without copying its code:
+here it is a frozen dataclass used by sink manifests and recovery
+queries. Watermarks are epoch milliseconds (UTC), matching the
+reference's ``Timestamp`` value class (model/Timestamp.scala:18-38).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+
+def millis_to_datetime(ms: int) -> datetime:
+    """Epoch-millis → timezone-aware UTC datetime."""
+    return datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc)
+
+
+def datetime_to_millis(dt: datetime) -> int:
+    """Datetime → epoch millis; naive datetimes are taken as UTC."""
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+@dataclass(frozen=True, order=False)
+class StreamPosition:
+    """A position in one stream partition: next offset + watermark.
+
+    Ordering is by offset only (watermark is a monotonic side-channel),
+    matching reference model/StreamPosition.scala:19.
+    """
+
+    offset: int
+    watermark_ms: int
+
+    def __lt__(self, other: "StreamPosition") -> bool:
+        return self.offset < other.offset
+
+    def __le__(self, other: "StreamPosition") -> bool:
+        return self.offset <= other.offset
+
+    def __gt__(self, other: "StreamPosition") -> bool:
+        return self.offset > other.offset
+
+    def __ge__(self, other: "StreamPosition") -> bool:
+        return self.offset >= other.offset
+
+    @property
+    def watermark(self) -> datetime:
+        return millis_to_datetime(self.watermark_ms)
+
+    def moved_by(self, offset_delta: int) -> "StreamPosition":
+        """Shift the offset, clamping at zero (used for rewind)."""
+        return StreamPosition(max(0, self.offset + offset_delta), self.watermark_ms)

@@ -1,0 +1,126 @@
+"""Stream ranges: the unit of what a batch covered.
+
+Semantics mirror the reference's ``StreamRange`` — an inclusive
+``[start, end]`` span of offsets in one (topic, partition) with
+watermarks at both ends (reference model/StreamRange.scala:17-52) — and
+its mutable builder that extends the end offset and maxes the watermark
+as records are observed (StreamRange.scala:61-81).
+
+In the Spark engine these describe what a micro-batch covered; they are
+written to the sink manifest and drive idempotence tokens and
+deterministic file names.  The distributed way to compute them is a
+``groupBy(topic, partition).agg(min(offset), max(offset), max(ts))`` —
+see :mod:`stream_loader_spark.operators.recovery`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Sequence
+
+from stream_loader_spark.model.position import StreamPosition
+
+
+@dataclass(frozen=True)
+class StreamRange:
+    """Inclusive range of offsets consumed from one stream partition."""
+
+    topic: str
+    partition: int
+    start: StreamPosition
+    end: StreamPosition
+
+    @property
+    def record_count_upper_bound(self) -> int:
+        return self.end.offset - self.start.offset + 1
+
+    def is_consecutive_with(self, nxt: "StreamRange") -> bool:
+        """True if ``nxt`` continues this range with no gap."""
+        return (
+            self.topic == nxt.topic
+            and self.partition == nxt.partition
+            and nxt.start.offset == self.end.offset + 1
+        )
+
+    def merged_with(self, nxt: "StreamRange") -> "StreamRange":
+        """Merge a consecutive following range: keep earliest start,
+        latest end (reference model/StreamRange.scala:26-51)."""
+        if not self.is_consecutive_with(nxt):
+            raise ValueError(f"ranges not consecutive: {self} + {nxt}")
+        return StreamRange(self.topic, self.partition, self.start, nxt.end)
+
+    def canonical_string(self) -> str:
+        """Stable serialization used in tokens and file names:
+        ``topic:partition:startOffset:endOffset``."""
+        return f"{self.topic}:{self.partition}:{self.start.offset}:{self.end.offset}"
+
+
+class StreamRangeBuilder:
+    """Accumulates observed records of one (topic, partition) into a range.
+
+    Extends the end offset and takes the running max of the watermark,
+    mirroring reference model/StreamRange.scala:61-81.
+    """
+
+    def __init__(self, topic: str, partition: int, start: StreamPosition) -> None:
+        self.topic = topic
+        self.partition = partition
+        self._start = start
+        self._end_offset = start.offset
+        self._end_watermark_ms = start.watermark_ms
+        self._observed = False
+
+    def observe(self, offset: int, watermark_ms: int) -> None:
+        if offset < self._end_offset and self._observed:
+            raise ValueError(
+                f"offsets must be non-decreasing: got {offset} after {self._end_offset}"
+            )
+        self._observed = True
+        self._end_offset = offset
+        self._end_watermark_ms = max(self._end_watermark_ms, watermark_ms)
+
+    def build(self) -> StreamRange:
+        return StreamRange(
+            self.topic,
+            self.partition,
+            self._start,
+            StreamPosition(self._end_offset, self._end_watermark_ms),
+        )
+
+
+def merge_ranges(ranges: Iterable[StreamRange]) -> list[StreamRange]:
+    """Merge consecutive ranges per (topic, partition).
+
+    Input order within a partition must be by start offset; output keeps
+    one range per maximal consecutive run.  Non-consecutive runs are kept
+    separate (a gap means another consumer owned those offsets).
+    """
+    by_tp: dict[tuple[str, int], list[StreamRange]] = {}
+    for r in ranges:
+        by_tp.setdefault((r.topic, r.partition), []).append(r)
+
+    out: list[StreamRange] = []
+    for tp in sorted(by_tp):
+        run: StreamRange | None = None
+        for r in sorted(by_tp[tp], key=lambda x: x.start.offset):
+            if run is None:
+                run = r
+            elif run.is_consecutive_with(r):
+                run = run.merged_with(r)
+            else:
+                out.append(run)
+                run = r
+        if run is not None:
+            out.append(run)
+    return out
+
+
+def ranges_signature(ranges: Sequence[StreamRange]) -> str:
+    """Canonical multi-range serialization: sorted, ';'-joined.
+
+    This is the basis of both the insert dedup token (reference
+    clickhouse/ClickHouseFileStorage.scala:86-88 builds
+    ``topic:partition:start:end;...``) and deterministic file naming
+    (TimePartitioningFilePathFormatter.scala:39-47 hashes the ranges).
+    """
+    return ";".join(sorted(r.canonical_string() for r in ranges))

@@ -1,0 +1,278 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Beyond-reference surface (BASELINE.json north star). Design notes for
+100 TB scale:
+
+- **Exact** dedup is one hash-aggregate on a content digest — map-side
+  partial aggregation means the shuffle carries ~one row per distinct
+  digest, not per input row.
+- **MinHash-LSH** is the shuffle-friendly near-dup algorithm: per-doc
+  signatures are computed with higher-order functions (no explode, no
+  Python), then docs are exploded only into ``bands`` rows each
+  (b = NUM_BANDS, constant), grouped by (band, band-hash) to find
+  candidate buckets, and only candidate pairs are verified with true
+  Jaccard. Work is proportional to input + number of colliding pairs —
+  never all-pairs.
+- **SimHash** gives a single 64-bit signature per doc (again pure
+  column expressions); near-dup candidates collide on one of 4 16-bit
+  chunks (Hamming-distance ≤ 3 over 64 bits is very likely to leave at
+  least one chunk untouched... with 4 chunks, distance ≤ 3 GUARANTEES
+  one identical chunk by pigeonhole).
+- All pair outputs are canonicalized as (doc_a < doc_b) and distinct.
+
+The reference itself only deduplicates replayed Kafka batches (SURVEY
+§2.5); these operators generalize dedup to content level for
+training-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stream_loader_spark.operators.text import tokens_col
+
+NUM_HASHES = 64          # MinHash signature length
+NUM_BANDS = 16           # LSH bands (rows per band = 64/16 = 4)
+SHINGLE_SIZE = 3         # word shingles
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on a content digest: one representative (min id) and
+    the duplicate count per distinct text."""
+    return (
+        documents.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def shingles_col(text: Column, size: int = SHINGLE_SIZE) -> Column:
+    """Distinct word ``size``-shingles of the text; docs shorter than
+    ``size`` tokens contribute their whole text as one shingle."""
+    toks = tokens_col(text)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (size - 1)),
+        lambda i: F.array_join(F.slice(toks, i, size), " "),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= size, windows).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def _seeded_hash(seed: int):
+    # NOTE: a two-parameter lambda would be interpreted by Spark's
+    # higher-order functions as (element, index) — the seed must be
+    # captured in a closure producing a ONE-parameter function.
+    def apply(s: Column) -> Column:
+        return F.xxhash64(s, F.lit(seed))
+
+    return apply
+
+
+def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """MinHash signature: for seed i, min over shingles of a 64-bit hash
+    of (shingle, i). Pure higher-order expressions — no UDF."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _seeded_hash(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def with_minhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    return documents.withColumn("shingles", shingles_col(F.col(text_col))).withColumn(
+        "minhash", minhash_signature(F.col("shingles"))
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+    """
+    rows_per_band = NUM_HASHES // num_bands
+    sig = with_minhash(documents, text_col).select(id_col, "shingles", "minhash")
+
+    bands = sig.select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("minhash", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "shingles", "bh.band", "bh.band_hash")
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        candidates.withColumn("jaccard", jaccard)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    block_col: str | None = None,
+    shingle_size: int = SHINGLE_SIZE,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs.
+
+    With ``block_col`` set, only pairs sharing the blocking key are
+    compared (e.g. language) — the oracle-checkable baseline. Without
+    blocking this is all-pairs: use only on small inputs or behind LSH.
+    """
+    sh = documents.select(
+        F.col(id_col), *( [F.col(block_col)] if block_col else [] ),
+        shingles_col(F.col(text_col), shingle_size).alias("shingles"),
+    )
+    left, right = sh.alias("l"), sh.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"l.{block_col}") == F.col(f"r.{block_col}"))
+    pairs = left.join(right, cond).select(
+        F.col(f"l.{id_col}").alias("doc_a"),
+        F.col(f"r.{id_col}").alias("doc_b"),
+        (
+            F.size(F.array_intersect("l.shingles", "r.shingles"))
+            / F.size(F.array_union("l.shingles", "r.shingles"))
+        ).alias("jaccard"),
+    )
+    return pairs.where(F.col("jaccard") >= threshold)
+
+
+def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """64-bit SimHash as a BIGINT, from whitespace tokens.
+
+    bit i is set iff at least half the (distinct-hashed) tokens have bit
+    i set in their 64-bit hash — computed entirely with higher-order
+    functions (filter/size), no explode and no shuffle.
+    """
+    toks = F.array_distinct(tokens_col(text))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+
+    def bit_set(i: int):
+        def apply(h: Column) -> Column:
+            return F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+        return apply
+
+    bit_terms = []
+    for i in range(bits):
+        ones = F.size(F.filter(hashes, bit_set(i)))
+        weight = 2**i if i < 63 else -(2**63)  # bit 63 is the sign bit
+        bit_terms.append(
+            F.when(ones * 2 >= n, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return total
+
+
+def with_simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    return documents.withColumn("simhash", simhash_col(F.col(text_col)))
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Candidates collide on one of SIMHASH_CHUNKS 16-bit chunks
+    (pigeonhole: distance ≤ 3 < 4 chunks ⇒ some chunk is identical),
+    then the true Hamming distance filters.
+    """
+    sh = with_simhash(documents, text_col).select(id_col, "simhash")
+    chunk_width = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", c * chunk_width)
+                        .bitwiseAND(F.lit((1 << chunk_width) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("cv"),
+    ).select(id_col, "simhash", "cv.chunk", "cv.chunk_val")
+
+    left, right = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

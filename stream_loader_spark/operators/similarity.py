@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference surface (BASELINE.json north star):
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small)
+  query set against the corpus; dot products via ``zip_with`` +
+  ``aggregate`` higher-order functions (JVM-side, no Python). The
+  baseline and the verifier for approximate variants.
+- ``ivf_topk`` — IVF-style approximate search: corpus vectors are
+  assigned to the nearest of C centroids once (broadcast join — no
+  all-pairs), queries probe only the ``nprobe`` nearest clusters. At
+  100 TB the cluster assignment is the only full pass; each query then
+  touches ~nprobe/C of the corpus.
+- ``cosine_near_dup_pairs`` — embedding near-duplicate pairs over an
+  LSH bucketing (random-hyperplane signs), verified with exact cosine.
+
+All cosines are computed in DOUBLE and rounded to 6 decimals before
+ranking so results are stable across engines (ties then break by id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+COSINE_SCALE = 6  # round cosine to this many decimals before ranking
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in DOUBLE via zip_with + ordered fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return F.round(dot_col(a, b) / (norm_col(a) * norm_col(b)), COSINE_SCALE)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query id (excluding self-matches).
+
+    The query set is broadcast; ranking is a window over each query's
+    candidates ordered by (cosine DESC, id ASC) for determinism.
+    """
+    from pyspark.sql import Window
+
+    queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    corpus = embeddings.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("match_vec"))
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("match_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_col(F.col("query_vec"), F.col("match_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
+
+
+def assign_clusters(
+    embeddings: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: centroids are the vectors with the
+    ``num_centroids`` smallest ids (deterministic seed set — a k-means
+    refinement can later replace this without changing the contract).
+    Assignment is a broadcast join + per-row argmax; one pass over the
+    corpus."""
+    centroids = embeddings.where(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    )
+    scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
+        "cos", cosine_col(F.col(vec_col), F.col("centroid_vec"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(id_col, vec_col, F.col("centroid_id").alias("cluster_id"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: probe only the nprobe nearest clusters."""
+    from pyspark.sql import Window
+
+    assigned = assign_clusters(embeddings, num_centroids, id_col, vec_col)
+    centroids = embeddings.where(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    )
+    queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    qprobe = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("cos", cosine_col(F.col("query_vec"), F.col("centroid_vec")))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+            ),
+        )
+        .where(F.col("rnk") <= nprobe)
+        .select("query_id", "query_vec", F.col("centroid_id").alias("cluster_id"))
+    )
+    scored = (
+        assigned.join(F.broadcast(qprobe), "cluster_id")
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine", cosine_col(F.col("query_vec"), F.col(vec_col)))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("match_id"), "cosine", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH bucketing + exact verify.
+
+    Hyperplanes are deterministic pseudo-random vectors derived from
+    xxhash64(dim, plane) — reproducible across runs with no RNG state.
+    Vectors agreeing on all ``num_planes`` signs share a bucket; only
+    in-bucket pairs are verified. Recall grows by OR-ing several
+    independent bucketings (bands over the sign bits).
+    """
+    dim_count = F.size(F.col(vec_col))
+
+    # sign bit per plane: sum_i vec[i] * h(i, p) >= 0, h in [-1, 1).
+    # Plane index is captured in a closure — a two-parameter lambda would
+    # be read by Spark as (element, index).
+    def plane_term(p: int):
+        def apply(i: Column) -> Column:
+            coeff = (F.xxhash64(i, F.lit(p)) % 1000).cast("double") / 500.0 - 1.0
+            return F.element_at(F.col(vec_col), i + 1).cast("double") * coeff
+
+        return apply
+
+    sig = F.array(
+        *[
+            F.when(
+                F.aggregate(
+                    F.transform(F.sequence(F.lit(0), dim_count - 1), plane_term(p)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in range(num_planes)
+        ]
+    )
+    buckets = embeddings.select(
+        id_col, vec_col, F.concat_ws("", sig).alias("bucket")
+    )
+    left, right = buckets.alias("l"), buckets.alias("r")
+    cand = left.join(
+        right,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("vec_a"),
+        F.col(f"r.{id_col}").alias("vec_b"),
+        cosine_col(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cosine"),
+    )
+    return cand.where(F.col("cosine") >= threshold)

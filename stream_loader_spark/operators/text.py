@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting — each a pure
+column-expression transform (no UDFs, no shuffle), so they run inside
+whole-stage codegen and scale linearly with input size.
+
+All expressions are chosen to be exactly reproducible in ANSI SQL
+(DuckDB oracle): deterministic regex splits, integer arithmetic,
+stable hash (sha256/md5 hex).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword lists (public knowledge). Kept tiny and
+# frozen: they are part of the deterministic operator contract.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "y"],
+}
+LANGS = tuple(sorted(STOPWORDS))  # de, en, es, fr — fixed tie-break order
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text (empty text → [])."""
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercased, whitespace-collapsed."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def stopword_hits(tokens: Column, words: list[str]) -> Column:
+    """Count of tokens contained in a fixed word list (higher-order
+    filter over the token array — no explode, no shuffle)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def with_text_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count, char counts, ratios, and a quality score per doc.
+
+    The quality score is a deterministic arithmetic blend of length,
+    mean token length, stopword ratio, and punctuation ratio — the
+    standard cheap heuristics used to pre-filter web text.
+    """
+    df = documents.withColumn("tokens", tokens_col(F.col(text_col)))
+    df = df.withColumn("token_count", F.size("tokens"))
+    df = df.withColumn("char_count", F.length(F.col(text_col)))
+    df = df.withColumn(
+        "punct_count", F.size(F.split(F.col(text_col), PUNCT_CLASS)) - F.lit(1)
+    )
+    df = df.withColumn("stop_hits", stopword_hits(F.col("tokens"), STOPWORDS["en"]))
+    df = df.withColumn(
+        "avg_token_len",
+        F.when(F.col("token_count") > 0,
+               (F.col("char_count") - F.col("token_count") + 1) / F.col("token_count"))
+        .otherwise(F.lit(0.0)),
+    )
+    df = df.withColumn(
+        "stopword_ratio",
+        F.when(F.col("token_count") > 0, F.col("stop_hits") / F.col("token_count"))
+        .otherwise(F.lit(0.0)),
+    )
+    df = df.withColumn(
+        "punct_ratio",
+        F.when(F.col("char_count") > 0, F.col("punct_count") / F.col("char_count"))
+        .otherwise(F.lit(0.0)),
+    )
+    df = df.withColumn(
+        "quality_score",
+        (
+            F.least(F.col("token_count") / F.lit(100.0), F.lit(1.0)) * 0.4
+            + F.least(F.col("stopword_ratio") * F.lit(5.0), F.lit(1.0)) * 0.3
+            + F.when((F.col("avg_token_len") >= 3) & (F.col("avg_token_len") <= 10), 0.3)
+            .otherwise(F.lit(0.0))
+        ),
+    )
+    return df.drop("tokens", "stop_hits")
+
+
+def with_lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits.
+
+    Ties break in fixed language order (de < en < es < fr by name, with
+    'und' = no hits at all). Purely column expressions → codegen.
+    """
+    df = documents.withColumn("tokens", tokens_col(F.col(text_col)))
+    for lang in LANGS:
+        df = df.withColumn(f"hits_{lang}", stopword_hits(F.col("tokens"), STOPWORDS[lang]))
+    best = F.greatest(*[F.col(f"hits_{l}") for l in LANGS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANGS:
+        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    df = df.withColumn("pred_lang", pred)
+    return df.drop("tokens", *[f"hits_{l}" for l in LANGS])
+
+
+def with_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stable document fingerprint: sha256 of the normalized text."""
+    return documents.withColumn(
+        "fingerprint", F.sha2(normalized_text(F.col(text_col)), 256)
+    )

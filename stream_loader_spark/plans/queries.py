@@ -1,0 +1,673 @@
+"""Declared query inventory (SURVEY §2) with DuckDB oracle SQL.
+
+Every entry here is exposed through ``__spark_entry__.queries()`` /
+``oracle_sql()``. Conventions that make cross-engine hash comparison
+work:
+
+- every computed column is aliased identically in Spark and SQL;
+- money aggregates go through exact DECIMAL(18,6) sums and are cast to
+  DOUBLE only at the end (float-sum order nondeterminism would break
+  hash equality);
+- cosines are rounded to 6 decimals before ranking; all top-k orderings
+  tie-break on a unique id;
+- timestamps compare under UTC session timezone.
+
+Queries without an oracle entry (minhash/simhash/IVF/multimodal) are
+non-SQL-expressible or approximate; the driver records a rows-only
+check and pytest verifies them against exact baselines instead.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from stream_loader_spark.sources.tables import load_table
+from stream_loader_spark.sources.kafka_view import as_stream_records, KAFKA_VIEW_SQL
+from stream_loader_spark.operators.recovery import (
+    committed_positions,
+    committed_positions_external,
+    stream_ranges,
+    merge_range_table,
+)
+from stream_loader_spark.operators.projection import (
+    with_metadata_projection,
+    with_date_partition,
+    formatted_records,
+)
+from stream_loader_spark.operators.watermark import clamped_watermark_agg
+from stream_loader_spark.operators.idempotence import dedup_tokens, deterministic_file_names
+from stream_loader_spark.operators.text import with_text_stats, with_lang_id, with_fingerprint
+from stream_loader_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from stream_loader_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    cosine_near_dup_pairs,
+)
+from stream_loader_spark.operators.multimodal import synthetic_media, extract_features
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+# Fixed "wall clock" for the deterministic watermark clamp (events span
+# 2024-01-01..2024-01-30; this clamps everything past Jan 15 01:00).
+CLAMP_NOW = datetime(2024, 1, 15, 0, 0, 0)
+
+_KAFKA_CTE = f"WITH kafka AS ({KAFKA_VIEW_SQL})"
+
+
+def query(name: str, oracle: str | None = None):
+    def register(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return as_stream_records(load_table(spark, sf_dir, "events"))
+
+
+def dsum(col: F.Column | str, alias: str) -> F.Column:
+    """Exact decimal sum surfaced as DOUBLE (cross-engine stable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+DSUM_SQL = "CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Stream-loader surface: recovery aggregations, projections, watermark,
+# idempotence keys (SURVEY §2.1, §2.2, §2.4, §2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_committed_positions",
+    f"""{_KAFKA_CTE},
+    meta AS (SELECT topic AS _topic, "partition" AS _partition, "offset" AS _offset, ts AS _watermark FROM kafka)
+    SELECT _topic AS topic, _partition AS "partition",
+           MAX(_offset) + 1 AS next_offset, MAX(_watermark) AS watermark
+    FROM meta WHERE _topic IS NOT NULL AND _partition IS NOT NULL
+    GROUP BY 1, 2""",
+)
+def a1_committed_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: in-row offset recovery (ClickHouseFileStorage.scala:38-47)."""
+    meta = with_metadata_projection(_events(spark, sf_dir), "props")
+    return committed_positions(meta)
+
+
+@query(
+    "a3_external_offsets",
+    f"""{_KAFKA_CTE},
+    files AS (
+      SELECT topic, "partition", CAST(FLOOR("offset" / 500.0) AS BIGINT) AS file_id,
+             MIN("offset") AS _start_offset, MAX("offset") AS _end_offset, MAX(ts) AS _end_watermark
+      FROM kafka GROUP BY 1, 2, 3),
+    offs AS (
+      SELECT CASE WHEN "partition" % 2 = 0 THEN 'cg-even' ELSE 'cg-odd' END AS _consumer_group,
+             topic AS _topic, "partition" AS _partition, _end_offset, _end_watermark
+      FROM files)
+    SELECT _topic AS topic, _partition AS "partition",
+           MAX(_end_offset) + 1 AS next_offset, MAX(_end_watermark) AS watermark
+    FROM offs WHERE _consumer_group = 'cg-even'
+    GROUP BY 1, 2""",
+)
+def a3_external_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: recovery from an external offsets table
+    (ExternalOffsetVerticaFileStorage.scala:62-66); the offsets table is
+    synthesized from the stream by 500-offset file blocks."""
+    rec = _events(spark, sf_dir)
+    files = (
+        rec.withColumn("file_id", F.floor(F.col("offset") / 500.0).cast("long"))
+        .groupBy("topic", "partition", "file_id")
+        .agg(
+            F.min("offset").alias("_start_offset"),
+            F.max("offset").alias("_end_offset"),
+            F.max("ts").alias("_end_watermark"),
+        )
+    )
+    offs = files.select(
+        F.when(F.col("partition") % 2 == 0, "cg-even").otherwise("cg-odd").alias("_consumer_group"),
+        F.col("topic").alias("_topic"),
+        F.col("partition").alias("_partition"),
+        "_end_offset",
+        "_end_watermark",
+    )
+    return committed_positions_external(offs, "cg-even")
+
+
+@query(
+    "a4_stream_ranges",
+    f"""{_KAFKA_CTE}
+    SELECT topic, "partition",
+           MIN("offset") AS start_offset, MAX("offset") AS end_offset,
+           MAX(ts) AS end_watermark, COUNT(*) AS record_count
+    FROM kafka GROUP BY 1, 2""",
+)
+def a4_stream_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-partition consumed-range aggregation (StreamRange.scala:61-81)."""
+    return stream_ranges(_events(spark, sf_dir))
+
+
+@query(
+    "a5_merged_ranges",
+    f"""{_KAFKA_CTE},
+    ranges AS (
+      SELECT topic, "partition", CAST(FLOOR("offset" / 500.0) AS BIGINT) AS file_id,
+             MIN("offset") AS start_offset, MAX("offset") AS end_offset, MAX(ts) AS end_watermark
+      FROM kafka GROUP BY 1, 2, 3)
+    SELECT topic, "partition",
+           MIN(start_offset) AS start_offset, MAX(end_offset) AS end_offset,
+           MAX(end_watermark) AS end_watermark
+    FROM ranges GROUP BY 1, 2""",
+)
+def a5_merged_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: merge consecutive ranges — earliest start, latest end
+    (StreamRange.scala:26-51) over block-level ranges."""
+    rec = _events(spark, sf_dir)
+    ranges = (
+        rec.withColumn("file_id", F.floor(F.col("offset") / 500.0).cast("long"))
+        .groupBy("topic", "partition", "file_id")
+        .agg(
+            F.min("offset").alias("start_offset"),
+            F.max("offset").alias("end_offset"),
+            F.max("ts").alias("end_watermark"),
+        )
+    )
+    return merge_range_table(ranges)
+
+
+@query(
+    "s5_watermark_clamp",
+    f"""{_KAFKA_CTE}
+    SELECT topic, "partition", MAX(ts) AS watermark
+    FROM kafka
+    WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' + INTERVAL 1 HOUR
+    GROUP BY 1, 2""",
+)
+def s5_watermark_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: max-event-time watermark with future-timestamp clamp
+    (WatermarkProvider.scala:50-77, 1h valid diff)."""
+    return clamped_watermark_agg(_events(spark, sf_dir), CLAMP_NOW)
+
+
+@query(
+    "p3_metadata_projection",
+    f"""{_KAFKA_CTE}
+    SELECT topic AS _topic, "partition" AS _partition, "offset" AS _offset,
+           ts AS _watermark, props
+    FROM kafka""",
+)
+def p3_metadata_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: expose stream metadata as output columns (loaders/ClickHouse.scala:77-97)."""
+    return with_metadata_projection(_events(spark, sf_dir), "props")
+
+
+@query(
+    "p4_date_partitioning",
+    f"""{_KAFKA_CTE}
+    SELECT topic, CAST(ts AS DATE) AS dt, COUNT(*) AS record_count,
+           MIN("offset") AS min_offset, MAX("offset") AS max_offset
+    FROM kafka GROUP BY 1, 2""",
+)
+def p4_date_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: event-date output partitioning (RecordPartitioner.scala:19-29 →
+    to_date + partitionBy)."""
+    rec = with_date_partition(_events(spark, sf_dir))
+    return rec.groupBy("topic", "dt").agg(
+        F.count(F.lit(1)).alias("record_count"),
+        F.min("offset").alias("min_offset"),
+        F.max("offset").alias("max_offset"),
+    )
+
+
+@query(
+    "p1_record_formatting",
+    f"""{_KAFKA_CTE}
+    SELECT "offset" AS _offset, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM kafka""",
+)
+def p1_record_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: raw payload → typed columns (RecordFormatter.scala:18-24 →
+    from_json projection; unparseable payloads yield NULLs)."""
+    rec = formatted_records(_events(spark, sf_dir), "k INT")
+    return rec.select(F.col("offset").alias("_offset"), F.col("k"))
+
+
+@query(
+    "d2_dedup_tokens",
+    f"""{_KAFKA_CTE},
+    ranges AS (
+      SELECT topic, "partition", MIN("offset") AS so, MAX("offset") AS eo
+      FROM kafka GROUP BY 1, 2),
+    tokens AS (
+      SELECT topic, "partition",
+             topic || ':' || "partition" || ':' || so || ':' || eo AS range_token
+      FROM ranges),
+    batch AS (SELECT STRING_AGG(range_token, ';' ORDER BY range_token) AS batch_token FROM tokens)
+    SELECT t.topic, t."partition", t.range_token, b.batch_token
+    FROM tokens t CROSS JOIN batch b""",
+)
+def d2_dedup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: insert dedup tokens (ClickHouseFileStorage.scala:86-88)."""
+    return dedup_tokens(_events(spark, sf_dir))
+
+
+@query(
+    "d3_file_names",
+    f"""{_KAFKA_CTE},
+    dated AS (SELECT topic, "partition", "offset", CAST(ts AS DATE) AS dt FROM kafka),
+    ranges AS (
+      SELECT topic, "partition", dt, MIN("offset") AS so, MAX("offset") AS eo
+      FROM dated GROUP BY 1, 2, 3),
+    tokens AS (
+      SELECT topic, "partition", dt,
+             CAST(dt AS VARCHAR) || '/' || topic || ':' || "partition" || ':' || so || ':' || eo AS range_token
+      FROM ranges)
+    SELECT topic, "partition", dt, range_token, sha256(range_token) || '.parquet' AS file_name
+    FROM tokens""",
+)
+def d3_file_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: deterministic batch file names (TimePartitioningFilePathFormatter.scala:39-47)."""
+    rec = with_date_partition(_events(spark, sf_dir))
+    return deterministic_file_names(rec, partition_value_col="dt")
+
+
+@query(
+    "d1_rewind_dedup",
+    f"""{_KAFKA_CTE},
+    unioned AS (
+      SELECT topic, "partition", "offset" FROM kafka
+      UNION ALL
+      SELECT topic, "partition", "offset" FROM kafka WHERE "offset" < 200),
+    dedup AS (SELECT DISTINCT topic, "partition", "offset" FROM unioned)
+    SELECT topic, "partition", COUNT(*) AS record_count,
+           MIN("offset") AS min_offset, MAX("offset") AS max_offset
+    FROM dedup GROUP BY 1, 2""",
+)
+def d1_rewind_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: rewind warm-up dedup — replayed records (a rewound prefix) are
+    dropped by key so the output equals exactly-once delivery
+    (RewindingPartitionGroupSinker.scala:45-118)."""
+    rec = _events(spark, sf_dir).select("topic", "partition", "offset")
+    replayed = rec.where(F.col("offset") < 200)
+    unioned = rec.unionAll(replayed)
+    dedup = unioned.dropDuplicates(["topic", "partition", "offset"])
+    return dedup.groupBy("topic", "partition").agg(
+        F.count(F.lit(1)).alias("record_count"),
+        F.min("offset").alias("min_offset"),
+        F.max("offset").alias("max_offset"),
+    )
+
+
+@query(
+    "events_hourly_rollup",
+    f"""{_KAFKA_CTE}
+    SELECT topic, DATE_TRUNC('hour', ts) AS window_start,
+           COUNT(*) AS event_count, {DSUM_SQL.format(expr="value")} AS value_sum
+    FROM kafka GROUP BY 1, 2""",
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time rollup — the batch shape of the streaming
+    windowed aggregation (withWatermark + window)."""
+    rec = _events(spark, sf_dir)
+    return rec.groupBy("topic", F.date_trunc("hour", "ts").alias("window_start")).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        dsum("value", "value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface over the TPC-H-ish tables (joins, windows, top-k —
+# all free in Spark SQL; SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+           {DSUM_SQL.format(expr="l_quantity")} AS sum_qty,
+           {DSUM_SQL.format(expr="l_extendedprice")} AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (exact decimal sums)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(datetime(1998, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped top-10 unshipped orders by revenue. The dimension
+    filters (customer) broadcast; ties break on the unique order key."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(datetime(1997, 1, 1))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(datetime(1997, 1, 1))
+    )
+    joined = li.join(
+        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        li.l_orderkey == o.o_orderkey,
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-join aggregation; every dimension side is
+    broadcast so lineitem never shuffles before the final group-by."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1998, 1, 1)))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == n.n_nationkey)
+    )
+    co = o.join(F.broadcast(dims), o.o_custkey == c.c_custkey)
+    j = li.join(F.broadcast(co), li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(s),
+        (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@query(
+    "top_orders_per_segment",
+    """WITH ranked AS (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rnk
+    FROM ranked WHERE rnk <= 3""",
+)
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function top-k per group (ROW_NUMBER with unique tie-break)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators: text analysis, dedup, similarity
+# (beyond-reference surface, BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+_STOP_EN = "'the','a','and','of','to','in','is','it'"
+_STOP_DE = "'der','die','das','und','ist','ein','zu','nicht'"
+_STOP_FR = "'le','la','et','les','des','est','un','une'"
+_STOP_ES = "'el','la','los','las','es','un','una','y'"
+
+_TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+@query(
+    "text_stats",
+    f"""WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKENS_SQL} END AS toks
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS token_count,
+             length(text) AS char_count,
+             len(string_split_regex(text, '[.,!?;:]')) - 1 AS punct_count,
+             len(list_filter(toks, t -> list_contains([{_STOP_EN}], t))) AS stop_hits
+      FROM t),
+    s AS (
+      SELECT doc_id, token_count, char_count, punct_count,
+             CASE WHEN token_count > 0 THEN CAST(char_count - token_count + 1 AS DOUBLE) / token_count ELSE 0.0 END AS avg_token_len,
+             CASE WHEN token_count > 0 THEN CAST(stop_hits AS DOUBLE) / token_count ELSE 0.0 END AS stopword_ratio,
+             CASE WHEN char_count > 0 THEN CAST(punct_count AS DOUBLE) / char_count ELSE 0.0 END AS punct_ratio
+      FROM m)
+    SELECT doc_id, token_count, char_count, punct_count, avg_token_len, stopword_ratio, punct_ratio,
+           LEAST(token_count / 100.0, 1.0) * 0.4
+           + LEAST(stopword_ratio * 5.0, 1.0) * 0.3
+           + CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 0.3 ELSE 0.0 END AS quality_score
+    FROM s""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring over documents (pure codegen)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_text_stats(docs).select(
+        "doc_id",
+        "token_count",
+        "char_count",
+        "punct_count",
+        "avg_token_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "quality_score",
+    )
+
+
+@query(
+    "lang_id",
+    f"""WITH t AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKENS_SQL} END AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, t -> list_contains([{_STOP_DE}], t))) AS hits_de,
+             len(list_filter(toks, t -> list_contains([{_STOP_EN}], t))) AS hits_en,
+             len(list_filter(toks, t -> list_contains([{_STOP_ES}], t))) AS hits_es,
+             len(list_filter(toks, t -> list_contains([{_STOP_FR}], t))) AS hits_fr
+      FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM h""",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-based language ID."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_lang_id(docs).select("doc_id", "lang", "pred_lang")
+
+
+@query(
+    "doc_fingerprint",
+    """SELECT doc_id,
+           sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable content fingerprint (normalized sha256)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@query(
+    "dedup_exact",
+    """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: representative + multiplicity per digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    """WITH t AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    d AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+             ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM t),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""",
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs, blocked by language."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5, block_col="lang", shingle_size=3)
+
+
+@query("minhash_lsh_pairs")  # approximate → rows-only check; verified in pytest
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (banded signatures, exact verify)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@query("simhash_pairs")  # bit-level signature → rows-only; verified in pytest
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 via chunk collision)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs)
+
+
+@query(
+    "similarity_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS match_id,
+             ROUND(
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(range(1, len(q.qv) + 1),
+                        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+               6) AS cosine
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, match_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rnk
+      FROM scored)
+    SELECT query_id, match_id, cosine, rnk FROM ranked WHERE rnk <= 5""",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors 0..9 (brute force baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, query_ids=list(range(10)), k=5).withColumnRenamed(
+        "rank", "rnk"
+    )
+
+
+@query("similarity_ivf_topk")  # approximate → rows-only; recall tested in pytest
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate cosine top-5 (probe 4 of 16 clusters)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_ids=list(range(10)), k=5)
+
+
+@query("embedding_near_dup")  # LSH-bucketed → rows-only; verified in pytest
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH + exact cosine verify."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.35, num_planes=8)
+
+
+@query("multimodal_features")  # mapInPandas plumbing → rows-only
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media → feature vectors through Arrow-batched mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(synthetic_media(docs))

@@ -1,0 +1,65 @@
+"""Kafka-shaped stream-record view over the ``events`` fixture table.
+
+The reference's unit of work is a ``StreamRecord`` — a Kafka consumer
+record plus watermark (model/StreamRecord.scala:20-22) with columns
+(topic, partition, offset, timestamp, key, value). The driver's
+``events`` parquet table (event_id, ts, user_id, event_type, value,
+props) stands in for the topic; this module defines the ONE canonical
+mapping used by both the Spark operators and the DuckDB oracle SQL:
+
+    topic     = event_type
+    partition = int(user_id % NUM_PARTITIONS)
+    offset    = event_id          (globally increasing → per-partition increasing)
+    ts        = ts                (event time)
+    value     = props             (payload)
+
+In production the same downstream operators run on the real Kafka
+source: ``spark.readStream.format("kafka")`` exposes identical columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+NUM_PARTITIONS = 8
+
+# Canonical SQL fragment for the DuckDB oracle ("offset" is a reserved
+# word in DuckDB, so it is always quoted).
+KAFKA_VIEW_SQL = (
+    "SELECT event_type AS topic, "
+    f"CAST(user_id % {NUM_PARTITIONS} AS INT) AS partition, "
+    'event_id AS "offset", ts, value, props '
+    "FROM events"
+)
+
+
+def as_stream_records(events: DataFrame) -> DataFrame:
+    """events fixture → (topic, partition, offset, ts, value, props).
+
+    The fixture stores nanosecond timestamps, which Spark surfaces as
+    raw longs (``spark.sql.legacy.parquet.nanosAsLong``); they are
+    truncated to microseconds here, matching DuckDB's nanos→micros read.
+    """
+    ts = F.col("ts")
+    if dict(events.dtypes).get("ts") == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    return events.select(
+        F.col("event_type").alias("topic"),
+        (F.col("user_id") % NUM_PARTITIONS).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        ts.alias("ts"),
+        F.col("value"),
+        F.col("props"),
+    )
+
+
+def kafka_metadata_columns() -> list[Column]:
+    """The metadata projection every loader exposes (reference
+    loaders/ClickHouse.scala:77-97 projects _topic/_partition/_offset/_watermark)."""
+    return [
+        F.col("topic").alias("_topic"),
+        F.col("partition").alias("_partition"),
+        F.col("offset").alias("_offset"),
+        F.col("ts").alias("_watermark"),
+    ]
