@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Each query executes end-to-end (plan + execute) into Spark's `noop`
+sink, which materializes every row without driver-side collection —
+the honest way to time a distributed plan. Quadratic-pair queries
+(blocked n-gram Jaccard) are excluded from the headline set; the
+LSH-based near-dup operators, which are the at-scale path, are in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stream_loader_spark.session import get_spark  # noqa: E402
+from stream_loader_spark.plans.queries import QUERIES  # noqa: E402
+
+BENCH_QUERIES = [
+    # stream-loader recovery / projection surface
+    "a1_committed_positions",
+    "a3_external_offsets",
+    "a4_stream_ranges",
+    "a5_merged_ranges",
+    "s5_watermark_clamp",
+    "p3_metadata_projection",
+    "p4_date_partitioning",
+    "p1_record_formatting",
+    "d2_dedup_tokens",
+    "d3_file_names",
+    "d1_rewind_dedup",
+    "events_hourly_rollup",
+    # relational
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_orders_per_segment",
+    # training-data pipeline
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "similarity_topk",
+    "similarity_ivf_topk",
+    "embedding_near_dup",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -7,14 +7,14 @@ Beyond-reference surface (BASELINE.json north star). Design notes for
   partial aggregation means the shuffle carries ~one row per distinct
   digest, not per input row.
 - **MinHash-LSH** is the shuffle-friendly near-dup algorithm: per-doc
-  signatures are computed with higher-order functions (no explode, no
-  Python), then docs are exploded only into ``bands`` rows each
-  (b = NUM_BANDS, constant), grouped by (band, band-hash) to find
-  candidate buckets, and only candidate pairs are verified with true
-  Jaccard. Work is proportional to input + number of colliding pairs —
-  never all-pairs.
-- **SimHash** gives a single 64-bit signature per doc (again pure
-  column expressions); near-dup candidates collide on one of 4 16-bit
+  signatures come from shingle-explode + 64 codegen'd min-aggregates
+  (map-side combine → the shuffle carries one signature per doc), then
+  docs are exploded only into ``bands`` rows each (b = NUM_BANDS,
+  constant), grouped by (band, band-hash) to find candidate buckets,
+  and only candidate pairs are verified with true Jaccard. Work is
+  proportional to input + number of colliding pairs — never all-pairs.
+- **SimHash** gives a single 64-bit signature per doc (token-explode +
+  64 conditional sums); near-dup candidates collide on one of 4 16-bit
   chunks (Hamming-distance ≤ 3 over 64 bits is very likely to leave at
   least one chunk untouched... with 4 chunks, distance ≤ 3 GUARANTEES
   one identical chunk by pigeonhole).
@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from stream_loader_spark.operators.text import tokens_col
+from stream_loader_spark.sources.tables import scatter
 
 NUM_HASHES = 64          # MinHash signature length
 NUM_BANDS = 16           # LSH bands (rows per band = 64/16 = 4)
@@ -64,30 +65,32 @@ def shingles_col(text: Column, size: int = SHINGLE_SIZE) -> Column:
     )
 
 
-def _seeded_hash(seed: int):
-    # NOTE: a two-parameter lambda would be interpreted by Spark's
-    # higher-order functions as (element, index) — the seed must be
-    # captured in a closure producing a ONE-parameter function.
-    def apply(s: Column) -> Column:
-        return F.xxhash64(s, F.lit(seed))
+def with_minhash(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """id → MinHash signature (array<bigint> of per-seed minima).
 
-    return apply
-
-
-def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
-    """MinHash signature: for seed i, min over shingles of a 64-bit hash
-    of (shingle, i). Pure higher-order expressions — no UDF."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, _seeded_hash(i)))
-            for i in range(num_hashes)
-        ]
+    Computed via explode + hash-aggregate rather than per-row
+    higher-order functions: Spark does not codegen lambda functions (they
+    are interpreted per element), while ``explode`` + ``min`` aggregates
+    run in whole-stage codegen with map-side partial aggregation — the
+    shuffle carries only one 64-long signature per document regardless
+    of document length, which is what survives a 100 TB corpus.
+    """
+    ex = scatter(documents).select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("shingle")
     )
-
-
-def with_minhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    return documents.withColumn("shingles", shingles_col(F.col(text_col))).withColumn(
-        "minhash", minhash_signature(F.col("shingles"))
+    hashed = ex.select(
+        id_col, *[F.xxhash64("shingle", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return sig.select(
+        id_col, F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("minhash")
     )
 
 
@@ -103,23 +106,26 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
     """
     rows_per_band = NUM_HASHES // num_bands
-    sig = with_minhash(documents, text_col).select(id_col, "shingles", "minhash")
+    sig = with_minhash(documents, text_col, id_col)
 
+    # Slim banded view: (id, band, band_hash) only — the shingle arrays
+    # do NOT ride through the bands explode / self-join shuffle.
     bands = sig.select(
         F.col(id_col),
-        F.col("shingles"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("minhash", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
+                            F.concat_ws(
                                 ",",
+                                *[
+                                    F.element_at("minhash", b * rows_per_band + j + 1).cast(
+                                        "string"
+                                    )
+                                    for j in range(rows_per_band)
+                                ],
                             )
                         ).alias("band_hash"),
                     )
@@ -127,7 +133,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bh"),
-    ).select(id_col, "shingles", "bh.band", "bh.band_hash")
+    ).select(id_col, "bh.band", "bh.band_hash")
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -141,15 +147,25 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"l.{id_col}").alias("doc_a"),
             F.col(f"r.{id_col}").alias("doc_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
+    # Verify only candidate pairs with true Jaccard on the shingle sets.
+    shingle_sets = scatter(documents).select(
+        F.col(id_col), shingles_col(F.col(text_col)).alias("shingles")
+    )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        candidates.withColumn("jaccard", jaccard)
+        candidates.join(
+            shingle_sets.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            shingle_sets.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("jaccard", jaccard)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -169,7 +185,7 @@ def ngram_jaccard_pairs(
     compared (e.g. language) — the oracle-checkable baseline. Without
     blocking this is all-pairs: use only on small inputs or behind LSH.
     """
-    sh = documents.select(
+    sh = scatter(documents).select(
         F.col(id_col), *( [F.col(block_col)] if block_col else [] ),
         shingles_col(F.col(text_col), shingle_size).alias("shingles"),
     )
@@ -188,38 +204,38 @@ def ngram_jaccard_pairs(
     return pairs.where(F.col("jaccard") >= threshold)
 
 
-def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
-    """64-bit SimHash as a BIGINT, from whitespace tokens.
+def with_simhash(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """id → 64-bit SimHash (BIGINT): bit i is set iff at least half the
+    distinct tokens have bit i set in their 64-bit hash.
 
-    bit i is set iff at least half the (distinct-hashed) tokens have bit
-    i set in their 64-bit hash — computed entirely with higher-order
-    functions (filter/size), no explode and no shuffle.
+    Like MinHash, this runs as explode + one hash-aggregate (64 conditional
+    sums) so everything stays in whole-stage codegen; the shuffle carries
+    65 longs per document. Majority votes and bit assembly are plain
+    integer arithmetic on the aggregated counts.
     """
-    toks = F.array_distinct(tokens_col(text))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(hashes)
-
-    def bit_set(i: int):
-        def apply(h: Column) -> Column:
-            return F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
-
-        return apply
-
-    bit_terms = []
+    ex = scatter(documents).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("token"),
+    ).withColumn("th", F.xxhash64("token"))
+    counts = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright("th", i).bitwiseAND(F.lit(1))).alias(f"c{i}")
+            for i in range(bits)
+        ],
+    )
+    total = F.lit(0).cast("long")
     for i in range(bits):
-        ones = F.size(F.filter(hashes, bit_set(i)))
         weight = 2**i if i < 63 else -(2**63)  # bit 63 is the sign bit
-        bit_terms.append(
-            F.when(ones * 2 >= n, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    total = bit_terms[0]
-    for t in bit_terms[1:]:
-        total = total + t
-    return total
-
-
-def with_simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    return documents.withColumn("simhash", simhash_col(F.col(text_col)))
+        total = total + F.when(
+            F.col(f"c{i}") * 2 >= F.col("n"), F.lit(weight).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return counts.select(id_col, total.alias("simhash"))
 
 
 def simhash_pairs(
@@ -234,7 +250,7 @@ def simhash_pairs(
     (pigeonhole: distance ≤ 3 < 4 chunks ⇒ some chunk is identical),
     then the true Hamming distance filters.
     """
-    sh = with_simhash(documents, text_col).select(id_col, "simhash")
+    sh = with_simhash(documents, text_col, id_col)
     chunk_width = SIMHASH_BITS // SIMHASH_CHUNKS
     chunks = sh.select(
         id_col,

@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from stream_loader_spark.sources.tables import scatter
+
 MEDIA_SCHEMA = (
     "media_id BIGINT, media_type STRING, content BINARY, "
     "meta STRUCT<width: INT, height: INT, duration_ms: INT, codec: STRING>"
@@ -41,7 +43,7 @@ except ImportError:
 def synthetic_media(documents: DataFrame) -> DataFrame:
     """Deterministic media table derived from the documents fixture:
     the UTF-8 text bytes stand in for an encoded payload."""
-    return documents.select(
+    return scatter(documents).select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from stream_loader_spark.sources.tables import scatter
+
 COSINE_SCALE = 6  # round cosine to this many decimals before ranking
 
 
@@ -60,7 +62,9 @@ def brute_force_topk(
     queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    corpus = embeddings.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("match_vec"))
+    corpus = scatter(embeddings).select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("match_vec")
+    )
     scored = (
         corpus.join(F.broadcast(queries), F.col("match_id") != F.col("query_id"))
         .withColumn("cosine", cosine_col(F.col("query_vec"), F.col("match_vec")))
@@ -87,7 +91,7 @@ def assign_clusters(
     centroids = embeddings.where(F.col(id_col) < num_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
     )
-    scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
+    scored = scatter(embeddings).crossJoin(F.broadcast(centroids)).withColumn(
         "cos", cosine_col(F.col(vec_col), F.col("centroid_vec"))
     )
     from pyspark.sql import Window
@@ -185,7 +189,7 @@ def cosine_near_dup_pairs(
             for p in range(num_planes)
         ]
     )
-    buckets = embeddings.select(
+    buckets = scatter(embeddings).select(
         id_col, vec_col, F.concat_ws("", sig).alias("bucket")
     )
     left, right = buckets.alias("l"), buckets.alias("r")

@@ -35,6 +35,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def scatter(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow input so CPU-heavy operators parallelize.
+
+    The local fixtures are single parquet files → one input split → one
+    task, which serializes explode/HOF-heavy work. At production scale
+    inputs arrive in many splits and this is a no-op; locally it costs
+    one small shuffle of the raw rows and buys full-core parallelism.
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_partitions:
+        return df
+    return df.repartition(min_partitions)
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table and register temp views for spark.sql."""
     out = {}
