@@ -1,0 +1,148 @@
+"""Pipeline builder: the Spark-native ``StreamLoader``.
+
+The reference assembles loaders from builders — source, formatter,
+partitioner, batcher, storage (StreamLoader.scala:25-40, §3.1) — then
+runs a hand-rolled poll/commit loop. Here the same assembly surface
+produces a Structured Streaming query: the engine supplies polling,
+micro-batching, watermarks, checkpointed exactly-once and restart; the
+sink callables supply storage idempotence.
+
+    pipe = (StreamPipeline(spark)
+            .from_stream(stream_df)                  # or .from_kafka(...)
+            .format_records(schema="k INT")          # P1
+            .clamp_watermark("ts", delay="10 minutes")  # S5 + watermark
+            .partition_by_date("ts")                 # P4
+            .sink(ManifestFileSink(out), checkpoint))
+    q = pipe.start()          # or .run_available() for a bounded drain
+
+Production Kafka sources plug in with ``from_kafka`` (standard
+``spark.readStream.format("kafka")`` options); tests use file streams.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from stream_loader_spark.operators.watermark import DEFAULT_VALID_DIFF, valid_event_time
+from stream_loader_spark.operators.projection import formatted_records
+
+
+def with_clamped_watermark(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+    valid_diff: str = DEFAULT_VALID_DIFF,
+) -> DataFrame:
+    """S5 for streams: drop unreasonably-future event times from
+    watermark tracking, then register the engine watermark.
+
+    The reference still *delivers* future-stamped records (they only
+    don't advance the watermark); Spark's watermark is computed from all
+    surviving rows, so the clamp must filter them entirely — the one
+    deliberate semantic narrowing, applied only to rows beyond
+    ``valid_diff`` of the processing-time clock.
+    """
+    clamped = stream.where(
+        valid_event_time(F.col(ts_col), F.current_timestamp(), valid_diff)
+    )
+    return clamped.withWatermark(ts_col, delay)
+
+
+class StreamPipeline:
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self._stream: DataFrame | None = None
+        self._transforms: list[Callable[[DataFrame], DataFrame]] = []
+        self._sink: Callable[[DataFrame, int], None] | None = None
+        self._checkpoint: str | None = None
+        self._trigger: dict | None = None
+
+    # -- sources --------------------------------------------------------
+    def from_stream(self, stream: DataFrame) -> "StreamPipeline":
+        """Any streaming DataFrame already shaped like stream records."""
+        self._stream = stream
+        return self
+
+    def from_kafka(self, bootstrap_servers: str, subscribe: str, **options) -> "StreamPipeline":
+        """Production source: standard Kafka reader, bytes in key/value."""
+        reader = (
+            self.spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", subscribe)
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        self._stream = reader.load().select(
+            F.col("topic"),
+            F.col("partition"),
+            F.col("offset"),
+            F.col("timestamp").alias("ts"),
+            F.col("key"),
+            F.col("value"),
+        )
+        return self
+
+    def from_file_stream(self, path: str, schema: str, fmt: str = "parquet") -> "StreamPipeline":
+        """File-based stream (tests / replay): new files become batches."""
+        self._stream = self.spark.readStream.format(fmt).schema(schema).load(path)
+        return self
+
+    # -- transforms (applied in order) ----------------------------------
+    def transform(self, fn: Callable[[DataFrame], DataFrame]) -> "StreamPipeline":
+        self._transforms.append(fn)
+        return self
+
+    def format_records(self, schema: str, value_col: str = "props") -> "StreamPipeline":
+        return self.transform(lambda df: formatted_records(df, schema, value_col))
+
+    def clamp_watermark(
+        self, ts_col: str = "ts", delay: str = "10 minutes", valid_diff: str = DEFAULT_VALID_DIFF
+    ) -> "StreamPipeline":
+        return self.transform(lambda df: with_clamped_watermark(df, ts_col, delay, valid_diff))
+
+    def partition_by_date(self, ts_col: str = "ts", out_col: str = "dt") -> "StreamPipeline":
+        return self.transform(lambda df: df.withColumn(out_col, F.to_date(F.col(ts_col))))
+
+    # -- sink -----------------------------------------------------------
+    def sink(
+        self, sink_fn: Callable[[DataFrame, int], None], checkpoint: str
+    ) -> "StreamPipeline":
+        self._sink = sink_fn
+        self._checkpoint = checkpoint
+        return self
+
+    def trigger(self, **kwargs) -> "StreamPipeline":
+        self._trigger = kwargs
+        return self
+
+    # -- execution ------------------------------------------------------
+    def _build(self) -> DataFrame:
+        if self._stream is None:
+            raise ValueError("no source configured")
+        df = self._stream
+        for fn in self._transforms:
+            df = fn(df)
+        return df
+
+    def start(self) -> StreamingQuery:
+        if self._sink is None or self._checkpoint is None:
+            raise ValueError("no sink configured")
+        writer = (
+            self._build()
+            .writeStream.foreachBatch(self._sink)
+            .option("checkpointLocation", self._checkpoint)
+        )
+        if self._trigger:
+            writer = writer.trigger(**self._trigger)
+        return writer.start()
+
+    def run_available(self, timeout_sec: int = 300) -> None:
+        """Drain everything currently available, then stop (the bounded
+        form used by tests and backfills)."""
+        self._trigger = {"availableNow": True}
+        q = self.start()
+        q.awaitTermination(timeout_sec)

@@ -1,0 +1,190 @@
+"""End-to-end exactly-once tests: the PySpark analogue of the
+reference's basicLoader / restart integration suite
+(behaviors/BasicLoaderBehaviors.scala:36-99), with file streams standing
+in for Kafka and tmp dirs for storage."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_loader_spark.sources.kafka_view import as_stream_records
+from stream_loader_spark.sources.tables import load_table
+from stream_loader_spark.sinks.manifest import ManifestFileSink
+from stream_loader_spark.sinks.offsets import InRowOffsetsSink, ExternalOffsetsSink
+from stream_loader_spark.streaming.pipeline import StreamPipeline
+from stream_loader_spark.operators.recovery import committed_positions
+
+STREAM_SCHEMA = (
+    "topic string, partition int, offset bigint, ts timestamp, value double, props string"
+)
+
+
+@pytest.fixture()
+def stream_env(spark, sf_small, tmp_path):
+    """A file-stream source dir seeded with the sf0.001 events (phase 1)
+    plus a generator for a disjoint phase-2 batch."""
+    src = str(tmp_path / "src")
+    base = as_stream_records(load_table(spark, sf_small, "events"))
+    base.coalesce(1).write.parquet(os.path.join(src, "phase1"))
+
+    def add_phase2():
+        base.withColumn("offset", F.col("offset") + 1_000_000).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+        ).coalesce(1).write.parquet(os.path.join(src, "phase2"))
+
+    return {
+        "src": src,
+        "base_count": base.count(),
+        "add_phase2": add_phase2,
+        "checkpoint": str(tmp_path / "cp"),
+        "out": str(tmp_path / "out"),
+    }
+
+
+def run_pipeline(spark, env, sink):
+    (
+        StreamPipeline(spark)
+        .from_file_stream(os.path.join(env["src"], "*"), STREAM_SCHEMA)
+        .sink(sink, env["checkpoint"])
+        .run_available()
+    )
+
+
+class TestManifestFileSink:
+    def test_basic_load_then_restart_continues(self, spark, stream_env):
+        sink = ManifestFileSink(stream_env["out"])
+        run_pipeline(spark, stream_env, sink)
+
+        n = stream_env["base_count"]
+        data = sink.committed_data(spark)
+        assert data.count() == n
+        assert data.select("topic", "partition", "offset").distinct().count() == n
+
+        # storage-side positions equal the A1 aggregation over the data
+        expected = {
+            (r["topic"], r["partition"]): r["next_offset"]
+            for r in committed_positions(
+                data, "topic", "partition", "offset", "ts"
+            ).collect()
+        }
+        got = {k: p.offset for k, p in sink.committed_positions().items()}
+        assert got == expected
+
+        # restart with new data: only the new file is processed
+        stream_env["add_phase2"]()
+        run_pipeline(spark, stream_env, sink)
+        data2 = sink.committed_data(spark)
+        assert data2.count() == 2 * n
+        assert data2.select("topic", "partition", "offset").distinct().count() == 2 * n
+
+    def test_restart_without_new_data_is_noop(self, spark, stream_env):
+        sink = ManifestFileSink(stream_env["out"])
+        run_pipeline(spark, stream_env, sink)
+        batches = len(sink.committed_batches())
+        run_pipeline(spark, stream_env, sink)
+        assert len(sink.committed_batches()) == batches
+        assert sink.committed_data(spark).count() == stream_env["base_count"]
+
+    def test_crash_between_data_and_manifest_then_replay(self, spark, stream_env):
+        """The 2PC crash path: data written, commit record not — replay
+        must overwrite and commit exactly once."""
+        sink = ManifestFileSink(stream_env["out"])
+        batch = as_stream_records(load_table(spark, "/root/testdata/sf0.001", "events"))
+
+        real_commit = sink._commit_manifest
+        boom = RuntimeError("crash before manifest commit")
+
+        def crashing_commit(batch_id, ranges):
+            raise boom
+
+        sink._commit_manifest = crashing_commit
+        with pytest.raises(RuntimeError):
+            sink.write_batch(batch, 0)
+        assert os.path.exists(sink.batch_data_dir(0))  # data landed
+        assert not sink.is_batch_committed(0)  # but batch is NOT committed
+        with pytest.raises(ValueError):
+            sink.committed_data(spark)  # uncommitted data is invisible
+
+        sink._commit_manifest = real_commit
+        sink.write_batch(batch, 0)  # replay
+        assert sink.is_batch_committed(0)
+        assert sink.committed_data(spark).count() == batch.count()
+
+        # second replay is a no-op (idempotent)
+        sink.write_batch(batch, 0)
+        assert sink.committed_data(spark).count() == batch.count()
+
+    def test_partitioned_write_and_compaction(self, spark, stream_env):
+        sink = ManifestFileSink(stream_env["out"], partition_by="dt")
+        (
+            StreamPipeline(spark)
+            .from_file_stream(os.path.join(stream_env["src"], "*"), STREAM_SCHEMA)
+            .partition_by_date("ts")
+            .sink(sink, stream_env["checkpoint"])
+            .run_available()
+        )
+        # Hive-style partition dirs exist → readers get partition pruning
+        batch_dir = sink.batch_data_dir(0)
+        assert any(x.startswith("dt=") for x in os.listdir(batch_dir))
+        snap = sink.compact(spark)
+        snap_df = spark.read.parquet(snap)
+        assert snap_df.count() == sum(len(b.ranges) for b in sink.committed_batches())
+
+
+class TestInRowOffsetsSink:
+    def test_load_and_recover_positions_from_data(self, spark, stream_env):
+        sink = InRowOffsetsSink(stream_env["out"])
+        run_pipeline(spark, stream_env, sink)
+        n = stream_env["base_count"]
+        table = sink.table(spark)
+        assert table.count() == n
+        assert {"_topic", "_partition", "_offset", "_watermark"} <= set(table.columns)
+
+        # Kafka-free restart: positions from the data itself (A1)
+        pos = sink.committed_positions(spark)
+        src = as_stream_records(load_table(spark, "/root/testdata/sf0.001", "events"))
+        expected = committed_positions(src, "topic", "partition", "offset", "ts")
+        assert sorted(map(tuple, pos.collect())) == sorted(map(tuple, expected.collect()))
+
+    def test_replay_is_noop(self, spark, stream_env):
+        sink = InRowOffsetsSink(stream_env["out"])
+        batch = as_stream_records(load_table(spark, "/root/testdata/sf0.001", "events"))
+        sink(batch, 0)
+        sink(batch, 0)
+        assert sink.table(spark).count() == batch.count()
+
+
+class TestExternalOffsetsSink:
+    def test_load_offsets_table_and_fk_join(self, spark, stream_env, tmp_path):
+        sink = ExternalOffsetsSink(
+            str(tmp_path / "data"), str(tmp_path / "offsets"), consumer_group="cg1"
+        )
+        run_pipeline(spark, stream_env, sink)
+        n = stream_env["base_count"]
+
+        offsets = sink.offsets_table(spark)
+        assert offsets.where(F.col("_consumer_group") == "cg1").count() > 0
+
+        # data ↔ offsets joinable via _batch_id (the reference's _file_id FK)
+        data = spark.read.option("basePath", str(tmp_path / "data")).parquet(
+            str(tmp_path / "data" / "batch=*")
+        )
+        joined = data.join(offsets, "_batch_id")
+        assert joined.count() >= n
+
+        pos = sink.committed_positions(spark)
+        src = as_stream_records(load_table(spark, "/root/testdata/sf0.001", "events"))
+        expected = committed_positions(src, "topic", "partition", "offset", "ts")
+        assert sorted(map(tuple, pos.collect())) == sorted(map(tuple, expected.collect()))
+
+    def test_wrong_consumer_group_sees_nothing(self, spark, stream_env, tmp_path):
+        sink = ExternalOffsetsSink(
+            str(tmp_path / "data"), str(tmp_path / "offsets"), consumer_group="cg1"
+        )
+        run_pipeline(spark, stream_env, sink)
+        other = ExternalOffsetsSink(
+            str(tmp_path / "data"), str(tmp_path / "offsets"), consumer_group="other"
+        )
+        assert other.committed_positions(spark).count() == 0
