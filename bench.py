@@ -34,11 +34,19 @@ BENCH_QUERIES = [
     "d3_file_names",
     "d1_rewind_dedup",
     "events_hourly_rollup",
+    "p5_constrained_encoding",
+    "f6_csv_lines",
+    "a6_commit_stats",
     # relational
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "top_orders_per_segment",
+    "anti_join_idle_customers",
+    "semi_join_active_suppliers",
+    "except_building_no_big_orders",
+    "rollup_order_priority",
     # training-data pipeline
     "text_stats",
     "lang_id",

@@ -1,0 +1,156 @@
+"""Constraint-enforcing typed encoding (SURVEY §2.2 P5, §2.7 E1).
+
+The reference derives encoders from case classes with constraint
+annotations — ``@MaxLength(n)`` / ``@FixedLength(n)`` VARCHAR/CHAR
+semantics with UTF-8-safe truncation at character boundaries
+(sink/encoding/binary/ByteWriter.scala:87-106,
+DataTypeEncodingAnnotation.scala:37-59) and ``@DecimalEncoding(p,s)``
+range-checked decimals. Spark enforces none of this at runtime, so the
+engine compiles the same constraints to Column expressions applied
+before a sink:
+
+- ``truncate_utf8``: longest prefix whose UTF-8 encoding fits the byte
+  budget — never splits a multi-byte character. Pure higher-order
+  expressions (per-character fold), no Python.
+- ``fixed_utf8``: CHAR(n) flavor — truncate, then (byte-)pad with spaces.
+- ``checked_decimal``: DECIMAL(p,s) with overflow → NULL (try_cast) or
+  error, mirroring the encoder's range check.
+- ``ColumnSpec/RecordEncoder``: a declarative record schema that applies
+  all of the above and yields the output projection — the moral
+  equivalent of the macro-derived encoders, with runtime schema objects
+  instead of compile-time derivation.
+
+CSV output contract (CsvRecordStreamWriter.scala:15-19 defaults): tab
+separator, ``\\n`` rows, no header, null → empty string, timestamps
+``yyyy-MM-dd HH:mm:ss.SSS`` — exposed both as writer options
+(``csv_writer_options``) and as a single-line projection (``csv_line``)
+for sinks that build records by hand.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CSV_TIMESTAMP_FORMAT = "yyyy-MM-dd HH:mm:ss.SSS"
+
+
+def truncate_utf8(col: Column, max_bytes: int) -> Column:
+    """UTF-8-safe truncation to ``max_bytes`` at a character boundary.
+
+    Folds over the string's characters accumulating byte length and
+    stopping at the first character that would overflow — equivalent to
+    the reference's ByteWriter truncation (ByteWriter.scala:87-106).
+    Strings already within budget short-circuit without the fold.
+    """
+    chars = F.split(col, "(?!^)")  # array of single characters
+    counted = F.aggregate(
+        chars,
+        F.struct(F.lit(0).alias("bytes"), F.lit(0).alias("chars"), F.lit(False).alias("stop")),
+        lambda acc, c: F.when(
+            acc.stop | (acc.bytes + F.octet_length(c) > max_bytes),
+            F.struct(acc.bytes.alias("bytes"), acc.chars.alias("chars"), F.lit(True).alias("stop")),
+        ).otherwise(
+            F.struct(
+                (acc.bytes + F.octet_length(c)).alias("bytes"),
+                (acc.chars + 1).alias("chars"),
+                F.lit(False).alias("stop"),
+            )
+        ),
+    )
+    return F.when(F.octet_length(col) <= max_bytes, col).otherwise(
+        F.substring(col, 1, counted.chars)
+    )
+
+
+def fixed_utf8(col: Column, n_bytes: int, pad: str = " ") -> Column:
+    """CHAR(n) semantics: UTF-8-safe truncate, then pad to the byte size."""
+    truncated = truncate_utf8(col, n_bytes)
+    return F.concat(truncated, F.repeat(F.lit(pad), n_bytes - F.octet_length(truncated)))
+
+
+def checked_decimal(col: Column, precision: int, scale: int, on_overflow: str = "null") -> Column:
+    """DECIMAL(p,s) with an explicit overflow policy.
+
+    'null' → out-of-range values become NULL (non-ANSI cast semantics);
+    'error' → the task fails on the first out-of-range value, mirroring
+    the reference encoder's IllegalArgumentException range check
+    (LittleEndianByteWriter.scala:55-84).
+    """
+    target = f"decimal({precision},{scale})"
+    if on_overflow == "null":
+        return col.try_cast(target)
+    if on_overflow == "error":
+        return col.cast(target)  # ANSI mode (Spark 4 default) raises on overflow
+    raise ValueError(f"unknown overflow policy {on_overflow!r}")
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """One output column with optional constraints."""
+
+    name: str
+    source: str | None = None  # defaults to name
+    max_bytes: int | None = None  # VARCHAR(n): truncate
+    fixed_bytes: int | None = None  # CHAR(n): truncate + pad
+    decimal: tuple[int, int] | None = None  # (precision, scale)
+
+    def expr(self) -> Column:
+        c = F.col(self.source or self.name)
+        if self.max_bytes is not None:
+            c = truncate_utf8(c, self.max_bytes)
+        if self.fixed_bytes is not None:
+            c = fixed_utf8(c, self.fixed_bytes)
+        if self.decimal is not None:
+            p, s = self.decimal
+            c = c.cast(f"decimal({p},{s})")
+        return c.alias(self.name)
+
+
+class RecordEncoder:
+    """Declarative record schema → constrained output projection.
+
+    The runtime analogue of the reference's macro-derived encoders: the
+    column list fixes names, order, and constraints; ``apply`` yields
+    the projected DataFrame ready for any sink.
+    """
+
+    def __init__(self, *columns: ColumnSpec) -> None:
+        self.columns = columns
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.select(*[c.expr() for c in self.columns])
+
+
+def csv_writer_options() -> dict[str, str]:
+    """Spark csv-writer options matching the reference's CSV defaults:
+    TSV, no header, empty-string nulls, millisecond timestamps."""
+    return {
+        "sep": "\t",
+        "header": "false",
+        "nullValue": "",
+        "emptyValue": "",
+        "timestampFormat": CSV_TIMESTAMP_FORMAT,
+    }
+
+
+def csv_line(*cols: Column, sep: str = "\t") -> Column:
+    """Single-column CSV/TSV line: nulls → empty string (concat_ws skips
+    nulls only between separators, so nulls are coalesced explicitly)."""
+    safe = [F.coalesce(c.cast("string"), F.lit("")) for c in cols]
+    return F.concat_ws(sep, *safe)
+
+
+def s3_loader_line(topic: Column, partition: Column, offset: Column, ts: Column, payload: Column) -> Column:
+    """The reference S3 test-loader's record shape (loaders/S3.scala:51-57):
+    ``{topic};{partition};{offset};{watermarkMillis};{payload}``."""
+    return F.concat_ws(
+        ";",
+        topic,
+        partition.cast("string"),
+        offset.cast("string"),
+        F.unix_millis(ts).cast("string"),
+        payload,
+    )

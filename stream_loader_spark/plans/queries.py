@@ -671,3 +671,192 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media → feature vectors through Arrow-batched mapInPandas."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(synthetic_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# Constrained encoding, CSV golden format, commit stats (SURVEY §2.2 P5,
+# §2.6 A6/B2, §2.7 E1/F6)
+# ---------------------------------------------------------------------------
+
+from stream_loader_spark.functions.encoding import (  # noqa: E402
+    RecordEncoder,
+    ColumnSpec,
+    s3_loader_line,
+)
+
+
+@query(
+    "p5_constrained_encoding",
+    """SELECT c_custkey,
+           CASE WHEN strlen(c_name) <= 12 THEN c_name ELSE substr(c_name, 1, 12) END AS name_varchar12,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal_dec
+    FROM customer""",
+)
+def p5_constrained_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: VARCHAR(12) byte-safe truncation + DECIMAL(12,2) range-checked
+    encoding (ByteWriter.scala:87-106 truncation semantics; the fixture
+    names are ASCII so the oracle's char-substr is byte-equivalent —
+    multi-byte boundaries are covered by unit tests)."""
+    encoder = RecordEncoder(
+        ColumnSpec("c_custkey"),
+        ColumnSpec("name_varchar12", source="c_name", max_bytes=12),
+        ColumnSpec("acctbal_dec", source="c_acctbal", decimal=(12, 2)),
+    )
+    return encoder.apply(load_table(spark, sf_dir, "customer"))
+
+
+@query(
+    "f6_csv_lines",
+    f"""{_KAFKA_CTE}
+    SELECT topic || ';' || "partition" || ';' || "offset" || ';'
+           || epoch_ms(ts) || ';' || props AS line
+    FROM kafka""",
+)
+def f6_csv_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: the S3 loader's golden CSV line shape
+    ``topic;partition;offset;watermarkMillis;payload`` (loaders/S3.scala:51-57)."""
+    rec = _events(spark, sf_dir)
+    return rec.select(
+        s3_loader_line(
+            F.col("topic"), F.col("partition"), F.col("offset"), F.col("ts"), F.col("props")
+        ).alias("line")
+    )
+
+
+@query(
+    "a6_commit_stats",
+    f"""{_KAFKA_CTE},
+    files AS (
+      SELECT topic, "partition", CAST(FLOOR("offset" / 250.0) AS BIGINT) AS file_id,
+             COUNT(*) AS records, SUM(strlen(props)) AS bytes,
+             epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS open_ms
+      FROM kafka GROUP BY 1, 2, 3)
+    SELECT topic, "partition",
+           BOOL_OR(records >= 200) AS any_file_large,
+           BOOL_AND(records > 0) AS all_files_nonempty,
+           SUM(bytes) AS total_bytes, MAX(open_ms) AS max_open_ms,
+           SUM(records) AS total_records
+    FROM files GROUP BY 1, 2""",
+)
+def a6_commit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: multi-file commit statistics — EXISTS/FORALL predicates plus
+    totals over per-file stats (MultiFileCommitStrategy.scala:31-58),
+    with files synthesized as 250-offset blocks."""
+    rec = _events(spark, sf_dir)
+    files = (
+        rec.withColumn("file_id", F.floor(F.col("offset") / 250.0).cast("long"))
+        .groupBy("topic", "partition", "file_id")
+        .agg(
+            F.count(F.lit(1)).alias("records"),
+            F.sum(F.octet_length("props")).alias("bytes"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("open_ms"),
+        )
+    )
+    return files.groupBy("topic", "partition").agg(
+        F.bool_or(F.col("records") >= 200).alias("any_file_large"),
+        F.bool_and(F.col("records") > 0).alias("all_files_nonempty"),
+        F.sum("bytes").alias("total_bytes"),
+        F.max("open_ms").alias("max_open_ms"),
+        F.sum("records").alias("total_records"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additional relational surface: semi/anti joins, set ops, rollup,
+# filter-only aggregation (SURVEY §2.9 — "free in Spark SQL")
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q6_forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped filter-heavy scan: every predicate pushes into the
+    parquet scan; the aggregate is a single partial+final sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(datetime(1996, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(datetime(1997, 1, 1)))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * F.col("l_discount").cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "anti_join_idle_customers",
+    """SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""",
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no urgent orders (NOT EXISTS → left_anti)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "semi_join_active_suppliers",
+    """SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00')""",
+)
+def semi_join_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: suppliers with any 1997+ shipment (EXISTS → left_semi)."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit(datetime(1997, 1, 1))
+    )
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select("s_suppkey", "s_name")
+
+
+@query(
+    "except_building_no_big_orders",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000""",
+)
+def except_building_no_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT → subtract)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = o.where(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("c_custkey"))
+    return building.subtract(big)
+
+
+@query(
+    "rollup_order_priority",
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+)
+def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation with subtotal and grand-total rows."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        dsum("o_totalprice", "total_price"),
+    )

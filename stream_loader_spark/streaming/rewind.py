@@ -1,0 +1,93 @@
+"""Rewind warm-up: re-consume a window of already-committed records to
+warm caches/state without double-writing (SURVEY §2.5 D1).
+
+The reference wraps a sinker so that, after a restart, consumption
+begins N offsets (or T time) BEFORE the committed position; records
+older than the committed offset are "touched" (fed to a warm-up
+callback, e.g. a dedup cache) instead of written, and writing resumes
+seamlessly at the boundary (RewindingPartitionGroupSinker.scala:45-118).
+
+``RewindingSink`` is the foreachBatch form: it loads the inner sink's
+committed positions once, classifies every batch row as replayed vs
+new with one broadcast-joined filter, hands replayed rows to the
+warm-up callback, and writes only new rows through the inner sink. The
+rewound start itself is configured on the source (``startingOffsets`` /
+``startingOffsetsByTimestamp``), computed with
+:mod:`stream_loader_spark.model.interval`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stream_loader_spark.model.interval import OffsetRange, WatermarkRange
+from stream_loader_spark.model.position import StreamPosition
+
+
+def rewound_starting_offsets(
+    committed: dict[tuple[str, int], StreamPosition],
+    interval: OffsetRange | WatermarkRange,
+) -> dict[str, dict[str, int]]:
+    """Kafka ``startingOffsets`` JSON structure for a rewound start.
+
+    Offset intervals rewind by subtraction; watermark intervals return
+    the target timestamps for ``startingOffsetsByTimestamp`` instead.
+    """
+    out: dict[str, dict[str, int]] = {}
+    for (topic, partition), pos in committed.items():
+        if isinstance(interval, OffsetRange):
+            val = interval.apply(pos).offset
+        else:
+            val = interval.target_watermark_ms(pos)
+        out.setdefault(topic, {})[str(partition)] = val
+    return out
+
+
+class RewindingSink:
+    """Wraps a sink: replayed rows warm up, new rows write."""
+
+    def __init__(
+        self,
+        inner: Callable[[DataFrame, int], None],
+        committed: dict[tuple[str, int], StreamPosition],
+        warmup: Callable[[DataFrame], None] | None = None,
+        topic_col: str = "topic",
+        partition_col: str = "partition",
+        offset_col: str = "offset",
+    ) -> None:
+        self.inner = inner
+        self.warmup = warmup
+        self.committed = committed
+        self.cols = (topic_col, partition_col, offset_col)
+
+    def _floor_df(self, spark):
+        rows = [(t, p, pos.offset) for (t, p), pos in self.committed.items()]
+        return spark.createDataFrame(
+            rows, "_f_topic string, _f_partition int, _f_next_offset bigint"
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        t, p, o = self.cols
+        if not self.committed:
+            self.inner(batch_df, batch_id)
+            return
+        floors = self._floor_df(batch_df.sparkSession)
+        joined = batch_df.join(
+            F.broadcast(floors),
+            (F.col(t) == F.col("_f_topic")) & (F.col(p) == F.col("_f_partition")),
+            "left",
+        ).withColumn(
+            "_replayed",
+            F.col("_f_next_offset").isNotNull() & (F.col(o) < F.col("_f_next_offset")),
+        )
+        joined = joined.persist()
+        replayed = joined.where(F.col("_replayed"))
+        new = joined.where(~F.col("_replayed"))
+        drop_cols = ["_replayed", "_f_topic", "_f_partition", "_f_next_offset"]
+        if self.warmup is not None:
+            self.warmup(replayed.drop(*drop_cols))
+        self.inner(new.drop(*drop_cols), batch_id)
+        joined.unpersist()

@@ -1,0 +1,179 @@
+"""Unit tests for constrained encoding (the reference's golden-bytes
+encoder tests, ByteWriterTest-style), retry policy, and rewind warm-up."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_loader_spark.functions.encoding import (
+    truncate_utf8,
+    fixed_utf8,
+    checked_decimal,
+    RecordEncoder,
+    ColumnSpec,
+    csv_line,
+    csv_writer_options,
+)
+from stream_loader_spark.functions.retry import RetryPolicy
+from stream_loader_spark.model.position import StreamPosition
+from stream_loader_spark.model.interval import OffsetRange, WatermarkRange
+from stream_loader_spark.streaming.rewind import RewindingSink, rewound_starting_offsets
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+class TestTruncateUtf8:
+    @pytest.mark.parametrize(
+        "text,max_bytes,expected",
+        [
+            ("hello", 10, "hello"),  # fits
+            ("hello", 3, "hel"),  # ascii cut
+            ("héllo", 2, "h"),  # é is 2 bytes: cutting at 2 would split it
+            ("héllo", 3, "hé"),  # exactly fits h(1)+é(2)
+            ("日本語", 3, "日"),  # 3-byte chars
+            ("日本語", 5, "日"),  # 5 bytes can't fit two 3-byte chars
+            ("日本語", 6, "日本"),
+            ("", 5, ""),
+        ],
+    )
+    def test_char_boundary_truncation(self, spark, text, max_bytes, expected):
+        got = one(spark, truncate_utf8(F.lit(text), max_bytes))
+        assert got == expected
+        assert len(got.encode("utf-8")) <= max_bytes
+
+    def test_fixed_pads_to_byte_length(self, spark):
+        got = one(spark, fixed_utf8(F.lit("ab"), 5))
+        assert got == "ab   "
+        got = one(spark, fixed_utf8(F.lit("日本語"), 7))
+        assert len(got.encode("utf-8")) == 7  # 6 bytes + 1 pad
+
+
+class TestCheckedDecimal:
+    def test_in_range(self, spark):
+        from decimal import Decimal
+
+        assert one(spark, checked_decimal(F.lit(12.345), 6, 2)) == Decimal("12.35")
+
+    def test_overflow_null(self, spark):
+        assert one(spark, checked_decimal(F.lit(12345.0), 4, 2, "null")) is None
+
+    def test_overflow_error(self, spark):
+        with pytest.raises(Exception):
+            one(spark, checked_decimal(F.lit(12345.0), 4, 2, "error"))
+
+
+class TestRecordEncoder:
+    def test_projection_with_constraints(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a very long customer name", 123.456)], "id long, name string, bal double"
+        )
+        enc = RecordEncoder(
+            ColumnSpec("id"),
+            ColumnSpec("name8", source="name", max_bytes=8),
+            ColumnSpec("bal2", source="bal", decimal=(10, 2)),
+        )
+        row = enc.apply(df).collect()[0]
+        assert row["name8"] == "a very l"
+        assert str(row["bal2"]) == "123.46"
+
+    def test_csv_line_null_handling(self, spark):
+        line = one(
+            spark, csv_line(F.lit("x"), F.lit(None).cast("string"), F.lit(3), sep="\t")
+        )
+        assert line == "x\t\t3"
+        assert csv_writer_options()["sep"] == "\t"
+
+
+class TestRetryPolicy:
+    def test_succeeds_after_failures(self):
+        calls = []
+
+        def flaky():
+            calls.append(1)
+            if len(calls) < 3:
+                raise IOError("transient")
+            return "ok"
+
+        slept = []
+        assert RetryPolicy(retries=5, initial_delay_sec=1).run(flaky, sleep=slept.append) == "ok"
+        assert len(calls) == 3
+        assert slept == [1.0, 3.0]  # exponential backoff ×3
+
+    def test_exhausts_and_raises_last(self):
+        def always():
+            raise ValueError("nope")
+
+        with pytest.raises(ValueError):
+            RetryPolicy(retries=2, initial_delay_sec=0).run(always, sleep=lambda _: None)
+
+
+class TestRewind:
+    def test_rewound_starting_offsets(self):
+        committed = {("t", 0): StreamPosition(100, 5_000_000), ("t", 1): StreamPosition(3, 0)}
+        assert rewound_starting_offsets(committed, OffsetRange(10)) == {
+            "t": {"0": 90, "1": 0}
+        }
+        assert rewound_starting_offsets(committed, WatermarkRange(1_000_000)) == {
+            "t": {"0": 4_000_000, "1": 0}
+        }
+
+    def test_rewinding_sink_splits_replayed_from_new(self, spark):
+        batch = spark.createDataFrame(
+            [("t", 0, i, float(i)) for i in range(10)] + [("t", 1, i, float(i)) for i in range(5)],
+            "topic string, partition int, offset bigint, value double",
+        )
+        committed = {("t", 0): StreamPosition(5, 0)}  # next offset 5 for p0
+        written, warmed = [], []
+        sink = RewindingSink(
+            inner=lambda df, bid: written.extend(
+                (r["topic"], r["partition"], r["offset"]) for r in df.collect()
+            ),
+            committed=committed,
+            warmup=lambda df: warmed.extend(
+                (r["topic"], r["partition"], r["offset"]) for r in df.collect()
+            ),
+        )
+        sink(batch, 0)
+        # p0 offsets 0..4 are replays → warm-up only; 5..9 and all p1 write
+        assert sorted(warmed) == [("t", 0, i) for i in range(5)]
+        assert sorted(written) == [("t", 0, i) for i in range(5, 10)] + [
+            ("t", 1, i) for i in range(5)
+        ]
+
+
+class TestMetricsListener:
+    def test_listener_collects_progress(self, spark, tmp_path):
+        from stream_loader_spark.streaming.metrics import MetricsListener
+        from stream_loader_spark.streaming.pipeline import StreamPipeline
+        from stream_loader_spark.sinks.manifest import ManifestFileSink
+
+        src = str(tmp_path / "src")
+        spark.range(100).select(
+            F.lit("t").alias("topic"),
+            F.lit(0).cast("int").alias("partition"),
+            F.col("id").alias("offset"),
+            F.current_timestamp().alias("ts"),
+        ).coalesce(1).write.parquet(src)
+
+        listener = MetricsListener()
+        spark.streams.addListener(listener)
+        try:
+            sink = ManifestFileSink(str(tmp_path / "out"))
+            (
+                StreamPipeline(spark)
+                .from_file_stream(src, "topic string, partition int, offset bigint, ts timestamp")
+                .sink(sink, str(tmp_path / "cp"))
+                .run_available()
+            )
+            # listener callbacks are async; progress should arrive quickly
+            import time
+
+            for _ in range(50):
+                if listener.metrics.records_total >= 100:
+                    break
+                time.sleep(0.2)
+            assert listener.metrics.records_total >= 100
+            assert listener.metrics.batches_completed >= 1
+        finally:
+            spark.streams.removeListener(listener)
