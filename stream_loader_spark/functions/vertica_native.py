@@ -1,0 +1,130 @@
+"""Vertica native binary file format (SURVEY §2.7 E8).
+
+Implements the public format from the Vertica documentation appendix
+"Creating native binary format files": a file header (signature,
+header-area length, version, column count and fixed widths) followed by
+rows of [uint32 row-data size][null bitmap][column values], all
+little-endian except where noted. Type encodings per the docs:
+INTEGER = signed little-endian of declared width; FLOAT = IEEE-754
+double; VARCHAR = uint32 length + bytes; BOOLEAN = 1 byte; DATE =
+int64 days since 2000-01-01; TIMESTAMP = int64 microseconds since
+2000-01-01 00:00:00. The reference's macro encoder targets the same
+format (vertica/file/native/*, cited for parity, not copied).
+
+The encoded stream is what ``COPY tbl FROM STDIN NATIVE`` ingests; a
+JDBC sink pairs it with the offsets-table commit for exactly-once.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from datetime import date, datetime, timezone
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+SIGNATURE = b"NATIVE\n\xff\r\n\x00"
+VERTICA_EPOCH_DATE = date(2000, 1, 1)
+VERTICA_EPOCH = datetime(2000, 1, 1, tzinfo=timezone.utc)
+VARIABLE = 0xFFFFFFFF
+
+
+@dataclass(frozen=True)
+class VColumn:
+    name: str
+    vtype: str  # integer | float | boolean | varchar | date | timestamp
+    width: int = 8  # fixed byte width; VARIABLE for varchar
+
+    @property
+    def declared_width(self) -> int:
+        return VARIABLE if self.vtype == "varchar" else self.width
+
+    def encode(self, v) -> bytes:
+        if self.vtype == "integer":
+            return int(v).to_bytes(self.width, "little", signed=True)
+        if self.vtype == "float":
+            return struct.pack("<d", float(v))
+        if self.vtype == "boolean":
+            return b"\x01" if v else b"\x00"
+        if self.vtype == "varchar":
+            b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            return struct.pack("<I", len(b)) + b
+        if self.vtype == "date":
+            d = v.date() if isinstance(v, datetime) else v
+            return struct.pack("<q", (d - VERTICA_EPOCH_DATE).days)
+        if self.vtype == "timestamp":
+            ts = v if isinstance(v, datetime) else v.to_pydatetime()
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=timezone.utc)
+            micros = int((ts - VERTICA_EPOCH).total_seconds() * 1_000_000)
+            return struct.pack("<q", micros)
+        raise ValueError(f"unsupported Vertica type {self.vtype!r}")
+
+
+class VerticaNativeEncoder:
+    def __init__(self, columns: list[VColumn]) -> None:
+        self.columns = columns
+
+    def file_header(self) -> bytes:
+        ncols = len(self.columns)
+        # header area: version(2) + filler(1) + ncols(2) + widths(4*ncols)
+        area = struct.pack("<HBH", 1, 0, ncols) + b"".join(
+            struct.pack("<I", c.declared_width) for c in self.columns
+        )
+        return SIGNATURE + struct.pack("<I", len(area)) + area
+
+    def encode_row(self, row: dict) -> bytes:
+        ncols = len(self.columns)
+        bitmap = bytearray((ncols + 7) // 8)
+        values = bytearray()
+        for i, col in enumerate(self.columns):
+            v = row[col.name]
+            if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+                bitmap[i // 8] |= 0x80 >> (i % 8)  # docs: MSB-first null bits
+            else:
+                values += col.encode(v)
+        return struct.pack("<I", len(values)) + bytes(bitmap) + bytes(values)
+
+    def encode_rows(self, rows: list[dict], with_header: bool = True) -> bytes:
+        body = b"".join(self.encode_row(r) for r in rows)
+        return (self.file_header() + body) if with_header else body
+
+    def encode_df(self, df: DataFrame) -> DataFrame:
+        """→ (num_rows bigint, payload binary) per partition; payloads
+        carry no header so a driver can concatenate them after one
+        header (or stream each as its own COPY)."""
+        columns = self.columns
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            enc = VerticaNativeEncoder(columns)
+            total, chunks = 0, []
+            for pdf in batches:
+                recs = pdf.to_dict("records")
+                chunks.append(enc.encode_rows(recs, with_header=False))
+                total += len(recs)
+            if total:
+                yield pd.DataFrame({"num_rows": [total], "payload": [b"".join(chunks)]})
+
+        return df.mapInPandas(run, schema="num_rows bigint, payload binary")
+
+
+def copy_statement(
+    table: str,
+    file_ref: str = "STDIN",
+    compression: str | None = None,
+    load_method: str = "AUTO",
+    csv: bool = False,
+) -> str:
+    """The COPY statement a Vertica sink issues per batch (NO COMMIT so
+    the offsets insert + data load commit atomically in one txn)."""
+    parts = [f"COPY {table} FROM {file_ref}"]
+    if compression:
+        parts.append(compression.upper())
+    parts.append("DELIMITER E'\\t'" if csv else "NATIVE")
+    parts.append("ABORT ON ERROR")
+    parts.append(load_method)
+    parts.append("NO COMMIT")
+    return " ".join(parts)

@@ -107,6 +107,14 @@ class StreamPipeline:
     def partition_by_date(self, ts_col: str = "ts", out_col: str = "dt") -> "StreamPipeline":
         return self.transform(lambda df: df.withColumn(out_col, F.to_date(F.col(ts_col))))
 
+    def dedup_within_watermark(self, *keys: str) -> "StreamPipeline":
+        """Streaming dedup on key columns with watermark-bounded state —
+        the D1 warm-up cache's steady-state form: replays and duplicate
+        deliveries inside the watermark window drop engine-side, and
+        state is evicted as the watermark advances (bounded memory at
+        any scale). Requires a prior ``clamp_watermark``."""
+        return self.transform(lambda df: df.dropDuplicatesWithinWatermark(list(keys)))
+
     # -- sink -----------------------------------------------------------
     def sink(
         self, sink_fn: Callable[[DataFrame, int], None], checkpoint: str

@@ -1,0 +1,115 @@
+"""Tests for partition grouping (G1), streaming dedup-within-watermark
+(D1 streaming form), and the Iceberg offset-property codec (K6)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_loader_spark.model.position import StreamPosition
+from stream_loader_spark.sinks.manifest import ManifestFileSink
+from stream_loader_spark.sinks.iceberg import (
+    offset_property,
+    encode_position,
+    positions_from_properties,
+    iceberg_available,
+    IcebergOffsetsSink,
+)
+from stream_loader_spark.streaming.groups import PartitionGroupingPipeline
+from stream_loader_spark.streaming.pipeline import StreamPipeline
+
+SCHEMA = "topic string, partition int, offset bigint, ts timestamp"
+
+
+def write_source(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+class TestPartitionGrouping:
+    def test_groups_get_isolated_sinks(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        from datetime import datetime
+
+        ts = datetime(2024, 1, 1)
+        write_source(
+            spark,
+            src,
+            [("t", p, o, ts) for p in range(4) for o in range(p * 100, p * 100 + 10)],
+        )
+        sinks = {}
+
+        def sink_factory(group):
+            sinks[group] = ManifestFileSink(str(tmp_path / f"out-{group}"))
+            return sinks[group]
+
+        pg = PartitionGroupingPipeline(
+            spark,
+            source_factory=lambda p: p.from_file_stream(src, SCHEMA),
+            grouping={
+                "even": F.col("partition") % 2 == 0,
+                "odd": F.col("partition") % 2 == 1,
+            },
+            sink_factory=sink_factory,
+            checkpoint_root=str(tmp_path / "cp"),
+        )
+        pg.run_available_all()
+
+        even = sinks["even"].committed_data(spark)
+        odd = sinks["odd"].committed_data(spark)
+        assert even.count() == 20 and odd.count() == 20
+        assert {r["partition"] for r in even.select("partition").distinct().collect()} == {0, 2}
+        assert {r["partition"] for r in odd.select("partition").distinct().collect()} == {1, 3}
+        # isolated position ledgers per group
+        assert set(sinks["even"].committed_positions()) == {("t", 0), ("t", 2)}
+        assert set(sinks["odd"].committed_positions()) == {("t", 1), ("t", 3)}
+
+
+class TestStreamingDedup:
+    def test_duplicates_within_watermark_dropped(self, spark, tmp_path):
+        from datetime import datetime, timedelta
+
+        src = str(tmp_path / "src")
+        base = datetime.now() - timedelta(minutes=5)
+        rows = [("t", 0, o, base + timedelta(seconds=o)) for o in range(20)]
+        dups = [("t", 0, o, base + timedelta(seconds=o)) for o in range(5, 15)]
+        write_source(spark, src, rows + dups)
+
+        sink = ManifestFileSink(str(tmp_path / "out"))
+        (
+            StreamPipeline(spark)
+            .from_file_stream(src, SCHEMA)
+            .clamp_watermark("ts", delay="10 minutes")
+            .dedup_within_watermark("topic", "partition", "offset")
+            .sink(sink, str(tmp_path / "cp"))
+            .run_available()
+        )
+        data = sink.committed_data(spark)
+        assert data.count() == 20  # 10 duplicate deliveries dropped
+        assert data.select("offset").distinct().count() == 20
+
+
+class TestIcebergCodec:
+    def test_property_roundtrip(self):
+        committed = {
+            ("clicks", 0): StreamPosition(100, 5_000),
+            ("clicks", 1): StreamPosition(7, 1_000),
+            ("views:extra", 3): StreamPosition(42, 0),  # topic containing ':'
+        }
+        props = {
+            offset_property("g1", t, p): encode_position(pos)
+            for (t, p), pos in committed.items()
+        }
+        props["unrelated.key"] = "x"
+        props[offset_property("other-group", "clicks", 0)] = "999:0"
+        got = positions_from_properties(props, "g1")
+        assert got == {
+            ("clicks", 0): StreamPosition(101, 5_000),
+            ("clicks", 1): StreamPosition(8, 1_000),
+            ("views:extra", 3): StreamPosition(43, 0),
+        }
+
+    def test_sink_requires_runtime(self, spark):
+        if iceberg_available(spark):
+            pytest.skip("iceberg runtime present; gated error not applicable")
+        with pytest.raises(RuntimeError, match="Iceberg Spark runtime"):
+            IcebergOffsetsSink(spark, "cat.db.t", "g1")

@@ -1,0 +1,140 @@
+"""Golden-byte tests for the binary wire formats (the reference's
+RowBinary/native encoder test layer, SURVEY §5.1) — expected bytes are
+hand-derived from the public ClickHouse/Vertica format documentation."""
+
+import struct
+import uuid
+from datetime import date, datetime, timezone
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from stream_loader_spark.functions.rowbinary import CHType, RowBinaryEncoder, leb128
+from stream_loader_spark.functions.vertica_native import (
+    VColumn,
+    VerticaNativeEncoder,
+    copy_statement,
+    SIGNATURE,
+)
+
+
+class TestLeb128:
+    def test_known_values(self):
+        assert leb128(0) == b"\x00"
+        assert leb128(127) == b"\x7f"
+        assert leb128(128) == b"\x80\x01"
+        assert leb128(300) == b"\xac\x02"
+
+
+class TestRowBinaryGoldenBytes:
+    def test_scalar_row(self):
+        enc = RowBinaryEncoder(
+            [
+                ("a", CHType("Int32")),
+                ("s", CHType("String")),
+                ("n", CHType("Int64", nullable=True)),
+                ("arr", CHType("Int32", array=True)),
+            ]
+        )
+        got = enc.encode_rows([{"a": 3, "s": "hi", "n": None, "arr": [1, 2]}])
+        expected = (
+            b"\x03\x00\x00\x00"  # Int32 3
+            + b"\x02hi"  # String len=2
+            + b"\x01"  # NULL marker
+            + b"\x02" + b"\x01\x00\x00\x00" + b"\x02\x00\x00\x00"  # Array[1,2]
+        )
+        assert got == expected
+
+    def test_nullable_present_and_temporal(self):
+        enc = RowBinaryEncoder(
+            [
+                ("n", CHType("Int64", nullable=True)),
+                ("d", CHType("Date")),
+                ("t", CHType("DateTime")),
+                ("t3", CHType("DateTime64(3)")),
+            ]
+        )
+        ts = datetime(2024, 1, 2, 3, 4, 5, tzinfo=timezone.utc)
+        got = enc.encode_rows([{"n": 7, "d": date(2024, 1, 2), "t": ts, "t3": ts}])
+        epoch_days = (date(2024, 1, 2) - date(1970, 1, 1)).days
+        epoch_sec = int(ts.timestamp())
+        expected = (
+            b"\x00" + struct.pack("<q", 7)
+            + struct.pack("<H", epoch_days)
+            + struct.pack("<I", epoch_sec)
+            + struct.pack("<q", epoch_sec * 1000)
+        )
+        assert got == expected
+
+    def test_decimal_and_uuid(self):
+        enc = RowBinaryEncoder(
+            [("m", CHType("Decimal(18,6)")), ("u", CHType("UUID"))]
+        )
+        u = uuid.UUID("00112233-4455-6677-8899-aabbccddeeff")
+        got = enc.encode_rows([{"m": Decimal("1.5"), "u": u}])
+        assert got[:8] == struct.pack("<q", 1_500_000)
+        # two little-endian UInt64 halves
+        assert got[8:] == bytes.fromhex("7766554433221100ffeeddccbbaa9988")
+
+    def test_unicode_string_length_is_bytes(self):
+        enc = RowBinaryEncoder([("s", CHType("String"))])
+        got = enc.encode_rows([{"s": "日本"}])
+        assert got == leb128(6) + "日本".encode("utf-8")
+
+    def test_distributed_encoding_matches_local(self, spark):
+        enc = RowBinaryEncoder([("id", CHType("Int64")), ("name", CHType("String"))])
+        df = spark.range(100).select(
+            F.col("id"), F.concat(F.lit("n"), F.col("id").cast("string")).alias("name")
+        ).coalesce(1)
+        out = enc.encode_df(df).collect()
+        assert len(out) == 1 and out[0]["num_rows"] == 100
+        local = enc.encode_rows([{"id": i, "name": f"n{i}"} for i in range(100)])
+        assert bytes(out[0]["payload"]) == local
+
+
+class TestVerticaNativeGoldenBytes:
+    def test_file_header(self):
+        enc = VerticaNativeEncoder(
+            [VColumn("id", "integer", 8), VColumn("name", "varchar"), VColumn("ok", "boolean", 1)]
+        )
+        h = enc.file_header()
+        assert h.startswith(SIGNATURE)
+        area_len = struct.unpack("<I", h[11:15])[0]
+        assert area_len == 2 + 1 + 2 + 4 * 3
+        version, filler, ncols = struct.unpack("<HBH", h[15:20])
+        assert (version, filler, ncols) == (1, 0, 3)
+        widths = struct.unpack("<III", h[20:32])
+        assert widths == (8, 0xFFFFFFFF, 1)
+
+    def test_row_encoding_with_null_bitmap(self):
+        enc = VerticaNativeEncoder(
+            [VColumn("id", "integer", 8), VColumn("name", "varchar"), VColumn("ok", "boolean", 1)]
+        )
+        row = enc.encode_row({"id": 1, "name": None, "ok": True})
+        values = struct.pack("<q", 1) + b"\x01"  # name omitted (NULL)
+        assert row == struct.pack("<I", len(values)) + b"\x40" + values  # bit 1 set MSB-first
+
+    def test_temporal_epochs(self):
+        enc = VerticaNativeEncoder(
+            [VColumn("d", "date", 8), VColumn("t", "timestamp", 8)]
+        )
+        ts = datetime(2000, 1, 2, 0, 0, 1, tzinfo=timezone.utc)
+        row = enc.encode_row({"d": date(2000, 1, 3), "t": ts})
+        body = row[4 + 1 :]  # skip size + 1-byte bitmap
+        assert struct.unpack("<q", body[:8])[0] == 2  # days since 2000-01-01
+        assert struct.unpack("<q", body[8:16])[0] == 86_401_000_000  # µs since 2000
+
+    def test_distributed_encoding_roundtrip_sizes(self, spark):
+        enc = VerticaNativeEncoder([VColumn("id", "integer", 8), VColumn("v", "float", 8)])
+        df = spark.range(50).select(F.col("id"), (F.col("id") * 1.5).alias("v")).coalesce(2)
+        parts = enc.encode_df(df).collect()
+        assert sum(p["num_rows"] for p in parts) == 50
+        # each row: 4 size + 1 bitmap + 16 values
+        assert sum(len(bytes(p["payload"])) for p in parts) == 50 * 21
+
+    def test_copy_statement(self):
+        assert (
+            copy_statement("t", compression="zstd")
+            == "COPY t FROM STDIN ZSTD NATIVE ABORT ON ERROR AUTO NO COMMIT"
+        )
+        assert "DELIMITER" in copy_statement("t", csv=True)
