@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "d3_file_names",
     "d1_rewind_dedup",
     "events_hourly_rollup",
+    "sessionize_events",
+    "distinct_users_daily",
+    "approx_distinct_users",
     "p5_constrained_encoding",
     "f6_csv_lines",
     "a6_commit_stats",
@@ -51,7 +54,9 @@ BENCH_QUERIES = [
     "text_stats",
     "lang_id",
     "doc_fingerprint",
+    "token_counts_bpe",
     "dedup_exact",
+    "near_dup_dedup_end_to_end",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "similarity_topk",

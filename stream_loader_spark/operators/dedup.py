@@ -238,6 +238,68 @@ def with_simhash(
     return counts.select(id_col, total.alias("simhash"))
 
 
+def dedup_components(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id → cluster_id).
+
+    Near-dup relations are not transitive, but dedup policy usually is
+    ("drop everything connected to a kept doc"), so pairs are clustered
+    with iterative min-label propagation: every node starts labeled with
+    its own id; each round, a node's label becomes the min of its own
+    and its neighbors' labels; converged when no label changes. Rounds
+    are O(graph diameter) — near-dup graphs are shallow, so this
+    converges in a few rounds. ``localCheckpoint`` breaks lineage growth
+    each round (essential for iterative DataFrame algorithms at scale).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = documents.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("new_label"),
+                F.col("label"),
+            )
+        ).localCheckpoint()
+        changed = updated.where(F.col("new_label") != F.col("label")).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_representative(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one document per near-dup cluster (the min id); singletons
+    survive untouched. The standard end-to-end near-dup dedup:
+    pairs → components → anti-join the losers."""
+    comps = dedup_components(documents, pairs, id_col)
+    losers = comps.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return documents.join(losers, id_col, "left_anti")
+
+
 def simhash_pairs(
     documents: DataFrame,
     text_col: str = "text",

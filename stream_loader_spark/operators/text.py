@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from stream_loader_spark.sources.tables import scatter
+
 # Small per-language stopword lists (public knowledge). Kept tiny and
 # frozen: they are part of the deterministic operator contract.
 STOPWORDS = {
@@ -54,7 +56,7 @@ def with_text_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     mean token length, stopword ratio, and punctuation ratio — the
     standard cheap heuristics used to pre-filter web text.
     """
-    df = documents.withColumn("tokens", tokens_col(F.col(text_col)))
+    df = scatter(documents).withColumn("tokens", tokens_col(F.col(text_col)))
     df = df.withColumn("token_count", F.size("tokens"))
     df = df.withColumn("char_count", F.length(F.col(text_col)))
     df = df.withColumn(
@@ -95,7 +97,7 @@ def with_lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     Ties break in fixed language order (de < en < es < fr by name, with
     'und' = no hits at all). Purely column expressions → codegen.
     """
-    df = documents.withColumn("tokens", tokens_col(F.col(text_col)))
+    df = scatter(documents).withColumn("tokens", tokens_col(F.col(text_col)))
     for lang in LANGS:
         df = df.withColumn(f"hits_{lang}", stopword_hits(F.col("tokens"), STOPWORDS[lang]))
     best = F.greatest(*[F.col(f"hits_{l}") for l in LANGS])
@@ -108,6 +110,6 @@ def with_lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Stable document fingerprint: sha256 of the normalized text."""
-    return documents.withColumn(
+    return scatter(documents).withColumn(
         "fingerprint", F.sha2(normalized_text(F.col(text_col)), 256)
     )

@@ -860,3 +860,129 @@ def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("order_count"),
         dsum("o_totalprice", "total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization, distinct counts, BPE-ish token counting, cluster dedup
+# ---------------------------------------------------------------------------
+
+from stream_loader_spark.operators.dedup import dedup_keep_representative  # noqa: E402
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space —
+# the split shape GPT-style tokenizers apply before merges. RE2 (DuckDB)
+# and Java (Spark) agree on these unicode classes.
+BPE_PATTERN = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]"
+
+
+@query(
+    "sessionize_events",
+    f"""{_KAFKA_CTE},
+    e AS (SELECT "partition" AS user_bucket, "offset" AS event_id, ts FROM kafka),
+    lagged AS (
+      SELECT user_bucket, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_bucket ORDER BY ts, event_id) AS prev_ts
+      FROM e),
+    flagged AS (
+      SELECT user_bucket, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_ms(ts) - epoch_ms(prev_ts) > {SESSION_GAP_MS}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM lagged),
+    sess AS (
+      SELECT user_bucket, event_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_bucket ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_bucket, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY 1, 2""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag → new-session flag →
+    running sum as session id → per-session rollup. The batch form of
+    ``session_window`` streaming aggregation, deterministic for the
+    oracle via (ts, event_id) ordering."""
+    e = _events(spark, sf_dir).select(
+        F.col("partition").alias("user_bucket"),
+        F.col("offset").alias("event_id"),
+        "ts",
+    )
+    w_order = Window.partitionBy("user_bucket").orderBy("ts", "event_id")
+    flagged = e.withColumn("prev_ts", F.lag("ts").over(w_order)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_millis("ts") - F.unix_millis("prev_ts") > SESSION_GAP_MS),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w_order.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_bucket", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "distinct_users_daily",
+    f"""{_KAFKA_CTE}
+    SELECT topic, CAST(ts AS DATE) AS dt,
+           COUNT(DISTINCT value) AS distinct_values, COUNT(*) AS events
+    FROM kafka GROUP BY 1, 2""",
+)
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation per day (expands to a two-phase
+    distinct-then-count plan; the HLL approximate variant is
+    ``approx_distinct_users`` below)."""
+    rec = _events(spark, sf_dir)
+    return rec.groupBy("topic", F.to_date("ts").alias("dt")).agg(
+        F.count_distinct("value").alias("distinct_values"),
+        F.count(F.lit(1)).alias("events"),
+    )
+
+
+@query("approx_distinct_users")  # HLL sketch → rows-only; bounds tested in pytest
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct count per day — the 100 TB path: constant
+    memory per group vs the exact variant's per-value state."""
+    rec = _events(spark, sf_dir)
+    return rec.groupBy("topic", F.to_date("ts").alias("dt")).agg(
+        F.approx_count_distinct("value", rsd=0.02).alias("approx_distinct_values"),
+        F.count(F.lit(1)).alias("events"),
+    )
+
+
+@query(
+    "token_counts_bpe",
+    f"""SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens
+    FROM documents""",
+)
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    pre-tokenizer regex (letter runs / digit runs / single symbols)."""
+    from stream_loader_spark.operators.text import tokens_col
+    from stream_loader_spark.sources.tables import scatter
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))).alias("bpe_tokens"),
+    )
+
+
+@query("near_dup_dedup_end_to_end")  # LSH-derived → rows-only; clusters tested in pytest
+def near_dup_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup dedup: MinHash-LSH pairs → connected components →
+    keep the min-id representative per cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup_keep_representative(docs, pairs).select("doc_id", "lang", "source")

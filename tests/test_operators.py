@@ -184,3 +184,55 @@ class TestStreamingWatermarkClamp:
         data = sink.committed_data(spark)
         assert data.count() == 8  # the 2 far-future rows were clamped out
         assert data.agg(F.max("offset")).collect()[0][0] == 7
+
+
+class TestDedupComponents:
+    def test_chain_becomes_one_cluster(self, spark):
+        from stream_loader_spark.operators.dedup import (
+            dedup_components,
+            dedup_keep_representative,
+        )
+
+        docs = spark.createDataFrame([(i, f"d{i}") for i in range(6)], "doc_id long, text string")
+        # chain 0-1-2, pair 3-4, singleton 5 (intransitive edges still cluster)
+        pairs = spark.createDataFrame(
+            [(0, 1, 0.9), (1, 2, 0.9), (3, 4, 0.8)], "doc_a long, doc_b long, jaccard double"
+        )
+        comps = {r["doc_id"]: r["cluster_id"] for r in dedup_components(docs, pairs).collect()}
+        assert comps == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+        kept = sorted(r["doc_id"] for r in dedup_keep_representative(docs, pairs).collect())
+        assert kept == [0, 3, 5]
+
+    def test_end_to_end_removes_known_duplicates(self, spark, docs_with_dups):
+        from stream_loader_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            dedup_keep_representative,
+        )
+
+        pairs = minhash_lsh_pairs(docs_with_dups, threshold=0.5)
+        kept = dedup_keep_representative(docs_with_dups, pairs)
+        n_docs = docs_with_dups.where(F.col("doc_id") < 10000).count()
+        # all exact copies (ids +10000) must be gone; their originals kept
+        kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        copies_surviving = sum(1 for i in kept_ids if 10000 <= i < 20000)
+        assert copies_surviving <= 0.05 * n_docs
+
+
+class TestApproxDistinct:
+    def test_hll_within_rsd_of_exact(self, spark, sf_small):
+        from stream_loader_spark.sources.kafka_view import as_stream_records
+
+        rec = as_stream_records(load_table(spark, sf_small, "events"))
+        exact = {
+            (r["topic"],): r["d"]
+            for r in rec.groupBy("topic").agg(F.count_distinct("value").alias("d")).collect()
+        }
+        approx = {
+            (r["topic"],): r["d"]
+            for r in rec.groupBy("topic")
+            .agg(F.approx_count_distinct("value", rsd=0.02).alias("d"))
+            .collect()
+        }
+        for k, exact_d in exact.items():
+            assert abs(approx[k] - exact_d) <= max(5, 0.1 * exact_d)
