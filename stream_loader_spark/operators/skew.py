@@ -1,0 +1,47 @@
+"""Skew-handling utilities for joins and aggregations at scale.
+
+A hot key (one topic-partition with 100× the traffic, one document
+cluster with millions of near-dups) turns a shuffle join into a single
+straggler task. Two standard remedies, exposed as composable helpers:
+
+- ``salted_join``: replicate the small side R times and scatter the
+  big side's hot keys across R salt buckets — every (key, salt) bucket
+  is ~1/R of the original hot key. Use when the small side fits
+  broadcast-per-salt but the big side is skewed.
+- AQE's skew-join handling (``spark.sql.adaptive.skewJoin.enabled``,
+  on by default in this engine's session) splits oversized partitions
+  at runtime — prefer it when statistics exist; use explicit salting
+  for deterministic plans or non-AQE environments.
+
+Aggregations need no salting here: all engine aggregations are
+hash-based with map-side partial aggregation, so hot group keys reduce
+before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted across ``salt_buckets``.
+
+    The big side gets a deterministic per-row salt (hash of all its
+    columns, cheap and reproducible); the small side is exploded ×R so
+    every (key, salt) combination exists. Output equals the unsalted
+    join exactly — only the shuffle distribution changes.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    big_s = big.withColumn("_salt", salt)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    joined = big_s.join(small_s, on + ["_salt"], how)
+    return joined.drop("_salt")

@@ -86,10 +86,25 @@ class StreamPipeline:
         )
         return self
 
-    def from_file_stream(self, path: str, schema: str, fmt: str = "parquet") -> "StreamPipeline":
-        """File-based stream (tests / replay): new files become batches."""
-        self._stream = self.spark.readStream.format(fmt).schema(schema).load(path)
+    def from_file_stream(
+        self, path: str, schema: str, fmt: str = "parquet", **options
+    ) -> "StreamPipeline":
+        """File-based stream (tests / replay): new files become batches.
+        ``maxFilesPerTrigger=1`` forces one micro-batch per file."""
+        reader = self.spark.readStream.format(fmt).schema(schema)
+        for k, v in options.items():
+            reader = reader.option(k, str(v))
+        self._stream = reader.load(path)
         return self
+
+    def track_watermark(self, valid_diff_ms: int = 3_600_000) -> "StreamPipeline":
+        """Stateful per-partition watermark tracking with future clamp —
+        delivers every record stamped with the current watermark (the
+        reference's exact MaxWatermarkProvider contract); see
+        streaming/stateful.py."""
+        from stream_loader_spark.streaming.stateful import with_tracked_watermark
+
+        return self.transform(lambda df: with_tracked_watermark(df, valid_diff_ms))
 
     # -- transforms (applied in order) ----------------------------------
     def transform(self, fn: Callable[[DataFrame], DataFrame]) -> "StreamPipeline":

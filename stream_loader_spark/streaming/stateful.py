@@ -1,0 +1,72 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+``with_tracked_watermark`` reproduces the reference's
+``MaxWatermarkProvider`` semantics EXACTLY (source/WatermarkProvider.scala:
+50-77): every record is delivered downstream carrying the per-partition
+watermark current at its position in the stream; records whose event
+time is further than ``valid_diff_ms`` in the future of the processing
+clock do NOT advance the watermark (but still flow). Spark's built-in
+``withWatermark`` cannot express this ("deliver but don't advance"), so
+the watermark lives in grouped state keyed by (topic, partition):
+
+- state = the partition's watermark (one long — constant per partition,
+  no growth);
+- per batch, a vectorized cumulative max over valid event times,
+  seeded from state, stamps each row;
+- Arrow-batched pandas transfer, grouped by partition → parallel across
+  partitions, exactly the reference's per-partition tracker layout.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEFAULT_VALID_DIFF_MS = 3_600_000
+
+
+def with_tracked_watermark(
+    stream: DataFrame,
+    valid_diff_ms: int = DEFAULT_VALID_DIFF_MS,
+    now_ms_fn=lambda: int(time.time() * 1000),
+) -> DataFrame:
+    """stream(topic, partition, offset, ts, ...) → same + watermark_ms.
+
+    Streaming-only (requires a streaming DataFrame). State per
+    (topic, partition) is the last watermark; restarts recover it from
+    the checkpoint's state store.
+    """
+    in_cols = stream.schema.fieldNames()
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in stream.schema.fields)
+    out_schema += ", watermark_ms bigint"
+
+    def track(key, pdfs, state: GroupState):
+        wm = state.get[0] if state.exists else -1
+        now_ms = now_ms_fn()
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["offset"]).reset_index(drop=True)
+            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
+            valid = ts_ms <= now_ms + valid_diff_ms
+            candidates = np.where(valid, ts_ms, -(2**62))
+            running = np.maximum.accumulate(np.concatenate(([wm], candidates))[1:])
+            running = np.maximum(running, wm)
+            wm = int(running[-1]) if len(running) else wm
+            pdf["watermark_ms"] = running
+            yield pdf[in_cols + ["watermark_ms"]]
+        state.update((wm,))
+
+    return (
+        stream.groupBy("topic", "partition")
+        .applyInPandasWithState(
+            track,
+            outputStructType=out_schema,
+            stateStructType="watermark_ms bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -236,3 +236,28 @@ class TestApproxDistinct:
         }
         for k, exact_d in exact.items():
             assert abs(approx[k] - exact_d) <= max(5, 0.1 * exact_d)
+
+
+class TestSaltedJoin:
+    def test_matches_unsalted_join(self, spark):
+        from stream_loader_spark.operators.skew import salted_join
+
+        # heavily skewed big side: 90% of rows share key 1
+        big = spark.range(1000).select(
+            F.when(F.col("id") < 900, 1).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.createDataFrame([(1, "hot"), (950, "cold")], "k long, label string")
+        expected = sorted(
+            map(tuple, big.join(small, ["k"]).select("k", "payload", "label").collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                salted_join(big, small, ["k"], salt_buckets=8)
+                .select("k", "payload", "label")
+                .collect(),
+            )
+        )
+        assert got == expected
+        assert len(got) == 901

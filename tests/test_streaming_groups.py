@@ -113,3 +113,47 @@ class TestIcebergCodec:
             pytest.skip("iceberg runtime present; gated error not applicable")
         with pytest.raises(RuntimeError, match="Iceberg Spark runtime"):
             IcebergOffsetsSink(spark, "cat.db.t", "g1")
+
+
+class TestStatefulWatermarkTracking:
+    def test_future_events_delivered_but_do_not_advance(self, spark, tmp_path):
+        """The MaxWatermarkProvider contract: future-stamped records flow
+        through carrying an unadvanced watermark; state persists across
+        micro-batches (one batch per file via maxFilesPerTrigger)."""
+        from datetime import datetime, timedelta, timezone
+
+        src = str(tmp_path / "src")
+        base = datetime.now(timezone.utc) - timedelta(hours=2)
+        # file 1: offsets 0-4, rising event times
+        write_source(
+            spark, src, [("t", 0, o, base + timedelta(minutes=o)) for o in range(5)]
+        )
+        # file 2: offsets 5-7 where offset 6 is 9h in the future (invalid)
+        rows2 = [
+            ("t", 0, 5, base + timedelta(minutes=10)),
+            ("t", 0, 6, datetime.now(timezone.utc) + timedelta(hours=9)),
+            ("t", 0, 7, base + timedelta(minutes=11)),
+        ]
+        spark.createDataFrame(rows2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+        sink = ManifestFileSink(str(tmp_path / "out"), meta_cols=None)
+        (
+            StreamPipeline(spark)
+            .from_file_stream(src, SCHEMA, maxFilesPerTrigger=1)
+            .track_watermark(valid_diff_ms=3_600_000)
+            .sink(sink, str(tmp_path / "cp"))
+            .run_available()
+        )
+        rows = {
+            r["offset"]: r["watermark_ms"]
+            for r in sink.committed_data(spark).collect()
+        }
+        assert len(rows) == 8  # ALL records delivered, including the future one
+        # watermark rises with valid events
+        assert rows[4] > rows[0]
+        base5_ms = int((base + timedelta(minutes=10)).timestamp() * 1000)
+        assert rows[5] == base5_ms
+        # the future event did NOT advance the watermark...
+        assert rows[6] == rows[5]
+        # ...and the next valid event resumes normal advancement
+        assert rows[7] == int((base + timedelta(minutes=11)).timestamp() * 1000)
