@@ -64,11 +64,13 @@ class ManifestFileSink:
         file_format: str = "parquet",
         partition_by: str | None = None,
         meta_cols: tuple[str, str, str, str] | None = ("topic", "partition", "offset", "ts"),
+        writer_options: dict[str, str] | None = None,
     ) -> None:
         self.out_dir = out_dir
         self.file_format = file_format
         self.partition_by = partition_by
         self.meta_cols = meta_cols
+        self.writer_options = writer_options or {}
         os.makedirs(self._manifest_dir, exist_ok=True)
 
     # -- paths ----------------------------------------------------------
@@ -110,6 +112,8 @@ class ManifestFileSink:
                     )
                 )
         writer = batch_df.write.mode("overwrite").format(self.file_format)
+        for k, v in self.writer_options.items():
+            writer = writer.option(k, v)
         if self.partition_by:
             writer = writer.partitionBy(self.partition_by)
         writer.save(self.batch_data_dir(batch_id))

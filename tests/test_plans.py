@@ -1,0 +1,124 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (pushdown, pruning, broadcast, partial aggregation) asserted
+against `.explain` output so they can't silently regress."""
+
+import io
+import contextlib
+
+import pytest
+
+from stream_loader_spark.plans.queries import QUERIES
+
+
+def plan_of(spark, name, sf_dir):
+    """Physical plan, one line per operator (simple explain mode)."""
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+class TestPlanShapes:
+    def test_q1_pushdown_and_pruning(self, spark, sf_small):
+        plan = plan_of(spark, "q1_pricing_summary", sf_small)
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+        # column pruning: only the 6 needed columns reach the scan
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+        assert "l_quantity" in read_schema
+        # partial + final aggregation around exactly one exchange
+        assert plan.count("HashAggregate") == 2
+
+    def test_q5_joins_broadcast_fact_never_shuffles(self, spark, sf_small):
+        plan = plan_of(spark, "q5_local_supplier_volume", sf_small)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # the region filter reaches its scan
+        assert "EqualTo(r_name,EUROPE)" in plan
+
+    def test_q6_all_predicates_pushed(self, spark, sf_small):
+        plan = plan_of(spark, "q6_forecast_revenue", sf_small)
+        pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+        for fragment in ("l_shipdate", "l_discount", "l_quantity"):
+            assert fragment in pushed
+
+    def test_recovery_agg_is_two_phase(self, spark, sf_small):
+        plan = plan_of(spark, "a1_committed_positions", sf_small)
+        assert plan.count("HashAggregate") == 2  # map-side partial + final
+        assert plan.count("Exchange") == 1
+
+    def test_p3_projection_prunes_event_columns(self, spark, sf_small):
+        plan = plan_of(spark, "p3_metadata_projection", sf_small)
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "value" not in read_schema  # unused payload column pruned
+
+
+class TestCsvManifestSink:
+    def test_csv_sink_with_reference_contract(self, spark, tmp_path):
+        """File sink in the reference's CSV contract: TSV, no header,
+        empty-string nulls (csv_writer_options), via ManifestFileSink."""
+        import os
+        from datetime import datetime
+
+        from pyspark.sql import functions as F
+        from stream_loader_spark.sinks.manifest import ManifestFileSink
+        from stream_loader_spark.functions.encoding import csv_writer_options
+
+        sink = ManifestFileSink(
+            str(tmp_path / "out"),
+            file_format="csv",
+            meta_cols=None,
+            writer_options=csv_writer_options(),
+        )
+        df = spark.createDataFrame(
+            [("a", 1, None, datetime(2024, 1, 2, 3, 4, 5, 123000))],
+            "s string, i int, n string, ts timestamp",
+        )
+        sink.write_batch(df.coalesce(1), 0)
+        files = [
+            f
+            for f in os.listdir(sink.batch_data_dir(0))
+            if f.endswith(".csv") or f.startswith("part-")
+        ]
+        raw = "".join(
+            open(os.path.join(sink.batch_data_dir(0), f)).read() for f in files
+        ).strip()
+        assert raw == "a\t1\t\t2024-01-02 03:04:05.123"
+        # and it reads back through the manifest with the same options
+        back = sink.committed_data(spark)
+        assert back.count() == 1
+
+
+class TestParquetConfig:
+    def test_options_mapping(self):
+        from stream_loader_spark.functions.parquet_config import ParquetConfig
+
+        cfg = ParquetConfig(
+            compression="zstd",
+            row_group_size_bytes=128 << 20,
+            enable_dictionary=True,
+            bloom_filter_columns=("user_id",),
+            max_records_per_file=1000,
+        )
+        opts = cfg.options()
+        assert opts["compression"] == "zstd"
+        assert opts["parquet.block.size"] == str(128 << 20)
+        assert opts["parquet.enable.dictionary"] == "true"
+        assert opts["parquet.bloom.filter.enabled#user_id"] == "true"
+        assert opts["maxRecordsPerFile"] == "1000"
+
+    def test_writes_with_config(self, spark, tmp_path):
+        from stream_loader_spark.functions.parquet_config import ParquetConfig
+        from stream_loader_spark.sinks.manifest import ManifestFileSink
+
+        sink = ManifestFileSink(
+            str(tmp_path / "out"),
+            meta_cols=None,
+            writer_options=ParquetConfig(compression="gzip").options(),
+        )
+        sink.write_batch(spark.range(10), 0)
+        import os
+
+        files = os.listdir(sink.batch_data_dir(0))
+        assert any(".gz.parquet" in f for f in files)
