@@ -71,10 +71,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # Warm the session (JVM/codegen/file-listing) so the first timed
-    # query doesn't absorb one-time startup cost.
+    # Warm the session (JVM/codegen/file-listing) and the Python worker
+    # pool so the first timed query doesn't absorb one-time startup cost.
     for t in ("lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    spark.range(64).repartition(64).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -255,6 +255,9 @@ def dedup_components(
     converges in a few rounds. ``localCheckpoint`` breaks lineage growth
     each round (essential for iterative DataFrame algorithms at scale).
     """
+    # persist pairs first: the two-direction union below would otherwise
+    # evaluate the (expensive) pair-finding pipeline twice
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -284,6 +287,7 @@ def dedup_components(
         if changed == 0:
             break
     edges.unpersist()
+    pairs.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

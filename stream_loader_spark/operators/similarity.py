@@ -77,20 +77,74 @@ def brute_force_topk(
     )
 
 
-def assign_clusters(
+def seed_centroids(
     embeddings: DataFrame,
     num_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF coarse quantizer: centroids are the vectors with the
-    ``num_centroids`` smallest ids (deterministic seed set — a k-means
-    refinement can later replace this without changing the contract).
-    Assignment is a broadcast join + per-row argmax; one pass over the
-    corpus."""
-    centroids = embeddings.where(F.col(id_col) < num_centroids).select(
+    """Deterministic seed centroids: the ``num_centroids`` smallest ids."""
+    return embeddings.where(F.col(id_col) < num_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
     )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    num_centroids: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement of the IVF coarse quantizer.
+
+    Each iteration is one distributed pass: broadcast-join assignment
+    (argmax cosine via max(struct)) then an element-wise mean per
+    cluster computed with posexplode + avg — the per-iteration shuffle
+    carries (k × dim) partial sums, and only k × dim values ever reach
+    the driver, so the corpus size is irrelevant to driver memory.
+    """
+    spark = embeddings.sparkSession
+    dim = len(embeddings.select(vec_col).first()[0])
+    centroids = seed_centroids(embeddings, num_centroids, id_col, vec_col)
+
+    for _ in range(iterations):
+        assigned = (
+            scatter(embeddings)
+            .crossJoin(F.broadcast(centroids))
+            .withColumn("cos", cosine_col(F.col(vec_col), F.col("centroid_vec")))
+            .groupBy(id_col, vec_col)
+            .agg(F.max(F.struct(F.col("cos"), (-F.col("centroid_id")).alias("neg_id"))).alias("m"))
+            .select(id_col, vec_col, (-F.col("m.neg_id")).alias("cluster_id"))
+        )
+        means = (
+            assigned.select("cluster_id", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("val").alias("mean"))
+        )
+        rows = means.collect()  # k × dim values only
+        by_cluster: dict[int, list[float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_id"], [0.0] * dim)[r["pos"]] = r["mean"]
+        centroids = spark.createDataFrame(
+            [(cid, vec) for cid, vec in sorted(by_cluster.items())],
+            "centroid_id int, centroid_vec array<double>",
+        )
+    return centroids
+
+
+def assign_clusters(
+    embeddings: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF coarse quantizer assignment: broadcast join + per-row argmax;
+    one pass over the corpus. Centroids default to the deterministic
+    seed set; pass ``kmeans_centroids(...)`` output for refined ones."""
+    if centroids is None:
+        centroids = seed_centroids(embeddings, num_centroids, id_col, vec_col)
     scored = scatter(embeddings).crossJoin(F.broadcast(centroids)).withColumn(
         "cos", cosine_col(F.col(vec_col), F.col("centroid_vec"))
     )
@@ -112,14 +166,19 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iterations: int = 0,
 ) -> DataFrame:
-    """Approximate cosine top-k: probe only the nprobe nearest clusters."""
+    """Approximate cosine top-k: probe only the nprobe nearest clusters.
+    ``kmeans_iterations > 0`` refines the coarse quantizer first."""
     from pyspark.sql import Window
 
-    assigned = assign_clusters(embeddings, num_centroids, id_col, vec_col)
-    centroids = embeddings.where(F.col(id_col) < num_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
-    )
+    if kmeans_iterations > 0:
+        centroids = kmeans_centroids(
+            embeddings, num_centroids, kmeans_iterations, id_col, vec_col
+        )
+    else:
+        centroids = seed_centroids(embeddings, num_centroids, id_col, vec_col)
+    assigned = assign_clusters(embeddings, num_centroids, id_col, vec_col, centroids)
     queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )

@@ -261,3 +261,35 @@ class TestSaltedJoin:
         )
         assert got == expected
         assert len(got) == 901
+
+
+class TestKMeansIVF:
+    def test_refined_centroids_do_not_hurt_recall(self, spark, sf_small):
+        from stream_loader_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+            kmeans_centroids,
+        )
+
+        emb = load_table(spark, sf_small, "embeddings")
+        qids = list(range(10))
+        exact = {(r["query_id"], r["match_id"]) for r in brute_force_topk(emb, qids, k=5).collect()}
+
+        def recall(approx_df):
+            a = {(r["query_id"], r["match_id"]) for r in approx_df.collect()}
+            return len(exact & a) / len(exact)
+
+        seed_recall = recall(ivf_topk(emb, qids, k=5, num_centroids=8, nprobe=4))
+        refined_recall = recall(
+            ivf_topk(emb, qids, k=5, num_centroids=8, nprobe=4, kmeans_iterations=3)
+        )
+        assert refined_recall >= seed_recall - 0.1  # refinement never collapses
+
+    def test_centroid_shape(self, spark, sf_small):
+        from stream_loader_spark.operators.similarity import kmeans_centroids
+
+        emb = load_table(spark, sf_small, "embeddings")
+        cents = kmeans_centroids(emb, num_centroids=4, iterations=2).collect()
+        assert len(cents) == 4
+        dim = len(emb.select("embedding").first()[0])
+        assert all(len(r["centroid_vec"]) == dim for r in cents)
