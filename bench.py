@@ -45,6 +45,12 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q4_late_orders",
+    "q12_priority_by_flag",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
     "top_orders_per_segment",
     "anti_join_idle_customers",
     "semi_join_active_suppliers",
