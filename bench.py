@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "semi_join_active_suppliers",
     "except_building_no_big_orders",
     "rollup_order_priority",
+    "asof_join_last_order",
+    "value_percentiles",
+    "pivot_daily_event_counts",
     # training-data pipeline
     "text_stats",
     "lang_id",

@@ -1,0 +1,85 @@
+"""As-of (temporal) join — a custom operator Spark SQL lacks natively.
+
+``asof_join(left, right)`` attaches, to every left row, the latest
+right row with the same key and time ≤ the left row's time. The naive
+formulation (non-equi range join) degenerates to a per-key cross
+product; the scalable formulation used here is the classic
+union-and-carry trick:
+
+1. tag both inputs and union them into one stream of (key, time, tag);
+2. sort within key by (time, tag) — right rows sort before left rows at
+   equal times so same-instant matches are visible;
+3. carry the most recent right payload forward with
+   ``last(..., ignorenulls=True)`` over an unbounded-preceding window;
+4. keep only left rows.
+
+Cost is one shuffle by key + one sort — the same shape as a window
+aggregation, linear in input size, skew-tolerant via AQE. Right rows
+are first reduced to one per (key, time) (latest by tie-break id) so
+the result is deterministic, matching DuckDB's ASOF JOIN oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Left as-of join: latest ``right`` row per key with
+    ``right_time <= left_time``; unmatched left rows keep NULL payloads.
+
+    ``tie_break`` names a unique right column used to pick ONE right row
+    when several share (key, right_time).
+    """
+    if tie_break is not None:
+        w_dedup = Window.partitionBy(key, right_time).orderBy(F.desc(tie_break))
+        right = (
+            right.withColumn("_rn", F.row_number().over(w_dedup))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    left_cols = left.columns
+    tagged_left = left.select(
+        F.col(key).alias("_key"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload_cols],
+    )
+    tagged_right = right.select(
+        F.col(key).alias("_key"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+
+    # right rows (_is_left=0) sort before left rows at equal _t, so an
+    # exactly-simultaneous right row is eligible for the left row
+    w = (
+        Window.partitionBy("_key")
+        .orderBy("_t", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    return carried.where(F.col("_is_left") == 1).select(
+        *[F.col(c) for c in left_cols],
+        *[F.col(f"_asof_{c}").alias(c) for c in payload_cols],
+    )

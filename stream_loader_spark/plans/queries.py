@@ -1159,3 +1159,98 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(20, 35))
     )
     return j.where(cond).agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# As-of join, percentiles, pivot
+# ---------------------------------------------------------------------------
+
+from stream_loader_spark.operators.asof import asof_join  # noqa: E402
+
+
+@query(
+    "asof_join_last_order",
+    f"""{_KAFKA_CTE},
+    e AS (SELECT event_id, CAST(user_id % 8 AS INT) AS upart, ts
+          FROM events WHERE event_id < 2000),
+    o AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+      FROM orders),
+    o1 AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM o WHERE rn = 1)
+    SELECT e.event_id, e.upart, e.ts, o1.o_orderkey, o1.o_totalprice
+    FROM e ASOF LEFT JOIN o1
+      ON e.upart = o1.o_custkey AND e.ts >= o1.o_orderdate""",
+)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the customer's latest order at or
+    before its event time (union-and-carry window implementation; DuckDB
+    verifies with its native ASOF JOIN)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    e = ev.where(F.col("event_id") < 2000).select(
+        F.col("event_id"),
+        (F.col("user_id") % 8).cast("int").alias("upart"),
+        ts.alias("ts"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    return asof_join(
+        e,
+        o.withColumnRenamed("o_custkey", "upart").withColumnRenamed("o_orderdate", "ots"),
+        key="upart",
+        left_time="ts",
+        right_time="ots",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+    ).select("event_id", "upart", "ts", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "value_percentiles",
+    f"""{_KAFKA_CTE}
+    SELECT topic,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM kafka GROUP BY topic""",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per topic (Spark `percentile` ↔
+    DuckDB `quantile_cont`, same linear interpolation)."""
+    rec = _events(spark, sf_dir)
+    return rec.groupBy("topic").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@query(
+    "pivot_daily_event_counts",
+    f"""{_KAFKA_CTE}
+    SELECT CAST(ts AS DATE) AS dt,
+           COUNT(*) FILTER (topic = 'click') AS click,
+           COUNT(*) FILTER (topic = 'error') AS error,
+           COUNT(*) FILTER (topic = 'purchase') AS purchase,
+           COUNT(*) FILTER (topic = 'signup') AS signup,
+           COUNT(*) FILTER (topic = 'view') AS view
+    FROM kafka GROUP BY 1""",
+)
+def pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted per-day counts with a fixed column set (explicit pivot
+    values keep the plan single-pass and the schema deterministic)."""
+    rec = _events(spark, sf_dir)
+    piv = (
+        rec.groupBy(F.to_date("ts").alias("dt"))
+        .pivot("topic", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    return piv.select(
+        "dt",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("click", "error", "purchase", "signup", "view")],
+    )
