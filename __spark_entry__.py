@@ -10,11 +10,15 @@ Implementations live in stream_loader_spark/plans/queries.py.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from stream_loader_spark.plans.queries import QUERIES, ORACLE_SQL
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stream_loader_spark.plans.queries import QUERIES, ORACLE_SQL  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

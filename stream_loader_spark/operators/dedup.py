@@ -254,6 +254,11 @@ def dedup_components(
     are O(graph diameter) — near-dup graphs are shallow, so this
     converges in a few rounds. ``localCheckpoint`` breaks lineage growth
     each round (essential for iterative DataFrame algorithms at scale).
+
+    Only nodes that appear in a pair are iterated — documents touching
+    no pair are singletons by definition and are unioned in unlabeled at
+    the end, so iteration cost tracks the duplicate population, not the
+    corpus.
     """
     # persist pairs first: the two-direction union below would otherwise
     # evaluate the (expensive) pair-finding pipeline twice
@@ -264,9 +269,12 @@ def dedup_components(
         .distinct()
         .persist()
     )
-    labels = documents.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -288,7 +296,11 @@ def dedup_components(
             break
     edges.unpersist()
     pairs.unpersist()
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    paired = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    singletons = documents.select(F.col(id_col)).join(
+        paired.select(id_col), id_col, "left_anti"
+    ).select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    return paired.unionByName(singletons)
 
 
 def dedup_keep_representative(
@@ -337,24 +349,21 @@ def simhash_pairs(
     ).select(id_col, "simhash", "cv.chunk", "cv.chunk_val")
 
     left, right = chunks.alias("l"), chunks.alias("r")
-    cand = (
+    hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    # the Hamming filter runs INSIDE the join, before the dedup shuffle —
+    # far fewer candidate rows survive to the dropDuplicates exchange
+    return (
         left.join(
             right,
             (F.col("l.chunk") == F.col("r.chunk"))
             & (F.col("l.chunk_val") == F.col("r.chunk_val"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
+        .where(hamming <= max_hamming)
         .select(
             F.col(f"l.{id_col}").alias("doc_a"),
             F.col(f"r.{id_col}").alias("doc_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
+            hamming.alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", hamming)
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )

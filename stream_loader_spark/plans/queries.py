@@ -67,9 +67,34 @@ CLAMP_NOW = datetime(2024, 1, 15, 0, 0, 0)
 _KAFKA_CTE = f"WITH kafka AS ({KAFKA_VIEW_SQL})"
 
 
+# Session settings every query depends on, applied defensively in case
+# the caller (e.g. the driver) built its SparkSession without them:
+# nanosAsLong makes the TIMESTAMP(NANOS) events fixture readable, and the
+# UTC session timezone keeps timestamp results aligned with the oracle.
+REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — a locked conf is the caller's choice
+            pass
+
+
 def query(name: str, oracle: str | None = None):
     def register(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE_SQL[name] = oracle
         return fn
