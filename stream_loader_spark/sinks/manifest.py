@@ -48,6 +48,7 @@ class CommittedBatch:
     batch_id: int
     ranges: list[StreamRange]
     token: str
+    data_dir: str
 
 
 class ManifestFileSink:
@@ -86,7 +87,11 @@ class ManifestFileSink:
 
     # -- RecordBatchStorage contract ------------------------------------
     def is_batch_committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._manifest_path(batch_id))
+        if os.path.exists(self._manifest_path(batch_id)):
+            return True
+        # a vacuumed-away original is still committed: its compaction
+        # record remembers it, so replays after vacuum stay no-ops
+        return batch_id in self._replaced_ids()
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         self.write_batch(batch_df, batch_id)
@@ -149,29 +154,53 @@ class ManifestFileSink:
                 os.unlink(tmp)
 
     # -- readback -------------------------------------------------------
-    def committed_batches(self) -> list[CommittedBatch]:
+    def _read_records(self) -> list[dict]:
         out = []
         for name in sorted(os.listdir(self._manifest_dir)):
             if not name.endswith(".json"):
                 continue
             with open(os.path.join(self._manifest_dir, name)) as f:
-                rec = json.load(f)
-            out.append(
-                CommittedBatch(
-                    rec["batch_id"],
-                    [
-                        StreamRange(
-                            r["topic"],
-                            r["partition"],
-                            StreamPosition(r["start_offset"], 0),
-                            StreamPosition(r["end_offset"], r["end_watermark_ms"]),
-                        )
-                        for r in rec["ranges"]
-                    ],
-                    rec["token"],
-                )
-            )
+                out.append(json.load(f))
         return out
+
+    @staticmethod
+    def _ranges_of(rec: dict) -> list[StreamRange]:
+        return [
+            StreamRange(
+                r["topic"],
+                r["partition"],
+                StreamPosition(r["start_offset"], 0),
+                StreamPosition(r["end_offset"], r["end_watermark_ms"]),
+            )
+            for r in rec["ranges"]
+        ]
+
+    def _replaced_ids(self) -> set[int]:
+        replaced: set[int] = set()
+        for rec in self._read_records():
+            replaced.update(rec.get("replaces", []))
+        return replaced
+
+    def committed_batches(self) -> list[CommittedBatch]:
+        """Live batches after compaction resolution.
+
+        Every compaction replaces ALL batches live at its time, so the
+        live set is: the newest compaction record (if any) + original
+        records not listed in any ``replaces`` (appended after it).
+        Replaced records/data may or may not be vacuumed yet.
+        """
+        records = self._read_records()
+        compactions = [r for r in records if r.get("replaces")]
+        originals = [r for r in records if not r.get("replaces")]
+        replaced = {b for rec in compactions for b in rec["replaces"]}
+        live = [max(compactions, key=lambda r: r["batch_id"])] if compactions else []
+        live.extend(r for r in originals if r["batch_id"] not in replaced)
+        return [
+            CommittedBatch(
+                rec["batch_id"], self._ranges_of(rec), rec["token"], rec["data_dir"]
+            )
+            for rec in sorted(live, key=lambda r: r["batch_id"])
+        ]
 
     def committed_positions(self) -> dict[tuple[str, int], StreamPosition]:
         """Next position per (topic, partition) — the A1-shape readback
@@ -186,13 +215,86 @@ class ManifestFileSink:
         return positions
 
     def committed_data(self, spark: SparkSession) -> DataFrame:
-        """All committed rows — reads ONLY manifest-listed batch dirs."""
-        dirs = [b for b in self.committed_batches() if os.path.exists(self.batch_data_dir(b.batch_id))]
+        """All committed rows — reads ONLY manifest-listed data dirs."""
+        dirs = [b.data_dir for b in self.committed_batches() if os.path.exists(b.data_dir)]
         if not dirs:
             raise ValueError("no committed batches")
-        return spark.read.format(self.file_format).load(
-            [self.batch_data_dir(b.batch_id) for b in dirs]
+        return spark.read.format(self.file_format).load(dirs)
+
+    def compact_data(self, spark: SparkSession, min_batches: int = 2) -> str | None:
+        """Rewrite all live batch dirs into ONE consolidated dir (the
+        small-files maintenance op a streaming file sink needs at scale).
+
+        Crash-safe by the same rules as writes: the consolidated dir is
+        deterministic (`compact=<max live id>`, overwrite mode) and the
+        single compaction manifest record — which lists the batch ids it
+        `replaces` and their merged ranges — is the atomic commit point.
+        Die before the record: originals stay live, rerun overwrites.
+        Die after: readers resolve to the compacted dir; ``vacuum()``
+        later removes superseded dirs/records at leisure.
+        """
+        live = self.committed_batches()
+        if len(live) < min_batches:
+            return None
+        max_id = max(b.batch_id for b in live)
+        target = os.path.join(self.out_dir, "data", f"compact={max_id}")
+        df = spark.read.format(self.file_format).load(
+            [b.data_dir for b in live if os.path.exists(b.data_dir)]
         )
+        writer = df.write.mode("overwrite").format(self.file_format)
+        for k, v in self.writer_options.items():
+            writer = writer.option(k, v)
+        if self.partition_by:
+            writer = writer.partitionBy(self.partition_by)
+        writer.save(target)
+
+        from stream_loader_spark.model.range import merge_ranges
+
+        merged = merge_ranges([r for b in live for r in b.ranges])
+        record = {
+            "batch_id": max_id,
+            "token": dedup_token(merged),
+            "data_dir": target,
+            "replaces": sorted(b.batch_id for b in live),
+            "ranges": [
+                {
+                    "topic": r.topic,
+                    "partition": r.partition,
+                    "start_offset": r.start.offset,
+                    "end_offset": r.end.offset,
+                    "end_watermark_ms": r.end.watermark_ms,
+                }
+                for r in merged
+            ],
+        }
+        fd, tmp = tempfile.mkstemp(dir=self._manifest_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(record, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, os.path.join(self._manifest_dir, f"compaction-{max_id:020d}.json"))
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        return target
+
+    def vacuum(self) -> list[str]:
+        """Delete data dirs and manifest records superseded by a
+        compaction (safe any time after the compaction record exists)."""
+        import shutil
+
+        removed = []
+        replaced = self._replaced_ids()
+        for batch_id in replaced:
+            path = self._manifest_path(batch_id)
+            if os.path.exists(path):
+                os.unlink(path)
+            data = self.batch_data_dir(batch_id)
+            if os.path.exists(data):
+                shutil.rmtree(data)
+                removed.append(data)
+        return removed
 
     def compact(self, spark: SparkSession) -> str:
         """Snapshot the manifest into parquet (listing-free recovery at

@@ -157,3 +157,50 @@ class TestStatefulWatermarkTracking:
         assert rows[6] == rows[5]
         # ...and the next valid event resumes normal advancement
         assert rows[7] == int((base + timedelta(minutes=11)).timestamp() * 1000)
+
+
+class TestStreamingWindowedAggregation:
+    def test_closed_windows_emit_in_append_mode(self, spark, tmp_path):
+        """readStream → watermark → windowed count → foreachBatch: with
+        two micro-batches, windows sealed by the advancing watermark are
+        appended exactly once."""
+        from datetime import datetime, timedelta, timezone
+        from pyspark.sql import functions as F
+
+        src = str(tmp_path / "src")
+        base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        # batch 1: hours 0 and 1; batch 2: hour 6 (advances watermark far)
+        write_source(
+            spark,
+            src,
+            [("t", 0, o, base + timedelta(minutes=20 * o)) for o in range(6)],
+        )
+        spark.createDataFrame(
+            [("t", 0, 100, base + timedelta(hours=6))], SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        out = []
+
+        def collect_sink(df, batch_id):
+            out.extend(
+                (r["window"]["start"].isoformat(), r["n"]) for r in df.collect()
+            )
+
+        (
+            StreamPipeline(spark)
+            .from_file_stream(src, SCHEMA, maxFilesPerTrigger=1)
+            .clamp_watermark("ts", delay="30 minutes", valid_diff="INTERVAL 24 HOURS")
+            .transform(
+                lambda df: df.groupBy(F.window("ts", "1 hour")).agg(
+                    F.count(F.lit(1)).alias("n")
+                )
+            )
+            .sink(collect_sink, str(tmp_path / "cp"))
+            .run_available()
+        )
+        emitted = dict(out)
+        # hours 0 and 1 close once the batch-2 watermark (6h - 30min) passes
+        assert emitted.get("2024-01-01T00:00:00") == 3  # minutes 0,20,40
+        assert emitted.get("2024-01-01T01:00:00") == 3  # 60,80,100
+        # the hour-6 window is still open (watermark has not passed it)
+        assert "2024-01-01T06:00:00" not in emitted

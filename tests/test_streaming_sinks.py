@@ -188,3 +188,63 @@ class TestExternalOffsetsSink:
             str(tmp_path / "data"), str(tmp_path / "offsets"), consumer_group="other"
         )
         assert other.committed_positions(spark).count() == 0
+
+
+class TestCompaction:
+    def test_compact_then_vacuum_preserves_data_and_positions(self, spark, stream_env):
+        sink = ManifestFileSink(stream_env["out"])
+        batch = as_stream_records(load_table(spark, "/root/testdata/sf0.001", "events"))
+        # three small batches with disjoint offset spans
+        for i in range(3):
+            sink.write_batch(batch.withColumn("offset", F.col("offset") + F.lit(i * 10_000)), i)
+        n = batch.count()
+        pos_before = sink.committed_positions()
+        assert len(sink.committed_batches()) == 3
+
+        target = sink.compact_data(spark)
+        assert target is not None
+        live = sink.committed_batches()
+        assert len(live) == 1 and live[0].data_dir == target
+        assert sink.committed_data(spark).count() == 3 * n
+        assert sink.committed_positions() == pos_before
+
+        # replays of compacted-away batches are STILL no-ops
+        assert sink.is_batch_committed(0) and sink.is_batch_committed(2)
+        removed = sink.vacuum()
+        assert len(removed) == 3
+        assert sink.is_batch_committed(0)  # remembered via the compaction record
+        sink.write_batch(batch, 0)  # replay after vacuum
+        assert sink.committed_data(spark).count() == 3 * n
+
+        # new batches append after compaction; a second compaction folds them in
+        sink.write_batch(batch.withColumn("offset", F.col("offset") + F.lit(90_000)), 7)
+        assert sink.committed_data(spark).count() == 4 * n
+        assert sink.compact_data(spark) is not None
+        sink.vacuum()
+        assert sink.committed_data(spark).count() == 4 * n
+        assert len(sink.committed_batches()) == 1
+
+    def test_crash_before_compaction_record_is_safe(self, spark, stream_env, monkeypatch):
+        sink = ManifestFileSink(stream_env["out"])
+        batch = as_stream_records(load_table(spark, "/root/testdata/sf0.001", "events"))
+        for i in range(2):
+            sink.write_batch(batch.withColumn("offset", F.col("offset") + F.lit(i * 10_000)), i)
+        n2 = sink.committed_data(spark).count()
+
+        # crash after the consolidated write, before the record lands
+        real_mkstemp = os.tempnam if False else None  # noqa: F841
+        import tempfile as _tf
+
+        def boom(*a, **k):
+            raise RuntimeError("crash before compaction record")
+
+        monkeypatch.setattr(_tf, "mkstemp", boom)
+        with pytest.raises(RuntimeError):
+            sink.compact_data(spark)
+        monkeypatch.undo()
+
+        # originals still live and readable; rerun completes the compaction
+        assert len(sink.committed_batches()) == 2
+        assert sink.committed_data(spark).count() == n2
+        assert sink.compact_data(spark) is not None
+        assert sink.committed_data(spark).count() == n2
