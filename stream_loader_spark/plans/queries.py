@@ -1279,3 +1279,17 @@ def pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dt",
         *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("click", "error", "purchase", "signup", "view")],
     )
+
+
+from stream_loader_spark.operators.corpus import clean_corpus, CorpusCleanConfig  # noqa: E402
+
+
+@query("clean_corpus_pipeline")  # composed approximate pipeline → rows-only
+def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning flow: lang filter → quality
+    floor → exact dedup → MinHash-LSH near-dup dedup → token accounting."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = clean_corpus(
+        docs, CorpusCleanConfig(keep_langs=("en", "de", "es", "fr"), min_quality=0.3)
+    )
+    return cleaned.select("doc_id", "pred_lang", "quality_score", "token_count")

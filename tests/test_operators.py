@@ -293,3 +293,18 @@ class TestKMeansIVF:
         assert len(cents) == 4
         dim = len(emb.select("embedding").first()[0])
         assert all(len(r["centroid_vec"]) == dim for r in cents)
+
+
+class TestCleanCorpus:
+    def test_pipeline_shrinks_and_keeps_survivor_metadata(self, spark, docs_with_dups):
+        from stream_loader_spark.operators.corpus import clean_corpus, CorpusCleanConfig
+
+        n_in = docs_with_dups.count()  # originals + exact copies + edited copies
+        cleaned = clean_corpus(docs_with_dups, CorpusCleanConfig(min_quality=0.1))
+        rows = cleaned.collect()
+        assert 0 < len(rows) < n_in
+        # every exact copy (ids +10000) must be removed by one of the stages
+        ids = {r["doc_id"] for r in rows}
+        n_copies_left = sum(1 for i in ids if 10000 <= i < 20000)
+        assert n_copies_left <= 0.05 * (n_in / 3)
+        assert {"pred_lang", "quality_score", "token_count"} <= set(cleaned.columns)
