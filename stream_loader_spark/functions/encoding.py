@@ -40,28 +40,38 @@ CSV_TIMESTAMP_FORMAT = "yyyy-MM-dd HH:mm:ss.SSS"
 def truncate_utf8(col: Column, max_bytes: int) -> Column:
     """UTF-8-safe truncation to ``max_bytes`` at a character boundary.
 
-    Folds over the string's characters accumulating byte length and
-    stopping at the first character that would overflow — equivalent to
-    the reference's ByteWriter truncation (ByteWriter.scala:87-106).
-    Strings already within budget short-circuit without the fold.
+    Works directly on the UTF-8 bytes: cut at the budget, then step the
+    cut point back past any continuation bytes (0b10xxxxxx) so a
+    multi-byte character — including astral-plane characters, which
+    split-by-character approaches corrupt via UTF-16 surrogates — is
+    never divided. At most 3 steps (UTF-8 characters are ≤ 4 bytes), so
+    the whole thing is a handful of byte probes per row, no per-character
+    fold. Matches the reference encoder's truncation contract
+    (ByteWriter.scala:87-106). Strings within budget short-circuit.
     """
-    chars = F.split(col, "(?!^)")  # array of single characters
-    counted = F.aggregate(
-        chars,
-        F.struct(F.lit(0).alias("bytes"), F.lit(0).alias("chars"), F.lit(False).alias("stop")),
-        lambda acc, c: F.when(
-            acc.stop | (acc.bytes + F.octet_length(c) > max_bytes),
-            F.struct(acc.bytes.alias("bytes"), acc.chars.alias("chars"), F.lit(True).alias("stop")),
-        ).otherwise(
-            F.struct(
-                (acc.bytes + F.octet_length(c)).alias("bytes"),
-                (acc.chars + 1).alias("chars"),
-                F.lit(False).alias("stop"),
-            )
-        ),
+    b = F.encode(col, "UTF-8")
+    blen = F.octet_length(col)
+    m = F.least(F.lit(max_bytes), blen)
+
+    def byte_at(p: Column) -> Column:
+        # byte value at 0-based index p (NULL-safe: '' → 0)
+        return F.conv(F.hex(F.substring(b, p + 1, F.lit(1))), 16, 10).cast("int")
+
+    def boundary(p: Column) -> Column:
+        # cutting after p bytes is safe if the next byte starts a character
+        return (p >= blen) | (byte_at(p).bitwiseAND(F.lit(0xC0)) != 0x80)
+
+    def clamp(p: Column) -> Column:
+        return F.greatest(p, F.lit(0))
+
+    cut = (
+        F.when(boundary(m), m)
+        .when(boundary(clamp(m - 1)), clamp(m - 1))
+        .when(boundary(clamp(m - 2)), clamp(m - 2))
+        .otherwise(clamp(m - 3))
     )
-    return F.when(F.octet_length(col) <= max_bytes, col).otherwise(
-        F.substring(col, 1, counted.chars)
+    return F.when(blen <= max_bytes, col).otherwise(
+        F.decode(F.substring(b, F.lit(1), cut), "UTF-8")
     )
 
 

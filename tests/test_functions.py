@@ -177,3 +177,38 @@ class TestMetricsListener:
             assert listener.metrics.batches_completed >= 1
         finally:
             spark.streams.removeListener(listener)
+
+
+class TestTruncatePropertyBased:
+    def test_truncation_properties_bulk(self, spark):
+        """Hypothesis-style property check, batched through one Spark job:
+        for random unicode strings and byte budgets, the result (1) fits
+        the budget, (2) is a character prefix, (3) is maximal — the next
+        character would overflow."""
+        import random
+
+        rng = random.Random(42)
+        # pool spans 1-, 2-, 3-, and 4-byte UTF-8 characters (astral incl.)
+        pool = "aZ9 .äßñéЖ日本語中문𝔘𝕊😀🚀𠀋"
+        cases = [
+            (
+                "".join(rng.choice(pool) for _ in range(rng.randint(0, 12))),
+                rng.randint(0, 16),
+            )
+            for _ in range(300)
+        ]
+        # dedupe and build one DataFrame; few Spark jobs evaluate all cases
+        cases = list({(t, b) for t, b in cases})
+        df = spark.createDataFrame(cases, "t string, b int")
+        out = []
+        for b in sorted({b for _, b in cases}):
+            sub = df.where(F.col("b") == b).select(
+                "t", truncate_utf8(F.col("t"), b).alias("r")
+            )
+            out.extend((r["t"], b, r["r"]) for r in sub.collect())
+        for t, b, r in out:
+            assert len(r.encode("utf-8")) <= b, (t, b, r)
+            assert t.startswith(r), (t, b, r)
+            if len(r) < len(t):
+                nxt = t[len(r)]
+                assert len((r + nxt).encode("utf-8")) > b, (t, b, r)

@@ -248,3 +248,27 @@ class TestCompaction:
         assert sink.committed_data(spark).count() == n2
         assert sink.compact_data(spark) is not None
         assert sink.committed_data(spark).count() == n2
+
+
+class TestBackfillThenStream:
+    def test_bootstrap_from_history_then_stream_continues(self, spark, stream_env):
+        """SURVEY §3.3: load historical data as a bounded backfill batch,
+        then start the stream — one manifest, continuous positions."""
+        sink = ManifestFileSink(stream_env["out"])
+        history = as_stream_records(
+            load_table(spark, "/root/testdata/sf0.001", "events")
+        ).withColumn("offset", F.col("offset") - 500_000)  # older offsets
+
+        # bounded backfill committed under a reserved pre-stream batch id
+        sink.write_batch(history, -1)
+        assert sink.is_batch_committed(-1)
+        n = history.count()
+        assert sink.committed_data(spark).count() == n
+
+        # now the live stream appends through the same sink
+        run_pipeline(spark, stream_env, sink)
+        total = sink.committed_data(spark)
+        assert total.count() == 2 * n
+        # positions reflect the LIVE stream's maxima (backfill is older)
+        pos = sink.committed_positions()
+        assert all(p.offset > 0 for p in pos.values())
