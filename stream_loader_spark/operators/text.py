@@ -109,7 +109,12 @@ def with_lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stable document fingerprint: sha256 of the normalized text."""
-    return scatter(documents).withColumn(
+    """Stable document fingerprint: sha256 of the normalized text.
+
+    No scatter: one sha256 per row is lighter than the repartition
+    shuffle would cost — scatter only pays off for CPU-heavy per-row
+    work (shingling, signatures), not single-hash projections.
+    """
+    return documents.withColumn(
         "fingerprint", F.sha2(normalized_text(F.col(text_col)), 256)
     )
