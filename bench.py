@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "q16_supplier_variety",
     "q18_large_orders",
     "q19_disjunctive_revenue",
+    "q17_small_quantity_revenue",
+    "intersect_building_big_orders",
+    "grouping_sets_orders",
     "top_orders_per_segment",
     "anti_join_idle_customers",
     "semi_join_active_suppliers",

@@ -1293,3 +1293,49 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, CorpusCleanConfig(keep_langs=("en", "de", "es", "fr"), min_quality=0.3)
     )
     return cleaned.select("doc_id", "pred_lang", "quality_score", "token_count")
+
+
+# ---------------------------------------------------------------------------
+# SQL-API surface: correlated scalar subquery, INTERSECT, GROUPING SETS
+# (identical SQL text runs on Spark SQL and the DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+from stream_loader_spark.sources.tables import register_all  # noqa: E402
+
+_Q17_SQL = """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#5'
+  AND l.l_quantity < (
+    SELECT 0.2 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""
+
+_INTERSECT_SQL = """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000"""
+
+_GROUPING_SETS_SQL = """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS order_count
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())"""
+
+
+@query("q17_small_quantity_revenue", _Q17_SQL)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    threshold) — Catalyst rewrites it to a de-correlated aggregate join.
+    The identical SQL text is the oracle."""
+    register_all(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+@query("intersect_building_big_orders", _INTERSECT_SQL)
+def intersect_building_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (INTERSECT DISTINCT)."""
+    register_all(spark, sf_dir)
+    return spark.sql(_INTERSECT_SQL)
+
+
+@query("grouping_sets_orders", _GROUPING_SETS_SQL)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with disjoint grouping columns + grand total."""
+    register_all(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
