@@ -63,7 +63,12 @@ class CHType:
 
     def _encode_scalar(self, v) -> bytes:
         if self.nullable:
-            if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NA:
+            if (
+                v is None
+                or v is pd.NA
+                or v is pd.NaT  # null temporal from pandas frames
+                or (isinstance(v, float) and pd.isna(v))
+            ):
                 return b"\x01"
             return b"\x00" + _encode_value(self.name, v)
         if v is None:

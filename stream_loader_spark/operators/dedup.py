@@ -242,7 +242,7 @@ def dedup_components(
     documents: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    max_iterations: int = 20,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (id → cluster_id).
 
@@ -276,6 +276,7 @@ def dedup_components(
         .localCheckpoint()
     )
 
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -293,8 +294,16 @@ def dedup_components(
         changed = updated.where(F.col("new_label") != F.col("label")).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # silent partial convergence would split clusters and keep
+        # near-duplicate "representatives" — fail loudly instead
+        raise RuntimeError(
+            f"connected components did not converge in {max_iterations} rounds; "
+            "raise max_iterations (graph diameter exceeds it)"
+        )
     pairs.unpersist()
     paired = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
     singletons = documents.select(F.col(id_col)).join(

@@ -229,7 +229,9 @@ def cosine_near_dup_pairs(
     # be read by Spark as (element, index).
     def plane_term(p: int):
         def apply(i: Column) -> Column:
-            coeff = (F.xxhash64(i, F.lit(p)) % 1000).cast("double") / 500.0 - 1.0
+            # pmod keeps the coefficient in [0, 1000) for negative hashes
+            # too, so coefficients are centered on 0 in [-1, 1)
+            coeff = F.pmod(F.xxhash64(i, F.lit(p)), F.lit(1000)).cast("double") / 500.0 - 1.0
             return F.element_at(F.col(vec_col), i + 1).cast("double") * coeff
 
         return apply

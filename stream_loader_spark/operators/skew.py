@@ -35,9 +35,17 @@ def salted_join(
 
     The big side gets a deterministic per-row salt (hash of all its
     columns, cheap and reproducible); the small side is exploded ×R so
-    every (key, salt) combination exists. Output equals the unsalted
-    join exactly — only the shuffle distribution changes.
+    every (key, salt) combination exists. For the supported join types
+    the output equals the unsalted join exactly — only the shuffle
+    distribution changes. Right/full joins are rejected: replicated
+    small-side rows would null-extend once per salt bucket.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "leftsemi", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} joins; {how!r} would "
+            "duplicate unmatched small-side rows across salt buckets"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
     big_s = big.withColumn("_salt", salt)
     small_s = small.withColumn(

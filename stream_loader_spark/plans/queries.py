@@ -1211,14 +1211,13 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event picks up the customer's latest order at or
     before its event time (union-and-carry window implementation; DuckDB
     verifies with its native ASOF JOIN)."""
+    from stream_loader_spark.sources.kafka_view import event_ts_col
+
     ev = load_table(spark, sf_dir, "events")
-    ts = F.col("ts")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ts = F.timestamp_micros(F.expr("ts div 1000"))
     e = ev.where(F.col("event_id") < 2000).select(
         F.col("event_id"),
         (F.col("user_id") % 8).cast("int").alias("upart"),
-        ts.alias("ts"),
+        event_ts_col(ev).alias("ts"),
     )
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"

@@ -82,9 +82,36 @@ class IcebergOffsetsSink:
         self.table = table
         self.consumer_group = consumer_group
 
+    def is_batch_committed(self, ranges) -> bool:
+        """A batch is committed iff every range it covers is already at or
+        behind the positions recorded in the table properties — the
+        reference's isBatchCommitted check (RecordBatchStorage.scala:44-64)."""
+        committed = self.committed_positions()
+        if not committed:
+            return False
+        for r in ranges:
+            pos = committed.get((r["topic"], r["partition"]))
+            if pos is None or r["end_offset"] >= pos.offset:
+                return False
+        return True
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Append + mirror offsets.
+
+        NOTE: the DataFrame API cannot put the append and the property
+        update in ONE Iceberg transaction (the reference does,
+        IcebergRecordBatchStorage.scala:47-64, via the Java Transaction
+        API — the seam to graft when running with a real catalog). The
+        replay guard below closes the restart-duplication window: a
+        replayed batch whose ranges are already behind the recorded
+        positions is skipped; only a crash exactly between append and
+        property update needs the Java-transaction upgrade.
+        """
         batch_df = batch_df.persist()
         ranges = stream_ranges(batch_df).collect()
+        if self.is_batch_committed(ranges):
+            batch_df.unpersist()
+            return
         batch_df.drop("topic", "partition", "offset").writeTo(self.table).append()
         props = ", ".join(
             f"'{offset_property(self.consumer_group, r['topic'], r['partition'])}'="

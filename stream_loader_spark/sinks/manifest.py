@@ -251,11 +251,14 @@ class ManifestFileSink:
         from stream_loader_spark.model.range import merge_ranges
 
         merged = merge_ranges([r for b in live for r in b.ranges])
+        # transitive closure: carry forward every id ever replaced so the
+        # newest record alone proves old batches committed after vacuum
+        all_replaced = self._replaced_ids() | {b.batch_id for b in live}
         record = {
             "batch_id": max_id,
             "token": dedup_token(merged),
             "data_dir": target,
-            "replaces": sorted(b.batch_id for b in live),
+            "replaces": sorted(all_replaced),
             "ranges": [
                 {
                     "topic": r.topic,
@@ -281,19 +284,39 @@ class ManifestFileSink:
 
     def vacuum(self) -> list[str]:
         """Delete data dirs and manifest records superseded by a
-        compaction (safe any time after the compaction record exists)."""
+        compaction (safe any time after the compaction record exists).
+
+        Works record-by-record using each record's own ``data_dir``, so
+        superseded COMPACTION outputs (``data/compact=N``) are reclaimed
+        the same way as original batch dirs.
+        """
         import shutil
 
         removed = []
-        replaced = self._replaced_ids()
-        for batch_id in replaced:
-            path = self._manifest_path(batch_id)
-            if os.path.exists(path):
-                os.unlink(path)
-            data = self.batch_data_dir(batch_id)
-            if os.path.exists(data):
+        records = self._read_records()
+        compactions = [r for r in records if r.get("replaces")]
+        if not compactions:
+            return removed
+        newest = max(r["batch_id"] for r in compactions)
+        replaced = {b for r in compactions for b in r["replaces"]}
+        for name in sorted(os.listdir(self._manifest_dir)):
+            if not name.endswith(".json"):
+                continue
+            path = os.path.join(self._manifest_dir, name)
+            with open(path) as f:
+                rec = json.load(f)
+            is_compaction = bool(rec.get("replaces"))
+            superseded = (
+                (is_compaction and rec["batch_id"] < newest)
+                or (not is_compaction and rec["batch_id"] in replaced)
+            )
+            if not superseded:
+                continue
+            data = rec.get("data_dir")
+            if data and os.path.exists(data):
                 shutil.rmtree(data)
                 removed.append(data)
+            os.unlink(path)
         return removed
 
     def compact(self, spark: SparkSession) -> str:

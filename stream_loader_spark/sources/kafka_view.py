@@ -34,16 +34,22 @@ KAFKA_VIEW_SQL = (
 )
 
 
-def as_stream_records(events: DataFrame) -> DataFrame:
-    """events fixture → (topic, partition, offset, ts, value, props).
+def event_ts_col(events: DataFrame, ts_col: str = "ts") -> Column:
+    """Event-time column of the events fixture as a proper timestamp.
 
     The fixture stores nanosecond timestamps, which Spark surfaces as
     raw longs (``spark.sql.legacy.parquet.nanosAsLong``); they are
     truncated to microseconds here, matching DuckDB's nanos→micros read.
+    The one place this conversion lives — every events consumer uses it.
     """
-    ts = F.col("ts")
-    if dict(events.dtypes).get("ts") == "bigint":
-        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    if dict(events.dtypes).get(ts_col) == "bigint":
+        return F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+    return F.col(ts_col)
+
+
+def as_stream_records(events: DataFrame) -> DataFrame:
+    """events fixture → (topic, partition, offset, ts, value, props)."""
+    ts = event_ts_col(events)
     return events.select(
         F.col("event_type").alias("topic"),
         (F.col("user_id") % NUM_PARTITIONS).cast("int").alias("partition"),

@@ -53,8 +53,10 @@ def with_tracked_watermark(
             ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
             valid = ts_ms <= now_ms + valid_diff_ms
             candidates = np.where(valid, ts_ms, -(2**62))
-            running = np.maximum.accumulate(np.concatenate(([wm], candidates))[1:])
-            running = np.maximum(running, wm)
+            # running max of valid event times, floored by the carried state
+            running = np.maximum(np.maximum.accumulate(candidates), wm) if len(
+                candidates
+            ) else candidates
             wm = int(running[-1]) if len(running) else wm
             pdf["watermark_ms"] = running
             yield pdf[in_cols + ["watermark_ms"]]

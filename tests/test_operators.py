@@ -308,3 +308,32 @@ class TestCleanCorpus:
         n_copies_left = sum(1 for i in ids if 10000 <= i < 20000)
         assert n_copies_left <= 0.05 * (n_in / 3)
         assert {"pred_lang", "quality_score", "token_count"} <= set(cleaned.columns)
+
+
+class TestReviewRegressions:
+    def test_salted_join_rejects_right_and_full(self, spark):
+        from stream_loader_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame([(1, "x")], "k long, v string")
+        small = spark.createDataFrame([(1, "y")], "k long, w string")
+        for how in ("right", "full", "outer"):
+            with pytest.raises(ValueError, match="salted_join supports"):
+                salted_join(big, small, ["k"], how=how)
+        # left keeps unmatched big rows exactly once
+        big2 = spark.createDataFrame([(1, "x"), (2, "z")], "k long, v string")
+        rows = salted_join(big2, small, ["k"], how="left").collect()
+        assert len(rows) == 2
+
+    def test_components_converge_on_long_chain(self, spark):
+        from stream_loader_spark.operators.dedup import dedup_components
+
+        n = 30
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        chain = spark.createDataFrame(
+            [(i, i + 1, 0.9) for i in range(n - 1)], "doc_a long, doc_b long, jaccard double"
+        )
+        comps = {r["doc_id"]: r["cluster_id"] for r in dedup_components(docs, chain).collect()}
+        assert set(comps.values()) == {0}  # one cluster, fully propagated
+
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup_components(docs, chain, max_iterations=3)

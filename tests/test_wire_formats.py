@@ -138,3 +138,23 @@ class TestVerticaNativeGoldenBytes:
             == "COPY t FROM STDIN ZSTD NATIVE ABORT ON ERROR AUTO NO COMMIT"
         )
         assert "DELIMITER" in copy_statement("t", csv=True)
+
+
+class TestRowBinaryNulls:
+    def test_null_temporal_from_pandas_frames(self, spark):
+        """Nullable DateTime columns arrive as pd.NaT through mapInPandas;
+        they must encode as the 0x01 null marker, not crash."""
+        from pyspark.sql import functions as F
+
+        enc = RowBinaryEncoder(
+            [("id", CHType("Int64")), ("t", CHType("DateTime64(3)", nullable=True))]
+        )
+        df = spark.range(4).select(
+            "id",
+            F.when(F.col("id") % 2 == 0, F.current_timestamp()).alias("t"),
+        ).coalesce(1)
+        out = enc.encode_df(df).collect()
+        assert out[0]["num_rows"] == 4
+        payload = bytes(out[0]["payload"])
+        # rows 1 and 3 (odd ids) carry the null marker after their int64
+        assert payload.count(b"\x01") >= 2
