@@ -115,7 +115,8 @@ class IcebergOffsetsSink:
         batch_df.drop("topic", "partition", "offset").writeTo(self.table).append()
         props = ", ".join(
             f"'{offset_property(self.consumer_group, r['topic'], r['partition'])}'="
-            f"'{r['end_offset']}:{int(r['end_watermark'].timestamp() * 1000)}'"
+            f"'{r['end_offset']}:"
+            f"{int(r['end_watermark'].timestamp() * 1000) if r['end_watermark'] is not None else 0}'"
             for r in ranges
         )
         if props:

@@ -96,6 +96,46 @@ class ManifestFileSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         self.write_batch(batch_df, batch_id)
 
+    def _build_writer(self, df: DataFrame):
+        writer = df.write.mode("overwrite").format(self.file_format)
+        for k, v in self.writer_options.items():
+            writer = writer.option(k, v)
+        if self.partition_by:
+            writer = writer.partitionBy(self.partition_by)
+        return writer
+
+    @staticmethod
+    def _range_dicts(ranges: list[StreamRange]) -> list[dict]:
+        return [
+            {
+                "topic": r.topic,
+                "partition": r.partition,
+                "start_offset": r.start.offset,
+                "end_offset": r.end.offset,
+                "end_watermark_ms": r.end.watermark_ms,
+            }
+            for r in ranges
+        ]
+
+    def _atomic_write_json(self, record: dict, final_name: str) -> None:
+        """Durable atomic publish: fsync the temp file, rename, fsync the
+        directory so the rename itself survives power loss."""
+        fd, tmp = tempfile.mkstemp(dir=self._manifest_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(record, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, os.path.join(self._manifest_dir, final_name))
+            dir_fd = os.open(self._manifest_dir, os.O_RDONLY)
+            try:
+                os.fsync(dir_fd)
+            finally:
+                os.close(dir_fd)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.is_batch_committed(batch_id):
             # replayed micro-batch after restart: commit already atomic+durable
@@ -112,16 +152,16 @@ class ManifestFileSink:
                         StreamPosition(row["start_offset"], 0),
                         StreamPosition(
                             row["end_offset"],
-                            int(row["end_watermark"].timestamp() * 1000),
+                            # a partition whose every record has a NULL ts
+                            # still commits (watermark floor 0) instead of
+                            # crash-looping the query on a poison batch
+                            int(row["end_watermark"].timestamp() * 1000)
+                            if row["end_watermark"] is not None
+                            else 0,
                         ),
                     )
                 )
-        writer = batch_df.write.mode("overwrite").format(self.file_format)
-        for k, v in self.writer_options.items():
-            writer = writer.option(k, v)
-        if self.partition_by:
-            writer = writer.partitionBy(self.partition_by)
-        writer.save(self.batch_data_dir(batch_id))
+        self._build_writer(batch_df).save(self.batch_data_dir(batch_id))
         if self.meta_cols is not None:
             batch_df.unpersist()
         self._commit_manifest(batch_id, ranges)
@@ -131,27 +171,9 @@ class ManifestFileSink:
             "batch_id": batch_id,
             "token": dedup_token(ranges),
             "data_dir": self.batch_data_dir(batch_id),
-            "ranges": [
-                {
-                    "topic": r.topic,
-                    "partition": r.partition,
-                    "start_offset": r.start.offset,
-                    "end_offset": r.end.offset,
-                    "end_watermark_ms": r.end.watermark_ms,
-                }
-                for r in ranges
-            ],
+            "ranges": self._range_dicts(ranges),
         }
-        fd, tmp = tempfile.mkstemp(dir=self._manifest_dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(record, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.rename(tmp, self._manifest_path(batch_id))  # atomic commit point
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        self._atomic_write_json(record, os.path.basename(self._manifest_path(batch_id)))
 
     # -- readback -------------------------------------------------------
     def _read_records(self) -> list[dict]:
@@ -176,9 +198,14 @@ class ManifestFileSink:
         ]
 
     def _replaced_ids(self) -> set[int]:
+        """Only compaction records carry ``replaces`` — reading just them
+        keeps the per-batch committed check O(#compactions), not O(#batches)."""
         replaced: set[int] = set()
-        for rec in self._read_records():
-            replaced.update(rec.get("replaces", []))
+        for name in os.listdir(self._manifest_dir):
+            if not (name.startswith("compaction-") and name.endswith(".json")):
+                continue
+            with open(os.path.join(self._manifest_dir, name)) as f:
+                replaced.update(json.load(f).get("replaces", []))
         return replaced
 
     def committed_batches(self) -> list[CommittedBatch]:
@@ -241,12 +268,7 @@ class ManifestFileSink:
         df = spark.read.format(self.file_format).load(
             [b.data_dir for b in live if os.path.exists(b.data_dir)]
         )
-        writer = df.write.mode("overwrite").format(self.file_format)
-        for k, v in self.writer_options.items():
-            writer = writer.option(k, v)
-        if self.partition_by:
-            writer = writer.partitionBy(self.partition_by)
-        writer.save(target)
+        self._build_writer(df).save(target)
 
         from stream_loader_spark.model.range import merge_ranges
 
@@ -259,27 +281,9 @@ class ManifestFileSink:
             "token": dedup_token(merged),
             "data_dir": target,
             "replaces": sorted(all_replaced),
-            "ranges": [
-                {
-                    "topic": r.topic,
-                    "partition": r.partition,
-                    "start_offset": r.start.offset,
-                    "end_offset": r.end.offset,
-                    "end_watermark_ms": r.end.watermark_ms,
-                }
-                for r in merged
-            ],
+            "ranges": self._range_dicts(merged),
         }
-        fd, tmp = tempfile.mkstemp(dir=self._manifest_dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(record, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.rename(tmp, os.path.join(self._manifest_dir, f"compaction-{max_id:020d}.json"))
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        self._atomic_write_json(record, f"compaction-{max_id:020d}.json")
         return target
 
     def vacuum(self) -> list[str]:

@@ -65,10 +65,23 @@ class InRowOffsetsSink:
         # deterministic per-batch dir + overwrite = idempotent replay
         batch_df.select(*cols).write.mode("overwrite").parquet(self._batch_dir(batch_id))
 
+    def _committed_dirs(self) -> list[str]:
+        """Only batch dirs whose _SUCCESS marker exists — a crashed
+        partial write must stay invisible to readers and recovery."""
+        if not os.path.isdir(self.table_dir):
+            return []
+        return [
+            os.path.join(self.table_dir, d)
+            for d in sorted(os.listdir(self.table_dir))
+            if d.startswith("batch=")
+            and os.path.exists(os.path.join(self.table_dir, d, "_SUCCESS"))
+        ]
+
     def table(self, spark: SparkSession) -> DataFrame:
-        return spark.read.option("basePath", self.table_dir).parquet(
-            os.path.join(self.table_dir, "batch=*")
-        )
+        dirs = self._committed_dirs()
+        if not dirs:
+            raise ValueError("no committed batches")
+        return spark.read.option("basePath", self.table_dir).parquet(*dirs)
 
     def committed_positions(self, spark: SparkSession) -> DataFrame:
         """A1 recovery query over the data table itself."""
@@ -121,9 +134,17 @@ class ExternalOffsetsSink:
         batch_df.unpersist()
 
     def offsets_table(self, spark: SparkSession) -> DataFrame:
-        return spark.read.option("basePath", self.offsets_dir).parquet(
-            os.path.join(self.offsets_dir, "batch=*")
-        )
+        # only offsets dirs with a _SUCCESS marker: the offsets write IS
+        # the commit point, so partial writes must not steer recovery
+        dirs = [
+            os.path.join(self.offsets_dir, d)
+            for d in sorted(os.listdir(self.offsets_dir))
+            if d.startswith("batch=")
+            and os.path.exists(os.path.join(self.offsets_dir, d, "_SUCCESS"))
+        ] if os.path.isdir(self.offsets_dir) else []
+        if not dirs:
+            raise ValueError("no committed offset batches")
+        return spark.read.option("basePath", self.offsets_dir).parquet(*dirs)
 
     def committed_positions(self, spark: SparkSession) -> DataFrame:
         """A3 recovery query over the offsets table."""

@@ -57,5 +57,15 @@ class PartitionGroupingPipeline:
         }
 
     def run_available_all(self, timeout_sec: int = 300) -> None:
+        """Drain every group; one group's failure never prevents the
+        others from draining (the isolation this class exists for).
+        Failures are collected and re-raised together at the end."""
+        failures: dict[str, Exception] = {}
         for g, pred in self.grouping.items():
-            self._pipeline_for(g, pred).run_available(timeout_sec)
+            try:
+                self._pipeline_for(g, pred).run_available(timeout_sec)
+            except Exception as e:  # noqa: BLE001 — isolate per group
+                failures[g] = e
+        if failures:
+            details = "; ".join(f"{g}: {e}" for g, e in failures.items())
+            raise RuntimeError(f"{len(failures)} partition group(s) failed: {details}")

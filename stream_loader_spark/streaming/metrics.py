@@ -46,7 +46,9 @@ class MetricsListener(StreamingQueryListener):
         m.last_process_rows_per_sec = p.processedRowsPerSecond or 0.0
         m.last_batch_duration_ms = p.batchDuration
         watermark = (p.eventTime or {}).get("watermark")
-        if watermark:
+        # Spark reports the epoch as a placeholder until the first real
+        # watermark; treating it as real would gauge a ~56-year delay
+        if watermark and not watermark.startswith("1970-01-01T00:00:00"):
             wm = datetime.fromisoformat(watermark.replace("Z", "+00:00"))
             now = datetime.now(timezone.utc)
             m.last_watermark_delay_ms = int((now - wm).total_seconds() * 1000)

@@ -165,7 +165,18 @@ class StreamPipeline:
 
     def run_available(self, timeout_sec: int = 300) -> None:
         """Drain everything currently available, then stop (the bounded
-        form used by tests and backfills)."""
+        form used by tests and backfills). Raises if the drain does not
+        finish within ``timeout_sec`` — a silent partial drain would let
+        callers read half-written state."""
+        saved_trigger = self._trigger
         self._trigger = {"availableNow": True}
-        q = self.start()
-        q.awaitTermination(timeout_sec)
+        try:
+            q = self.start()
+            finished = q.awaitTermination(timeout_sec)
+            if not finished:
+                q.stop()
+                raise TimeoutError(
+                    f"availableNow drain did not finish within {timeout_sec}s"
+                )
+        finally:
+            self._trigger = saved_trigger

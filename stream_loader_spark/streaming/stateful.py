@@ -48,19 +48,27 @@ def with_tracked_watermark(
     def track(key, pdfs, state: GroupState):
         wm = state.get[0] if state.exists else -1
         now_ms = now_ms_fn()
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["offset"]).reset_index(drop=True)
-            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
-            valid = ts_ms <= now_ms + valid_diff_ms
-            candidates = np.where(valid, ts_ms, -(2**62))
-            # running max of valid event times, floored by the carried state
-            running = np.maximum(np.maximum.accumulate(candidates), wm) if len(
-                candidates
-            ) else candidates
-            wm = int(running[-1]) if len(running) else wm
-            pdf["watermark_ms"] = running
-            yield pdf[in_cols + ["watermark_ms"]]
+        # Arrow chunks of one group arrive in arbitrary shuffle order, so
+        # the whole group is buffered and sorted by offset before the
+        # cumulative max runs — the per-record stamp must reflect stream
+        # order, not chunk arrival order. Memory is bounded by the
+        # micro-batch's share of one (topic, partition).
+        chunks = [pdf for pdf in pdfs]
+        if not chunks:
+            state.update((wm,))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["offset"]).reset_index(
+            drop=True
+        )
+        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
+        valid = ts_ms <= now_ms + valid_diff_ms
+        candidates = np.where(valid, ts_ms, -(2**62))
+        # running max of valid event times, floored by the carried state
+        running = np.maximum(np.maximum.accumulate(candidates), wm)
+        wm = int(running[-1]) if len(running) else wm
+        pdf["watermark_ms"] = running
         state.update((wm,))
+        yield pdf[in_cols + ["watermark_ms"]]
 
     return (
         stream.groupBy("topic", "partition")

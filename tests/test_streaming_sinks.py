@@ -272,3 +272,43 @@ class TestBackfillThenStream:
         # positions reflect the LIVE stream's maxima (backfill is older)
         pos = sink.committed_positions()
         assert all(p.offset > 0 for p in pos.values())
+
+
+class TestPartialWriteInvisibility:
+    def test_inrow_recovery_ignores_partial_batch_dir(self, spark, stream_env):
+        sink = InRowOffsetsSink(stream_env["out"])
+        batch = as_stream_records(load_table(spark, "/root/testdata/sf0.001", "events"))
+        sink(batch, 0)
+        pos_before = sorted(map(tuple, sink.committed_positions(spark).collect()))
+
+        # simulate a crashed partial write: parquet rows but no _SUCCESS
+        partial = os.path.join(stream_env["out"], "batch=99")
+        batch.withColumn("offset", F.col("offset") + 10_000_000).select(
+            F.col("topic").alias("_topic"),
+            F.col("partition").alias("_partition"),
+            F.col("offset").alias("_offset"),
+            F.col("ts").alias("_watermark"),
+        ).write.mode("overwrite").parquet(partial)
+        os.remove(os.path.join(partial, "_SUCCESS"))
+
+        # recovery must not be steered past records that never committed
+        assert sorted(map(tuple, sink.committed_positions(spark).collect())) == pos_before
+        assert sink.table(spark).count() == batch.count()
+
+    def test_external_offsets_recovery_ignores_partial_dir(self, spark, stream_env, tmp_path):
+        sink = ExternalOffsetsSink(
+            str(tmp_path / "data"), str(tmp_path / "offsets"), consumer_group="cg1"
+        )
+        batch = as_stream_records(load_table(spark, "/root/testdata/sf0.001", "events"))
+        sink(batch, 0)
+        pos_before = sorted(map(tuple, sink.committed_positions(spark).collect()))
+
+        partial = str(tmp_path / "offsets" / "batch=99")
+        spark.createDataFrame(
+            [(99, "cg1", "t", 0, 0, 99_999_999, None)],
+            "_batch_id long, _consumer_group string, _topic string, _partition int, "
+            "_start_offset long, _end_offset long, _end_watermark timestamp",
+        ).write.mode("overwrite").parquet(partial)
+        os.remove(os.path.join(partial, "_SUCCESS"))
+
+        assert sorted(map(tuple, sink.committed_positions(spark).collect())) == pos_before
