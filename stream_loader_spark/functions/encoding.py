@@ -99,13 +99,19 @@ def checked_decimal(col: Column, precision: int, scale: int, on_overflow: str = 
 
 @dataclass(frozen=True)
 class ColumnSpec:
-    """One output column with optional constraints."""
+    """One output column with optional constraints.
+
+    ``decimal_overflow``: 'error' (default — ANSI cast fails the job on
+    the first out-of-range value, the reference encoder's behavior) or
+    'null' (out-of-range → NULL via try_cast).
+    """
 
     name: str
     source: str | None = None  # defaults to name
     max_bytes: int | None = None  # VARCHAR(n): truncate
     fixed_bytes: int | None = None  # CHAR(n): truncate + pad
     decimal: tuple[int, int] | None = None  # (precision, scale)
+    decimal_overflow: str = "error"
 
     def expr(self) -> Column:
         c = F.col(self.source or self.name)
@@ -115,7 +121,7 @@ class ColumnSpec:
             c = fixed_utf8(c, self.fixed_bytes)
         if self.decimal is not None:
             p, s = self.decimal
-            c = c.cast(f"decimal({p},{s})")
+            c = checked_decimal(c, p, s, self.decimal_overflow)
         return c.alias(self.name)
 
 

@@ -82,7 +82,12 @@ class VerticaNativeEncoder:
         values = bytearray()
         for i, col in enumerate(self.columns):
             v = row[col.name]
-            if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+            if (
+                v is None
+                or v is pd.NaT
+                or v is pd.NA  # pandas extension-dtype null
+                or (isinstance(v, float) and pd.isna(v))
+            ):
                 bitmap[i // 8] |= 0x80 >> (i % 8)  # docs: MSB-first null bits
             else:
                 values += col.encode(v)

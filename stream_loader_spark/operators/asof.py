@@ -14,9 +14,11 @@ union-and-carry trick:
 4. keep only left rows.
 
 Cost is one shuffle by key + one sort — the same shape as a window
-aggregation, linear in input size, skew-tolerant via AQE. Right rows
-are first reduced to one per (key, time) (latest by tie-break id) so
-the result is deterministic, matching DuckDB's ASOF JOIN oracle.
+aggregation, linear in input size, skew-tolerant via AQE. With a
+``tie_break`` column the right side is first reduced to one row per
+(key, time) so the result is deterministic, matching DuckDB's ASOF
+JOIN oracle; the carried payload is a single struct, so all payload
+columns always come from the SAME right row (including its NULLs).
 """
 
 from __future__ import annotations
@@ -38,7 +40,10 @@ def asof_join(
     ``right_time <= left_time``; unmatched left rows keep NULL payloads.
 
     ``tie_break`` names a unique right column used to pick ONE right row
-    when several share (key, right_time).
+    when several share (key, right_time); pass ``None`` ONLY when the
+    right side is already unique per (key, time) — otherwise the carried
+    payload depends on partitioning order and results are
+    nondeterministic.
     """
     if tie_break is not None:
         w_dedup = Window.partitionBy(key, right_time).orderBy(F.desc(tie_break))
@@ -49,19 +54,26 @@ def asof_join(
         )
 
     left_cols = left.columns
+    # the payload is carried as ONE struct: per-column carries would mix
+    # fields from different right rows and resurrect legitimately-NULL
+    # payload values from older rows
+    payload_struct = F.struct(*[F.col(c) for c in payload_cols])
+    null_struct = F.lit(None).cast(
+        "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload_cols) + ">"
+    )
     tagged_left = left.select(
         F.col(key).alias("_key"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload_cols],
+        null_struct.alias("_r"),
     )
     tagged_right = right.select(
         F.col(key).alias("_key"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+        payload_struct.alias("_r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
 
@@ -72,14 +84,8 @@ def asof_join(
         .orderBy("_t", "_is_left")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in payload_cols
-        ],
-    )
+    carried = unioned.select("*", F.last("_r", ignorenulls=True).over(w).alias("_asof"))
     return carried.where(F.col("_is_left") == 1).select(
         *[F.col(c) for c in left_cols],
-        *[F.col(f"_asof_{c}").alias(c) for c in payload_cols],
+        *[F.col(f"_asof.{c}").alias(c) for c in payload_cols],
     )

@@ -50,10 +50,11 @@ def clean_corpus(documents: DataFrame, config: CorpusCleanConfig = CorpusCleanCo
     if config.keep_langs:
         df = df.where(F.col("pred_lang").isin(*config.keep_langs))
 
-    stats = with_text_stats(df, text_col).select(
-        id_col, "token_count", "quality_score"
+    # with_text_stats preserves its input columns, so the stats attach in
+    # the same pass — no self-join, no second scan of the lang-id lineage
+    df = with_text_stats(df, text_col).drop(
+        "char_count", "punct_count", "avg_token_len", "stopword_ratio", "punct_ratio"
     )
-    df = df.join(stats, id_col)
     if config.min_quality > 0:
         df = df.where(F.col("quality_score") >= config.min_quality)
 

@@ -277,27 +277,30 @@ def dedup_components(
     )
 
     converged = False
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        updated = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("new_label"),
-                F.col("label"),
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("label").alias("nbr_label"))
             )
-        ).localCheckpoint()
-        changed = updated.where(F.col("new_label") != F.col("label")).count()
-        labels = updated.select("node", F.col("new_label").alias("label"))
-        if changed == 0:
-            converged = True
-            break
-    edges.unpersist()
+            updated = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("new_label"),
+                    F.col("label"),
+                )
+            ).localCheckpoint()
+            changed = updated.where(F.col("new_label") != F.col("label")).count()
+            labels = updated.select("node", F.col("new_label").alias("label"))
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        edges.unpersist()
     if not converged:
+        pairs.unpersist()
         # silent partial convergence would split clusters and keep
         # near-duplicate "representatives" — fail loudly instead
         raise RuntimeError(

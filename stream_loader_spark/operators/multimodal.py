@@ -64,7 +64,10 @@ def _byte_histogram(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
     if content is None or len(content) == 0:
         return [0.0] * dim
     arr = np.frombuffer(content, dtype=np.uint8)
-    hist = np.bincount(arr // (256 // dim), minlength=dim).astype(np.float64)
+    # byte b → bucket b*dim//256 maps 0..255 onto exactly 0..dim-1 for any
+    # dim ≤ 256 (integer floor-division by a non-divisor would spill an
+    # extra bucket)
+    hist = np.bincount(arr.astype(np.int64) * dim // 256, minlength=dim).astype(np.float64)
     return (hist / hist.sum()).tolist()
 
 

@@ -250,7 +250,10 @@ def cosine_near_dup_pairs(
             for p in range(num_planes)
         ]
     )
-    buckets = scatter(embeddings).select(
+    # empty vectors have no meaningful direction and would make
+    # sequence(0, -1) descend into an element_at(vec, 0) error
+    nonempty = embeddings.where(F.size(F.col(vec_col)) > 0)
+    buckets = scatter(nonempty).select(
         id_col, vec_col, F.concat_ws("", sig).alias("bucket")
     )
     left, right = buckets.alias("l"), buckets.alias("r")

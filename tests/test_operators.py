@@ -337,3 +337,43 @@ class TestReviewRegressions:
 
         with pytest.raises(RuntimeError, match="did not converge"):
             dedup_components(docs, chain, max_iterations=3)
+
+
+class TestAsofJoinSemantics:
+    def test_null_payload_fields_are_not_resurrected(self, spark):
+        """The carried payload must be the WHOLE latest right row — a NULL
+        field in it stays NULL instead of leaking from an older row."""
+        from stream_loader_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 3)], "k long, t long")
+        right = spark.createDataFrame(
+            [(1, 1, 5, 100.0), (1, 2, 7, None)],
+            "k long, rt long, okey long, price double",
+        )
+        row = asof_join(
+            left, right, key="k", left_time="t", right_time="rt",
+            payload_cols=["okey", "price"], tie_break="okey",
+        ).collect()[0]
+        assert row["okey"] == 7
+        assert row["price"] is None  # NOT 100.0 from the older row
+
+    def test_unmatched_left_rows_keep_null_payload(self, spark):
+        from stream_loader_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 0), (2, 5)], "k long, t long")
+        right = spark.createDataFrame([(1, 1, 9)], "k long, rt long, okey long")
+        rows = {r["k"]: r["okey"] for r in asof_join(
+            left, right, key="k", left_time="t", right_time="rt",
+            payload_cols=["okey"], tie_break="okey",
+        ).collect()}
+        assert rows == {1: None, 2: None}  # t=0 precedes rt=1; k=2 has no right
+
+
+class TestHistogramDims:
+    def test_non_divisor_dim_stays_within_bounds(self):
+        from stream_loader_spark.operators.multimodal import _byte_histogram
+
+        for dim in (12, 16, 10, 7):
+            h = _byte_histogram(bytes(range(256)), dim)
+            assert len(h) == dim
+            assert abs(sum(h) - 1.0) < 1e-9
