@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "asof_join_last_order",
     "value_percentiles",
     "pivot_daily_event_counts",
+    "range_join_purchase_windows",
     # training-data pipeline
     "text_stats",
     "lang_id",

@@ -1338,3 +1338,52 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS with disjoint grouping columns + grand total."""
     register_all(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+from stream_loader_spark.operators.rangejoin import binned_range_join  # noqa: E402
+
+
+@query(
+    "range_join_purchase_windows",
+    f"""{_KAFKA_CTE},
+    purchases AS (
+      SELECT "partition" AS upart, "offset" AS purchase_id, ts AS pstart,
+             ts + INTERVAL 1 HOUR AS pend
+      FROM kafka WHERE topic = 'purchase'),
+    activity AS (
+      SELECT "partition" AS upart, "offset" AS event_id, ts, topic
+      FROM kafka WHERE topic IN ('view', 'click'))
+    SELECT p.purchase_id,
+           COUNT(*) AS events_in_window,
+           SUM(CASE WHEN a.topic = 'view' THEN 1 ELSE 0 END) AS views,
+           SUM(CASE WHEN a.topic = 'click' THEN 1 ELSE 0 END) AS clicks
+    FROM purchases p JOIN activity a
+      ON a.upart = p.upart AND a.ts >= p.pstart AND a.ts < p.pend
+    GROUP BY p.purchase_id""",
+)
+def range_join_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via binning: views/clicks of the same user bucket in
+    the hour after each purchase. The oracle runs the naive BETWEEN
+    join; Spark runs the binned equi-join rewrite."""
+    rec = _events(spark, sf_dir)
+    purchases = rec.where(F.col("topic") == "purchase").select(
+        F.col("partition").alias("upart"),
+        F.col("offset").alias("purchase_id"),
+        F.col("ts").alias("pstart"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("pend"),
+    )
+    activity = rec.where(F.col("topic").isin("view", "click")).select(
+        F.col("partition").alias("upart"),
+        F.col("offset").alias("event_id"),
+        "ts",
+        "topic",
+    )
+    joined = binned_range_join(
+        activity, purchases, key="upart", point_time="ts",
+        interval_start="pstart", interval_end="pend", bin_width_sec=3600,
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("events_in_window"),
+        F.sum(F.when(F.col("topic") == "view", 1).otherwise(0)).alias("views"),
+        F.sum(F.when(F.col("topic") == "click", 1).otherwise(0)).alias("clicks"),
+    )

@@ -204,3 +204,65 @@ class TestStreamingWindowedAggregation:
         assert emitted.get("2024-01-01T01:00:00") == 3  # 60,80,100
         # the hour-6 window is still open (watermark has not passed it)
         assert "2024-01-01T06:00:00" not in emitted
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_of_two_streams(self, spark, tmp_path):
+        """Stream-stream inner join with watermarks and a time-range
+        condition: views join purchases of the same partition within the
+        following hour — the engine buffers both sides in state and
+        evicts by watermark."""
+        from datetime import datetime, timedelta, timezone
+        from pyspark.sql import functions as F
+        from stream_loader_spark.sinks.manifest import ManifestFileSink
+
+        base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        src = str(tmp_path / "src")
+        rows = [
+            ("view", 0, 1, base),
+            ("view", 0, 2, base + timedelta(minutes=30)),
+            ("purchase", 0, 3, base + timedelta(minutes=45)),  # joins views 1,2
+            ("view", 1, 4, base),
+            ("purchase", 1, 5, base + timedelta(hours=3)),  # outside both windows
+        ]
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(src)
+
+        views = (
+            spark.readStream.schema(SCHEMA).parquet(src)
+            .where(F.col("topic") == "view")
+            .select(
+                F.col("partition").alias("v_part"),
+                F.col("offset").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "2 hours")
+        )
+        purchases = (
+            spark.readStream.schema(SCHEMA).parquet(src)
+            .where(F.col("topic") == "purchase")
+            .select(
+                F.col("partition").alias("p_part"),
+                F.col("offset").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        joined = views.join(
+            purchases,
+            (F.col("v_part") == F.col("p_part"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        out = []
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda df, bid: out.extend(
+                    (r["view_id"], r["purchase_id"]) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        assert sorted(out) == [(1, 3), (2, 3)]
