@@ -92,12 +92,17 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # two passes per query, report the min: one-shot numbers on a busy
+    # local machine are noise-dominated; the min is the steady-state cost
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            took = round(time.time() - t0, 3)
+            if name not in timings or took < timings[name]:
+                timings[name] = took
 
     total = round(sum(timings.values()), 3)
     print(

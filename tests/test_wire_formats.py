@@ -158,3 +158,29 @@ class TestRowBinaryNulls:
         payload = bytes(out[0]["payload"])
         # rows 1 and 3 (odd ids) carry the null marker after their int64
         assert payload.count(b"\x01") >= 2
+
+
+class TestRowBinaryVectorizedPath:
+    def test_fixed_width_fast_path_matches_row_path(self, spark):
+        """The interleaved-numpy fast path must produce byte-identical
+        output to the general row loop."""
+        import pandas as pd
+
+        enc = RowBinaryEncoder(
+            [("a", CHType("Int64")), ("b", CHType("Float64")), ("c", CHType("Int32"))]
+        )
+        pdf = pd.DataFrame(
+            {"a": range(1000), "b": [i * 1.5 for i in range(1000)], "c": range(1000)}
+        )
+        fast = enc.encode_batch(pdf)
+        slow = enc.encode_rows(pdf.to_dict("records"))
+        assert fast == slow
+        assert len(fast) == 1000 * (8 + 8 + 4)
+
+    def test_mixed_schema_falls_back(self, spark):
+        import pandas as pd
+
+        enc = RowBinaryEncoder([("a", CHType("Int64")), ("s", CHType("String"))])
+        assert enc._fixed_width_dtype() is None
+        got = enc.encode_batch(pd.DataFrame({"a": [1], "s": ["x"]}))
+        assert got == struct.pack("<q", 1) + b"\x01x"
