@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "value_percentiles",
     "pivot_daily_event_counts",
     "range_join_purchase_windows",
+    "moving_avg_values",
+    "embedding_norm_stats",
+    "order_age_buckets",
     # training-data pipeline
     "text_stats",
     "lang_id",

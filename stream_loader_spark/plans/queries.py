@@ -1387,3 +1387,85 @@ def range_join_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("topic") == "view", 1).otherwise(0)).alias("views"),
         F.sum(F.when(F.col("topic") == "click", 1).otherwise(0)).alias("clicks"),
     )
+
+
+@query(
+    "moving_avg_values",
+    f"""{_KAFKA_CTE},
+    w AS (
+      SELECT topic, "partition", "offset",
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY topic, "partition" ORDER BY "offset"
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS win_sum,
+             COUNT(*) OVER (
+               PARTITION BY topic, "partition" ORDER BY "offset"
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS win_n
+      FROM kafka)
+    SELECT topic, "partition", "offset", win_sum / win_n AS moving_avg
+    FROM w WHERE "offset" % 50 = 0""",
+)
+def moving_avg_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window frame (ROWS BETWEEN 3 PRECEDING): 4-event moving
+    average per partition; the sum is exact decimal, divided once."""
+    rec = _events(spark, sf_dir)
+    w = Window.partitionBy("topic", "partition").orderBy("offset").rowsBetween(-3, 0)
+    return (
+        rec.select(
+            "topic",
+            "partition",
+            "offset",
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("win_sum"),
+            F.count(F.lit(1)).over(w).alias("win_n"),
+        )
+        .withColumn("moving_avg", F.col("win_sum") / F.col("win_n"))
+        .where(F.col("offset") % 50 == 0)
+        .select("topic", "partition", "offset", "moving_avg")
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    """WITH n AS (
+      SELECT label,
+             ROUND(SQRT(list_sum(list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 6) AS norm
+      FROM embeddings)
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) AS norm_sum,
+           MIN(norm) AS norm_min, MAX(norm) AS norm_max
+    FROM n GROUP BY label""",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array math over embeddings: per-label L2-norm statistics (norms
+    rounded to 6 decimals, summed exactly)."""
+    from stream_loader_spark.operators.similarity import norm_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select("label", F.round(norm_col(F.col("embedding")), 6).alias("norm"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("norm").cast("decimal(18,6)")).cast("double").alias("norm_sum"),
+        F.min("norm").alias("norm_min"),
+        F.max("norm").alias("norm_max"),
+    )
+
+
+@query(
+    "order_age_buckets",
+    """SELECT CAST(FLOOR(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') / 365.0) AS BIGINT) AS age_years,
+           COUNT(*) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY 1""",
+)
+def order_age_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: order age in whole years as of a fixed date."""
+    o = load_table(spark, sf_dir, "orders")
+    age_days = F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+    return (
+        o.withColumn("age_years", F.floor(age_days / 365.0).cast("long"))
+        .groupBy("age_years")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )
