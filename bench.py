@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "lang_id",
     "doc_fingerprint",
     "token_counts_bpe",
+    "token_frequencies",
     "dedup_exact",
     "near_dup_dedup_end_to_end",
     "minhash_lsh_pairs",

@@ -1469,3 +1469,32 @@ def order_age_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "total_price"),
         )
     )
+
+
+@query(
+    "token_frequencies",
+    """WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    counts AS (
+      SELECT token, COUNT(*) AS freq FROM toks GROUP BY token)
+    SELECT token, freq FROM counts
+    ORDER BY freq DESC, token LIMIT 100""",
+)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical corpus word count: explode tokens → hash aggregate
+    (map-side combine carries one row per distinct token per task) →
+    deterministic top-100."""
+    from stream_loader_spark.operators.text import tokens_col
+    from stream_loader_spark.sources.tables import scatter
+
+    docs = scatter(load_table(spark, sf_dir, "documents"))
+    toks = docs.where(F.length(F.trim("text")) > 0).select(
+        F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(100)
+    )
