@@ -368,7 +368,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""SELECT l_returnflag, l_linestatus,
            {DSUM_SQL.format(expr="l_quantity")} AS sum_qty,
            {DSUM_SQL.format(expr="l_extendedprice")} AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -387,6 +387,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice").cast("decimal(18,6)")
                 * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
             )
+            .cast("decimal(38,6)")
             .cast("double")
             .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
@@ -397,7 +398,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q3_shipping_priority",
     """SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l.l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -429,6 +430,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice").cast("decimal(18,6)")
                 * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
             )
+            .cast("decimal(38,6)")
             .cast("double")
             .alias("revenue")
         )
@@ -441,7 +443,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_local_supplier_volume",
     """SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l.l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l.l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -794,7 +796,7 @@ def a6_commit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q6_forecast_revenue",
-    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -817,6 +819,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice").cast("decimal(18,6)")
                 * F.col("l_discount").cast("decimal(18,6)")
             )
+            .cast("decimal(38,6)")
             .cast("double")
             .alias("revenue")
         )
@@ -1086,8 +1089,8 @@ def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q14_promo_revenue",
-    f"""SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_DEC} ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-             / CAST(SUM({_REV_DEC}) AS DOUBLE) * 100.0 AS promo_revenue_pct
+    f"""SELECT CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_DEC} ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS DOUBLE)
+             / CAST(CAST(SUM({_REV_DEC}) AS DECIMAL(38,6)) AS DOUBLE) * 100.0 AS promo_revenue_pct
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""",
@@ -1106,7 +1109,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
         .agg(
             (
-                F.sum(promo).cast("double") / F.sum(rev).cast("double") * F.lit(100.0)
+                F.sum(promo).cast("decimal(38,6)").cast("double")
+                / F.sum(rev).cast("decimal(38,6)").cast("double")
+                * F.lit(100.0)
             ).alias("promo_revenue_pct")
         )
     )
@@ -1166,7 +1171,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q19_disjunctive_revenue",
-    f"""SELECT CAST(SUM({_REV_DEC}) AS DOUBLE) AS revenue
+    f"""SELECT CAST(CAST(SUM({_REV_DEC}) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 1 AND 15)
        OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20 AND l.l_quantity BETWEEN 10 AND 25)
@@ -1183,7 +1188,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 20) & F.col("l_quantity").between(10, 25))
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(20, 35))
     )
-    return j.where(cond).agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+    return j.where(cond).agg(
+        F.sum(_rev_col()).cast("decimal(38,6)").cast("double").alias("revenue")
+    )
 
 
 # ---------------------------------------------------------------------------
