@@ -242,11 +242,18 @@ class ManifestFileSink:
         return positions
 
     def committed_data(self, spark: SparkSession) -> DataFrame:
-        """All committed rows — reads ONLY manifest-listed data dirs."""
+        """All committed rows — reads ONLY manifest-listed data dirs.
+
+        Parquet batches merge schemas across batches, so a pipeline that
+        adds columns over time stays readable (older rows surface NULLs
+        for the new columns)."""
         dirs = [b.data_dir for b in self.committed_batches() if os.path.exists(b.data_dir)]
         if not dirs:
             raise ValueError("no committed batches")
-        return spark.read.format(self.file_format).load(dirs)
+        reader = spark.read.format(self.file_format)
+        if self.file_format == "parquet":
+            reader = reader.option("mergeSchema", "true")
+        return reader.load(dirs)
 
     def compact_data(self, spark: SparkSession, min_batches: int = 2) -> str | None:
         """Rewrite all live batch dirs into ONE consolidated dir (the

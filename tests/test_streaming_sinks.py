@@ -312,3 +312,23 @@ class TestPartialWriteInvisibility:
         os.remove(os.path.join(partial, "_SUCCESS"))
 
         assert sorted(map(tuple, sink.committed_positions(spark).collect())) == pos_before
+
+
+class TestSchemaEvolution:
+    def test_added_column_merges_across_batches(self, spark, tmp_path):
+        sink = ManifestFileSink(str(tmp_path / "out"), meta_cols=None)
+        sink.write_batch(
+            spark.createDataFrame([("t", 0, 1)], "topic string, partition int, offset bigint"),
+            0,
+        )
+        sink.write_batch(
+            spark.createDataFrame(
+                [("t", 0, 2, "new")],
+                "topic string, partition int, offset bigint, extra string",
+            ),
+            1,
+        )
+        data = sink.committed_data(spark)
+        assert set(data.columns) == {"topic", "partition", "offset", "extra"}
+        rows = {r["offset"]: r["extra"] for r in data.collect()}
+        assert rows == {1: None, 2: "new"}  # old rows NULL-fill the new column
