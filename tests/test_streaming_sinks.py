@@ -332,3 +332,51 @@ class TestSchemaEvolution:
         assert set(data.columns) == {"topic", "partition", "offset", "extra"}
         rows = {r["offset"]: r["extra"] for r in data.collect()}
         assert rows == {1: None, 2: "new"}  # old rows NULL-fill the new column
+
+
+class TestKillMidStream:
+    def test_stop_between_batches_then_resume_exactly_once(self, spark, tmp_path):
+        """The reference's stop/restart-continues scenario under load:
+        many single-file micro-batches, query killed mid-run, restart
+        finishes the backlog with no loss and no duplicates."""
+        import time
+        from datetime import datetime, timezone
+
+        src = str(tmp_path / "src")
+        schema = "topic string, partition int, offset bigint, ts timestamp"
+        ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        n_files, per_file = 6, 50
+        for i in range(n_files):
+            spark.createDataFrame(
+                [("t", 0, i * per_file + j, ts) for j in range(per_file)], schema
+            ).coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
+
+        sink = ManifestFileSink(str(tmp_path / "out"))
+        pipe = (
+            StreamPipeline(spark)
+            .from_file_stream(os.path.join(src, "*"), schema, maxFilesPerTrigger=1)
+            .sink(sink, str(tmp_path / "cp"))
+        )
+        q = pipe.trigger(availableNow=True).start()
+        # kill as soon as at least one batch committed but before all six
+        for _ in range(200):
+            if len(sink.committed_batches()) >= 2:
+                break
+            time.sleep(0.1)
+        q.stop()
+        q.awaitTermination(60)
+        done_before = len(sink.committed_batches())
+        assert 1 <= done_before <= n_files
+
+        # resume from the same checkpoint: backlog drains exactly once
+        pipe2 = (
+            StreamPipeline(spark)
+            .from_file_stream(os.path.join(src, "*"), schema, maxFilesPerTrigger=1)
+            .sink(sink, str(tmp_path / "cp"))
+        )
+        pipe2.run_available()
+        data = sink.committed_data(spark)
+        assert data.count() == n_files * per_file
+        assert data.select("offset").distinct().count() == n_files * per_file
+        pos = sink.committed_positions()
+        assert pos[("t", 0)].offset == n_files * per_file
