@@ -97,7 +97,7 @@ def query(name: str, oracle: str | None = None):
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE_SQL[name] = oracle
-        return fn
+        return wrapped
 
     return register
 
@@ -113,6 +113,29 @@ def dsum(col: F.Column | str, alias: str) -> F.Column:
 
 
 DSUM_SQL = "CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+# Revenue = price * (1 - discount), summed exactly; the sum is rounded to
+# scale 6 (exact for <=6-decimal inputs) before the double cast so the
+# scaled integer stays within 2^53, where Spark's and DuckDB's
+# decimal->double conversions agree bit-for-bit.
+_REV_DEC = (
+    "CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))"
+)
+REV_SUM_SQL = f"CAST(CAST(SUM({_REV_DEC}) AS DECIMAL(38,6)) AS DOUBLE)"
+REV_SUM_L_SQL = REV_SUM_SQL.replace("l_extendedprice", "l.l_extendedprice").replace(
+    "l_discount", "l.l_discount"
+)
+
+
+def _rev_col() -> F.Column:
+    return (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
+    )
+
+
+def rev_sum(alias: str) -> F.Column:
+    return F.sum(_rev_col()).cast("decimal(38,6)").cast("double").alias(alias)
 
 
 # ---------------------------------------------------------------------------
@@ -264,7 +287,7 @@ def p4_date_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "p1_record_formatting",
     f"""{_KAFKA_CTE}
-    SELECT "offset" AS _offset, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    SELECT "offset" AS _offset, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
     FROM kafka""",
 )
 def p1_record_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,13 +406,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,6)")
-                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
-            )
-            .cast("decimal(38,6)")
-            .cast("double")
-            .alias("sum_disc_price"),
+            rev_sum("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -420,20 +437,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit(datetime(1997, 1, 1))
     )
     joined = li.join(
-        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        o.join(c, o.o_custkey == c.c_custkey),
         li.l_orderkey == o.o_orderkey,
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,6)")
-                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
-            )
-            .cast("decimal(38,6)")
-            .cast("double")
-            .alias("revenue")
-        )
+        .agg(rev_sum("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -471,19 +480,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
                c.c_nationkey == n.n_nationkey)
     )
-    co = o.join(F.broadcast(dims), o.o_custkey == c.c_custkey)
-    j = li.join(F.broadcast(co), li.l_orderkey == o.o_orderkey).join(
-        F.broadcast(s),
+    co = o.join(dims, o.o_custkey == c.c_custkey)
+    j = li.join(co, li.l_orderkey == o.o_orderkey).join(
+        s,
         (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
     )
-    return j.groupBy("n_name").agg(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,6)")
-            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
-        )
-        .cast("double")
-        .alias("revenue")
-    )
+    return j.groupBy("n_name").agg(rev_sum("revenue"))
 
 
 @query(
@@ -500,7 +502,7 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function top-k per group (ROW_NUMBER with unique tie-break)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    j = o.join(c, o.o_custkey == c.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         j.withColumn("rnk", F.row_number().over(w))
@@ -736,7 +738,7 @@ def p5_constrained_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f6_csv_lines",
     f"""{_KAFKA_CTE}
     SELECT topic || ';' || "partition" || ';' || "offset" || ';'
-           || epoch_ms(ts) || ';' || props AS line
+           || epoch_ms(ts) || ';' || COALESCE(props, '') AS line
     FROM kafka""",
 )
 def f6_csv_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1020,18 +1022,6 @@ def near_dup_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Wider TPC-H-shaped relational coverage (adapted to the fixture schema)
 # ---------------------------------------------------------------------------
 
-_REV_DEC = (
-    "CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))"
-)
-
-
-def _rev_col() -> F.Column:
-    return (
-        F.col("l_extendedprice").cast("decimal(18,6)")
-        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
-    )
-
-
 @query(
     "q4_late_orders",
     """SELECT o.o_orderpriority, COUNT(*) AS order_count
@@ -1078,7 +1068,7 @@ def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
+        li.join(o, o.o_orderkey == li.l_orderkey)
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
@@ -1162,7 +1152,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .select("c_custkey", "o_orderkey", "o_orderdate", "total_qty")
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(20)
@@ -1202,8 +1192,7 @@ from stream_loader_spark.operators.asof import asof_join  # noqa: E402
 
 @query(
     "asof_join_last_order",
-    f"""{_KAFKA_CTE},
-    e AS (SELECT event_id, CAST(user_id % 8 AS INT) AS upart, ts
+    """WITH e AS (SELECT event_id, CAST(user_id % 8 AS INT) AS upart, ts
           FROM events WHERE event_id < 2000),
     o AS (
       SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
