@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "q16_supplier_variety",
     "q18_large_orders",
     "q19_disjunctive_revenue",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q21_waiting_supplier_orders",
     "q17_small_quantity_revenue",
     "intersect_building_big_orders",
     "grouping_sets_orders",
