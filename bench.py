@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "q13_order_count_distribution",
     "q15_top_supplier",
     "q21_waiting_supplier_orders",
+    "q7_volume_shipping",
+    "q22_global_sales_opportunity",
     "q17_small_quantity_revenue",
     "intersect_building_big_orders",
     "grouping_sets_orders",
