@@ -143,21 +143,27 @@ class TestVerticaNativeGoldenBytes:
 class TestRowBinaryNulls:
     def test_null_temporal_from_pandas_frames(self, spark):
         """Nullable DateTime columns arrive as pd.NaT through mapInPandas;
-        they must encode as the 0x01 null marker, not crash."""
+        they must encode as the 0x01 null marker, not crash. A fixed
+        timestamp makes the exact expected payload computable."""
         from pyspark.sql import functions as F
 
         enc = RowBinaryEncoder(
             [("id", CHType("Int64")), ("t", CHType("DateTime64(3)", nullable=True))]
         )
+        fixed = datetime(2024, 1, 2, 3, 4, 5, tzinfo=timezone.utc)
         df = spark.range(4).select(
             "id",
-            F.when(F.col("id") % 2 == 0, F.current_timestamp()).alias("t"),
+            F.when(F.col("id") % 2 == 0, F.lit(fixed)).alias("t"),
         ).coalesce(1)
         out = enc.encode_df(df).collect()
         assert out[0]["num_rows"] == 4
         payload = bytes(out[0]["payload"])
-        # rows 1 and 3 (odd ids) carry the null marker after their int64
-        assert payload.count(b"\x01") >= 2
+        present = b"\x00" + struct.pack("<q", int(fixed.timestamp() * 1000))
+        expected = b"".join(
+            struct.pack("<q", i) + (present if i % 2 == 0 else b"\x01")
+            for i in range(4)
+        )
+        assert payload == expected
 
 
 class TestRowBinaryVectorizedPath:

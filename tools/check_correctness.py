@@ -60,6 +60,10 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 1
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -94,9 +98,11 @@ def main() -> int:
             sh, oh = table_hash(srows, scols), table_hash(orows, ocols)
             if sh != oh:
                 problems.append("value-hash mismatch")
-                # show a sample diff
-                sset = {"\x1f".join(canon(v) for v in r) for r in srows}
-                oset = {"\x1f".join(canon(v) for v in r) for r in orows}
+                # sample diff in the SAME name-sorted column order as the hash
+                s_order = sorted(range(len(scols)), key=lambda i: scols[i])
+                o_order = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                sset = {"\x1f".join(canon(r[i]) for i in s_order) for r in srows}
+                oset = {"\x1f".join(canon(r[i]) for i in o_order) for r in orows}
                 for x in list(sset - oset)[:2]:
                     print(f"  spark-only: {x[:200]}")
                 for x in list(oset - sset)[:2]:
