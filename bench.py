@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "q21_waiting_supplier_orders",
     "q7_volume_shipping",
     "q22_global_sales_opportunity",
+    "q10_returned_items",
+    "q11_important_suppliers",
     "q17_small_quantity_revenue",
     "intersect_building_big_orders",
     "grouping_sets_orders",

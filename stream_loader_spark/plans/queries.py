@@ -1682,3 +1682,65 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias("totacctbal"),
     )
+
+
+@query(
+    "q10_returned_items",
+    f"""SELECT c.c_custkey, c.c_mktsegment, n.n_name,
+           {REV_SUM_L_SQL} AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_mktsegment, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top-20 with
+    a unique tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(datetime(1997, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1997, 7, 1)))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_mktsegment", "n_name")
+        .agg(rev_sum("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q11_important_suppliers",
+    f"""WITH per_supp AS (
+      SELECT l_suppkey, {REV_SUM_SQL} AS supp_value
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT l_suppkey, supp_value
+    FROM per_supp
+    WHERE supp_value > (SELECT CAST(SUM(CAST(supp_value AS DECIMAL(18,6))) AS DOUBLE) * 0.011 FROM per_supp)""",
+)
+def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value filtered against a fraction of
+    the GLOBAL total (aggregate CTE + scalar subquery over itself)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(rev_sum("supp_value"))
+    threshold = per_supp.agg(
+        (F.sum(F.col("supp_value").cast("decimal(18,6)")).cast("double") * 0.011).alias("thr")
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(threshold))
+        .where(F.col("supp_value") > F.col("thr"))
+        .select("l_suppkey", "supp_value")
+    )
