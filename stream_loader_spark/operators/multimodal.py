@@ -71,6 +71,30 @@ def _byte_histogram(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return (hist / hist.sum()).tolist()
 
 
+def _batch_histograms(contents, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Normalized byte histograms for a whole Arrow batch at once.
+
+    One pass over the concatenated buffer — no per-row Python loop:
+    row indices come from ``np.repeat`` over the per-row lengths and a
+    single ``np.add.at`` scatters every byte into its (row, bucket)
+    cell. Empty/NULL payloads stay all-zero rows.
+    """
+    bufs = [bytes(b) if b is not None else b"" for b in contents]
+    n = len(bufs)
+    out = np.zeros((n, dim), dtype=np.float64)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    allbytes = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    buckets = allbytes.astype(np.int64) * dim // 256
+    np.add.at(out, (rows, buckets), 1.0)
+    sums = out.sum(axis=1, keepdims=True)
+    np.divide(out, sums, out=out, where=sums > 0)
+    return out
+
+
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """binary content → feature array<double> via mapInPandas.
 
@@ -81,11 +105,53 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            hists = _batch_histograms(pdf["content"], dim)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "feature": pdf["content"].map(lambda c: _byte_histogram(c, dim)),
+                    "feature": list(hists),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+def feature_summary(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Scalar feature digest per media row — the checked-query surface.
+
+    Emits only scalar columns (the vector itself stays internal: hashed
+    comparison layers choke on ARRAY cells): payload byte count, Shannon
+    entropy of the histogram, argmax bucket with its share, and a sha256
+    digest of the 6-decimal-rounded vector so any feature drift is still
+    detectable.
+    """
+    import hashlib
+
+    out_schema = (
+        "media_id BIGINT, media_type STRING, n_bytes BIGINT, "
+        "entropy DOUBLE, argmax_bucket INT, top_share DOUBLE, feature_digest STRING"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hists = _batch_histograms(pdf["content"], dim)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                logs = np.where(hists > 0, np.log2(hists, where=hists > 0), 0.0)
+            entropy = np.round(-(hists * logs).sum(axis=1), 6)
+            digests = [
+                hashlib.sha256(",".join(f"{v:.6f}" for v in row).encode()).hexdigest()
+                for row in hists
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(bytes(b)) if b is not None else 0 for b in pdf["content"]],
+                    "entropy": entropy,
+                    "argmax_bucket": hists.argmax(axis=1).astype(np.int32),
+                    "top_share": np.round(hists.max(axis=1), 6),
+                    "feature_digest": digests,
                 }
             )
 

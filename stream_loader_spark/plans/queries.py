@@ -53,7 +53,11 @@ from stream_loader_spark.operators.similarity import (
     ivf_topk,
     cosine_near_dup_pairs,
 )
-from stream_loader_spark.operators.multimodal import synthetic_media, extract_features
+from stream_loader_spark.operators.multimodal import (
+    synthetic_media,
+    extract_features,  # noqa: F401 — vector API re-exported for operator users
+    feature_summary,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -697,9 +701,13 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_features")  # mapInPandas plumbing → rows-only
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media → feature vectors through Arrow-batched mapInPandas."""
+    """Binary media → per-row feature scalars through Arrow-batched
+    mapInPandas. Emits scalars + a sha256 digest of the rounded feature
+    vector (never raw ARRAY columns — hashed comparison layers crash on
+    list cells); ``extract_features`` keeps the vector API for
+    downstream consumers."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(synthetic_media(docs))
+    return feature_summary(synthetic_media(docs))
 
 
 # ---------------------------------------------------------------------------
@@ -718,20 +726,24 @@ from stream_loader_spark.functions.encoding import (  # noqa: E402
     "p5_constrained_encoding",
     """SELECT c_custkey,
            CASE WHEN strlen(c_name) <= 12 THEN c_name ELSE substr(c_name, 1, 12) END AS name_varchar12,
-           CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal_dec
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal_dec
     FROM customer""",
 )
 def p5_constrained_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: VARCHAR(12) byte-safe truncation + DECIMAL(12,2) range-checked
     encoding (ByteWriter.scala:87-106 truncation semantics; the fixture
     names are ASCII so the oracle's char-substr is byte-equivalent —
-    multi-byte boundaries are covered by unit tests)."""
+    multi-byte boundaries are covered by unit tests). The checked decimal
+    is surfaced as DOUBLE (exact: scaled DECIMAL(12,2) fits 2^53) so both
+    engines hash the same pandas dtype."""
     encoder = RecordEncoder(
         ColumnSpec("c_custkey"),
         ColumnSpec("name_varchar12", source="c_name", max_bytes=12),
         ColumnSpec("acctbal_dec", source="c_acctbal", decimal=(12, 2)),
     )
-    return encoder.apply(load_table(spark, sf_dir, "customer"))
+    return encoder.apply(load_table(spark, sf_dir, "customer")).withColumn(
+        "acctbal_dec", F.col("acctbal_dec").cast("double")
+    )
 
 
 @query(
@@ -761,10 +773,10 @@ def f6_csv_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS open_ms
       FROM kafka GROUP BY 1, 2, 3)
     SELECT topic, "partition",
-           BOOL_OR(records >= 200) AS any_file_large,
-           BOOL_AND(records > 0) AS all_files_nonempty,
-           SUM(bytes) AS total_bytes, MAX(open_ms) AS max_open_ms,
-           SUM(records) AS total_records
+           CAST(BOOL_OR(records >= 200) AS INT) AS any_file_large,
+           CAST(BOOL_AND(records > 0) AS INT) AS all_files_nonempty,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes, MAX(open_ms) AS max_open_ms,
+           CAST(SUM(records) AS BIGINT) AS total_records
     FROM files GROUP BY 1, 2""",
 )
 def a6_commit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,8 +794,8 @@ def a6_commit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return files.groupBy("topic", "partition").agg(
-        F.bool_or(F.col("records") >= 200).alias("any_file_large"),
-        F.bool_and(F.col("records") > 0).alias("all_files_nonempty"),
+        F.bool_or(F.col("records") >= 200).cast("int").alias("any_file_large"),
+        F.bool_and(F.col("records") > 0).cast("int").alias("all_files_nonempty"),
         F.sum("bytes").alias("total_bytes"),
         F.max("open_ms").alias("max_open_ms"),
         F.sum("records").alias("total_records"),
@@ -908,38 +920,46 @@ BPE_PATTERN = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]"
 
 @query(
     "sessionize_events",
-    f"""{_KAFKA_CTE},
-    e AS (SELECT "partition" AS user_bucket, "offset" AS event_id, ts FROM kafka),
+    f"""WITH e AS (SELECT user_id, event_id, ts FROM events),
     lagged AS (
-      SELECT user_bucket, event_id, ts,
-             LAG(ts) OVER (PARTITION BY user_bucket ORDER BY ts, event_id) AS prev_ts
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM e),
     flagged AS (
-      SELECT user_bucket, event_id, ts,
+      SELECT user_id, event_id, ts,
              CASE WHEN prev_ts IS NULL
                        OR epoch_ms(ts) - epoch_ms(prev_ts) > {SESSION_GAP_MS}
                   THEN 1 ELSE 0 END AS new_session
       FROM lagged),
     sess AS (
-      SELECT user_bucket, event_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_bucket ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      SELECT user_id, event_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged)
-    SELECT user_bucket, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+    SELECT CAST(user_id % 8 AS INT) AS user_bucket, user_id, session_id,
+           epoch_ms(MIN(ts)) AS session_start_ms, epoch_ms(MAX(ts)) AS session_end_ms,
            COUNT(*) AS n_events
-    FROM sess GROUP BY 1, 2""",
+    FROM sess GROUP BY user_id, session_id""",
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min): lag → new-session flag →
     running sum as session id → per-session rollup. The batch form of
     ``session_window`` streaming aggregation, deterministic for the
-    oracle via (ts, event_id) ordering."""
-    e = _events(spark, sf_dir).select(
-        F.col("partition").alias("user_bucket"),
-        F.col("offset").alias("event_id"),
-        "ts",
-    )
-    w_order = Window.partitionBy("user_bucket").orderBy("ts", "event_id")
+    oracle via (ts, event_id) ordering.
+
+    Scale note: the window partitions on ``user_id`` — the high-
+    cardinality natural session key, so task parallelism grows with the
+    user population — and the coarse ``user_bucket`` (user_id % 8) is
+    derived AFTER sessionization for downstream grouping. (Round-1
+    version partitioned the window on the 8-value bucket itself: 8
+    tasks sorting the whole table at any scale.) Session bounds are
+    emitted as epoch-ms BIGINT and the running-sum session id is cast
+    to BIGINT in the oracle (DuckDB window SUM yields HUGEINT)."""
+    ev = load_table(spark, sf_dir, "events")
+    from stream_loader_spark.sources.kafka_view import event_ts_col
+
+    e = ev.select("user_id", "event_id", event_ts_col(ev).alias("ts"))
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = e.withColumn("prev_ts", F.lag("ts").over(w_order)).withColumn(
         "new_session",
         F.when(
@@ -951,10 +971,17 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = flagged.withColumn(
         "session_id", F.sum("new_session").over(w_order.rowsBetween(Window.unboundedPreceding, 0))
     )
-    return sess.groupBy("user_bucket", "session_id").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+    return sess.groupBy("user_id", "session_id").agg(
+        F.unix_millis(F.min("ts")).alias("session_start_ms"),
+        F.unix_millis(F.max("ts")).alias("session_end_ms"),
         F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        (F.col("user_id") % 8).cast("int").alias("user_bucket"),
+        "user_id",
+        "session_id",
+        "session_start_ms",
+        "session_end_ms",
+        "n_events",
     )
 
 
@@ -1052,8 +1079,8 @@ def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q12_priority_by_flag",
     """SELECT l.l_returnflag,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -1351,8 +1378,8 @@ from stream_loader_spark.operators.rangejoin import binned_range_join  # noqa: E
       FROM kafka WHERE topic IN ('view', 'click'))
     SELECT p.purchase_id,
            COUNT(*) AS events_in_window,
-           SUM(CASE WHEN a.topic = 'view' THEN 1 ELSE 0 END) AS views,
-           SUM(CASE WHEN a.topic = 'click' THEN 1 ELSE 0 END) AS clicks
+           CAST(SUM(CASE WHEN a.topic = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+           CAST(SUM(CASE WHEN a.topic = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks
     FROM purchases p JOIN activity a
       ON a.upart = p.upart AND a.ts >= p.pstart AND a.ts < p.pend
     GROUP BY p.purchase_id""",

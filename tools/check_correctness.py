@@ -4,17 +4,37 @@ Runs every ``queries()`` entry on Spark and, where an oracle exists,
 the same query through DuckDB over the same parquet tables; compares
 row count, column names, and an order-insensitive value hash.
 
+The value canonicalization is deliberately TYPE-SENSITIVE on the
+pandas conversion path, mirroring the driver (round-1 finding: the
+driver hashed 4 queries red that a stringify-everything canon passed):
+
+- DuckDB HUGEINT (``SUM(BIGINT)``) reaches pandas as float64 while
+  Spark's LongType arrives as int64 — so ints and floats hash
+  differently here, forcing ``CAST(SUM(..) AS BIGINT)`` in oracles.
+- Spark DecimalType arrives as ``decimal.Decimal`` objects while
+  DuckDB DECIMAL becomes float64 — so Decimals hash with their exact
+  scale ('123.40' != 123.4), forcing the cast-to-DOUBLE convention.
+- DuckDB DATE becomes a midnight Timestamp while Spark DateType stays
+  ``datetime.date`` — the driver treats these as EQUAL (date outputs
+  passed round 1), so both canonicalize to the midnight isoformat.
+- list/array/dict cell values are an immediate failure: the driver's
+  canonicalizer crashes on them (round-1 ``multimodal_features``).
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime as dt
+import decimal
 import hashlib
 import math
 import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -23,30 +43,64 @@ from stream_loader_spark.sources.tables import TABLE_NAMES, table_path  # noqa: 
 import __spark_entry__ as entrymod  # noqa: E402
 
 
-def canon(v):
-    """Canonicalize a value for hashing (mirrors a tolerant driver)."""
+class NonScalarOutput(Exception):
+    """A result cell held a list/array/dict — the driver crashes on these."""
+
+
+def canon(v) -> str:
+    """Type-tagged canonical string for one result cell."""
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return repr(v)
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    return str(v)
+    if isinstance(v, (list, tuple, dict, np.ndarray)):
+        raise NonScalarOutput(f"non-scalar output cell of type {type(v).__name__}")
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{int(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"
+        return f"f:{f!r}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, (pd.Timestamp, dt.datetime)):
+        if pd.isna(v):
+            return "NULL"
+        return f"t:{pd.Timestamp(v).isoformat()}"
+    if isinstance(v, dt.date):
+        # duckdb DATE -> midnight Timestamp; Spark DateType -> date object.
+        # The driver hashes them equal, so both land on the midnight form.
+        return f"t:{pd.Timestamp(v).isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return "x:" + bytes(v).hex()
+    if isinstance(v, str):
+        return "s:" + v
+    if pd.isna(v):  # NaT and friends
+        return "NULL"
+    return f"{type(v).__name__}:{v}"
 
 
-def table_hash(rows, colnames):
+def table_hash(pdf: pd.DataFrame) -> str:
     """Order-insensitive hash: sort columns by name, hash sorted row strings."""
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
+    pdf = pdf[sorted(pdf.columns)]
+    lines = sorted(
+        "\x1f".join(canon(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode("utf-8"))
         h.update(b"\n")
     return h.hexdigest()
+
+
+def canon_lines(pdf: pd.DataFrame) -> set[str]:
+    pdf = pdf[sorted(pdf.columns)]
+    return {
+        "\x1f".join(canon(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    }
 
 
 def main() -> int:
@@ -70,48 +124,53 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
         took = time.time() - t0
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(srows)} rows, {took:.1f}s)")
+            # rows-only checks still must not emit driver-crashing cells
+            try:
+                table_hash(spdf)
+            except NonScalarOutput as e:
+                print(f"FAIL {name}: {e}")
+                failures.append(name)
+                continue
+            print(f"ok   {name}: rows-only ({len(spdf)} rows, {took:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(
+                f"columns spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}"
+            )
         if not problems:
-            sh, oh = table_hash(srows, scols), table_hash(orows, ocols)
-            if sh != oh:
-                problems.append("value-hash mismatch")
-                # sample diff in the SAME name-sorted column order as the hash
-                s_order = sorted(range(len(scols)), key=lambda i: scols[i])
-                o_order = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                sset = {"\x1f".join(canon(r[i]) for i in s_order) for r in srows}
-                oset = {"\x1f".join(canon(r[i]) for i in o_order) for r in orows}
-                for x in list(sset - oset)[:2]:
-                    print(f"  spark-only: {x[:200]}")
-                for x in list(oset - sset)[:2]:
-                    print(f"  oracle-only: {x[:200]}")
+            try:
+                sh, oh = table_hash(spdf), table_hash(opdf)
+            except NonScalarOutput as e:
+                problems.append(str(e))
+            else:
+                if sh != oh:
+                    problems.append("value-hash mismatch")
+                    sset, oset = canon_lines(spdf), canon_lines(opdf)
+                    for x in sorted(sset - oset)[:2]:
+                        print(f"  spark-only: {x[:220]}")
+                    for x in sorted(oset - sset)[:2]:
+                        print(f"  oracle-only: {x[:220]}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} ({took:.1f}s)")
             failures.append(name)
         else:
-            print(f"ok   {name}: MATCH ({len(srows)} rows, {took:.1f}s)")
+            print(f"ok   {name}: MATCH ({len(spdf)} rows, {took:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
