@@ -217,15 +217,28 @@ def with_simhash(
     sums) so everything stays in whole-stage codegen; the shuffle carries
     65 longs per document. Majority votes and bit assembly are plain
     integer arithmetic on the aggregated counts.
+
+    The per-token 64-bit hash is the md5 hex digest read nibble-wise
+    (bit i = bit ``i % 4`` of hex digit ``i // 4``) — md5 is available
+    with identical output in every engine, so the whole signature is
+    reproducible by an independent SQL oracle (xxhash64 would tie the
+    contract to one engine's hash).
     """
     ex = scatter(documents).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("token"),
-    ).withColumn("th", F.xxhash64("token"))
-    counts = ex.groupBy(id_col).agg(
+    ).withColumn("th", F.md5("token"))
+    nibs = ex.select(
+        id_col,
+        *[
+            F.conv(F.substring("th", j + 1, 1), 16, 10).cast("int").alias(f"nib{j}")
+            for j in range(bits // 4)
+        ],
+    )
+    counts = nibs.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(F.shiftright("th", i).bitwiseAND(F.lit(1))).alias(f"c{i}")
+            F.sum(F.shiftright(F.col(f"nib{i // 4}"), i % 4).bitwiseAND(F.lit(1))).alias(f"c{i}")
             for i in range(bits)
         ],
     )

@@ -207,62 +207,105 @@ def ivf_topk(
     )
 
 
+# Sign-LSH hyperplane coefficients: a multiplicative-congruential mix of
+# (dimension index, plane index) mapped into [-1, 1). Chosen over a
+# native hash (xxhash64) because BOTH engines can evaluate it with plain
+# integer arithmetic, making the full LSH algorithm — not just its
+# output — reproducible by an independent SQL oracle.
+LSH_DIM_MULT = 2654435761  # Knuth multiplicative constant
+LSH_PLANE_MULT = 40503
+LSH_MOD = 1000
+
+
+def plane_coeff_expr(i_expr: str, p: int) -> str:
+    """SQL text for the plane-p coefficient at 0-based dim index
+    ``i_expr`` — identical arithmetic in Spark SQL and DuckDB."""
+    return f"((({i_expr}) * {LSH_DIM_MULT} + {p * LSH_PLANE_MULT}) % {LSH_MOD}) / 500.0 - 1.0"
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    num_planes: int = 16,
+    num_planes: int = 8,
+    num_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-dup pairs via sign-LSH bucketing + exact verify.
+    """Embedding near-dup pairs via banded sign-LSH + exact verify.
 
-    Hyperplanes are deterministic pseudo-random vectors derived from
-    xxhash64(dim, plane) — reproducible across runs with no RNG state.
-    Vectors agreeing on all ``num_planes`` signs share a bucket; only
-    in-bucket pairs are verified. Recall grows by OR-ing several
-    independent bucketings (bands over the sign bits).
+    ``num_bands`` independent bucketings of ``num_planes`` sign bits
+    each; vectors agreeing on ALL signs of ANY band become candidates
+    (OR-ing bands is how recall grows), and only candidates are
+    verified with exact cosine. The banded join is the scale path: each
+    vector appears in exactly ``num_bands`` rows and candidates come
+    from bucket equality, never an all-pairs product. Signs are taken
+    on the dot product ROUNDED to 6 decimals so an ulp of float-sum
+    difference can never flip a boundary sign between engines.
     """
-    dim_count = F.size(F.col(vec_col))
 
-    # sign bit per plane: sum_i vec[i] * h(i, p) >= 0, h in [-1, 1).
+    # sign bit per plane: sum_i vec[i] * coeff(i, p) >= 0.
     # Plane index is captured in a closure — a two-parameter lambda would
     # be read by Spark as (element, index).
     def plane_term(p: int):
         def apply(i: Column) -> Column:
-            # pmod keeps the coefficient in [0, 1000) for negative hashes
-            # too, so coefficients are centered on 0 in [-1, 1)
-            coeff = F.pmod(F.xxhash64(i, F.lit(p)), F.lit(1000)).cast("double") / 500.0 - 1.0
+            coeff = (
+                (i.cast("long") * LSH_DIM_MULT + F.lit(p * LSH_PLANE_MULT)) % LSH_MOD
+            ).cast("double") / 500.0 - 1.0
             return F.element_at(F.col(vec_col), i + 1).cast("double") * coeff
 
         return apply
 
-    sig = F.array(
-        *[
-            F.when(
-                F.aggregate(
-                    F.transform(F.sequence(F.lit(0), dim_count - 1), plane_term(p)),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for p in range(num_planes)
-        ]
-    )
+    dim_count = F.size(F.col(vec_col))
+
+    def sign_bit(p: int) -> Column:
+        dot = F.aggregate(
+            F.transform(F.sequence(F.lit(0), dim_count - 1), plane_term(p)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(F.round(dot, COSINE_SCALE) >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    band_sigs = [
+        F.concat_ws(
+            "", *[sign_bit(b * num_planes + j) for j in range(num_planes)]
+        ).alias(f"sig{b}")
+        for b in range(num_bands)
+    ]
     # empty vectors have no meaningful direction and would make
     # sequence(0, -1) descend into an element_at(vec, 0) error
     nonempty = embeddings.where(F.size(F.col(vec_col)) > 0)
-    buckets = scatter(nonempty).select(
-        id_col, vec_col, F.concat_ws("", sig).alias("bucket")
+    sigs = scatter(nonempty).select(id_col, vec_col, *band_sigs)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig"))
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band", "bs.sig")
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("vec_a"),
+            F.col(f"r.{id_col}").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
     )
-    left, right = buckets.alias("l"), buckets.alias("r")
-    cand = left.join(
-        right,
-        (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    ).select(
-        F.col(f"l.{id_col}").alias("vec_a"),
-        F.col(f"r.{id_col}").alias("vec_b"),
-        cosine_col(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cosine"),
+    vecs = sigs.select(id_col, vec_col)
+    return (
+        cand.join(
+            vecs.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")), "vec_a"
+        )
+        .join(vecs.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")), "vec_b")
+        .select("vec_a", "vec_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
     )
-    return cand.where(F.col("cosine") >= threshold)

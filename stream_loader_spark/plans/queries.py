@@ -643,16 +643,143 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5, block_col="lang", shingle_size=3)
 
 
-@query("minhash_lsh_pairs")  # approximate → rows-only check; verified in pytest
+# --- Generated oracle SQL for the signature/LSH family -------------------
+#
+# These algorithms are deliberately built from cross-engine primitives
+# (md5 nibbles, integer-arithmetic hyperplanes, word shingles) so the
+# DuckDB oracle can replicate the ALGORITHM, not merely sample its
+# output. Where the Spark side prunes candidates (LSH bands, chunk
+# collision), the oracle runs the quadratic equivalent at fixture scale:
+# - MinHash verify emits exactly the Jaccard-≥-t pairs, and every
+#   fixture pair has Jaccard ≥ 0.88 (LSH miss probability ≤ 1e-7), so
+#   the exhaustive shingle-blocked oracle is the ground truth.
+# - SimHash chunk collision is LOSSLESS by pigeonhole (Hamming ≤ 3 over
+#   4 chunks ⇒ one chunk equal), so the exhaustive signature-pair
+#   oracle matches by construction.
+# - Sign-LSH bands use the same coefficient formula in both engines, so
+#   the oracle reproduces the banded candidate set exactly.
+
+
+def _jaccard_pairs_ctes(src: str = "documents", threshold: float = 0.5) -> str:
+    """CTE chain ending in ``good(doc_a, doc_b, jaccard)`` — word-3-gram
+    Jaccard pairs ≥ threshold, candidates blocked on a shared shingle
+    (lossless: jaccard > 0 requires a common shingle)."""
+    return f"""jt AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM {src}),
+    jd AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+             ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM jt),
+    jex AS (SELECT doc_id, unnest(shingles) AS shingle FROM jd),
+    jcand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM jex a JOIN jex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    good AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(da.shingles, db.shingles))) AS jaccard
+      FROM jcand c
+      JOIN jd da ON da.doc_id = c.doc_a
+      JOIN jd db ON db.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.shingles, db.shingles))) >= {threshold})"""
+
+
+def _simhash_sig_ctes(src: str = "documents") -> str:
+    """CTE chain ending in ``sig(doc_id, simhash)`` — the md5-nibble
+    SimHash of operators/dedup.py reproduced in SQL."""
+    nibs = ",\n             ".join(
+        f"strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1 AS n{j}"
+        for j in range(16)
+    )
+    cs = ",\n             ".join(
+        f"SUM((n{i // 4} >> {i % 4}) & 1) AS c{i}" for i in range(64)
+    )
+    terms = "\n             + ".join(
+        f"CASE WHEN 2 * c{i} >= n THEN CAST({2**i if i < 63 else -(2**63)} AS HUGEINT) ELSE 0 END"
+        for i in range(64)
+    )
+    return f"""stok AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+      FROM {src} WHERE length(trim(text)) > 0),
+    shx AS (SELECT doc_id, md5(token) AS h FROM stok),
+    snib AS (SELECT doc_id, {nibs} FROM shx),
+    scnt AS (SELECT doc_id, COUNT(*) AS n, {cs} FROM snib GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM scnt)"""
+
+
+_COSINE_SQL = (
+    "ROUND(list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    " / (SQRT(list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    " * SQRT(list_sum(list_transform(range(1, len({b}) + 1),"
+    " i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))), 6)"
+)
+
+
+def _sign_lsh_ctes(num_planes: int = 8, num_bands: int = 4) -> str:
+    """CTE chain ending in ``lcand(vec_a, vec_b, ea, eb)`` — banded
+    sign-LSH candidates with the integer-arithmetic hyperplanes of
+    operators/similarity.py."""
+    from stream_loader_spark.operators.similarity import plane_coeff_expr
+
+    def dot(p: int) -> str:
+        return (
+            "list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({plane_coeff_expr('i - 1', p)})))"
+        )
+
+    band_exprs = ",\n             ".join(
+        "("
+        + " || ".join(
+            f"CASE WHEN ROUND({dot(b * num_planes + j)}, 6) >= 0 THEN '1' ELSE '0' END"
+            for j in range(num_planes)
+        )
+        + f") AS sig{b}"
+        for b in range(num_bands)
+    )
+    any_band = " OR ".join(f"a.sig{b} = b.sig{b}" for b in range(num_bands))
+    return f"""le AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) > 0),
+    ls AS (SELECT vec_id, embedding,
+             {band_exprs}
+           FROM le),
+    lcand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb
+      FROM ls a JOIN ls b ON a.vec_id < b.vec_id AND ({any_band}))"""
+
+
+@query(
+    "minhash_lsh_pairs",
+    f"""WITH {_jaccard_pairs_ctes()}
+    SELECT doc_a, doc_b, jaccard FROM good""",
+)
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (banded signatures, exact verify)."""
+    """MinHash-LSH near-dup pairs (banded signatures, exact verify).
+
+    Oracle: exhaustive shingle-blocked Jaccard — every fixture pair sits
+    at Jaccard ≥ 0.88 where 16-band/4-row LSH misses with p ≤ 1e-7."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, threshold=0.5)
 
 
-@query("simhash_pairs")  # bit-level signature → rows-only; verified in pytest
+@query(
+    "simhash_pairs",
+    f"""WITH {_simhash_sig_ctes()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3 via chunk collision)."""
+    """SimHash near-dup pairs (Hamming ≤ 3 via chunk collision).
+
+    Oracle: the same md5-nibble SimHash in SQL, exhaustive pair scan —
+    chunk-collision candidate pruning is lossless by pigeonhole, so the
+    sets match by construction."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs)
 
@@ -685,18 +812,64 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ivf_topk")  # approximate → rows-only; recall tested in pytest
+_IVF_NPROBE = 4
+
+_IVF_ORACLE_SQL = f"""WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id AS cluster_id FROM (
+        SELECT c.vec_id, c.embedding, ct.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                 ORDER BY {_COSINE_SQL.format(a='c.embedding', b='ct.cv')} DESC, ct.centroid_id) AS arnk
+        FROM embeddings c CROSS JOIN cent ct) WHERE arnk = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    qprobe AS (
+      SELECT query_id, qv, centroid_id AS cluster_id FROM (
+        SELECT q.query_id, q.qv, ct.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_COSINE_SQL.format(a='q.qv', b='ct.cv')} DESC, ct.centroid_id) AS prnk
+        FROM q CROSS JOIN cent ct) WHERE prnk <= {_IVF_NPROBE}),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS match_id,
+             {_COSINE_SQL.format(a='p.qv', b='a.embedding')} AS cosine
+      FROM assigned a JOIN qprobe p ON a.cluster_id = p.cluster_id
+      WHERE a.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, match_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id) AS rnk
+      FROM scored)
+    SELECT query_id, match_id, cosine, rnk FROM ranked WHERE rnk <= 5"""
+
+
+@query("similarity_ivf_topk", _IVF_ORACLE_SQL)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate cosine top-5 (probe 4 of 16 clusters)."""
+    """IVF approximate cosine top-5 (probe 4 of 16 clusters).
+
+    Oracle: the full IVF algorithm in SQL — deterministic seed
+    centroids (vec_id < 16), argmax-cosine assignment, top-nprobe
+    cluster probing, ranked scan of probed clusters. The random fixture
+    has no cluster structure, so endpoint equality with brute force is
+    unattainable at honest nprobe; verifying the algorithm is the
+    stronger check anyway (``similarity_topk`` covers exact search)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, query_ids=list(range(10)), k=5)
+    return ivf_topk(
+        emb, query_ids=list(range(10)), k=5, nprobe=_IVF_NPROBE
+    ).withColumnRenamed("rank", "rnk")
 
 
-@query("embedding_near_dup")  # LSH-bucketed → rows-only; verified in pytest
+@query(
+    "embedding_near_dup",
+    f"""WITH {_sign_lsh_ctes()}
+    SELECT vec_a, vec_b, {_COSINE_SQL.format(a='ea', b='eb')} AS cosine
+    FROM lcand
+    WHERE {_COSINE_SQL.format(a='ea', b='eb')} >= 0.35""",
+)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via sign-LSH + exact cosine verify."""
+    """Embedding near-dup pairs via banded sign-LSH + exact cosine
+    verify. Oracle: the identical integer-arithmetic hyperplanes and
+    band membership in SQL (the algorithm, not just the answer)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold=0.35, num_planes=8)
+    return cosine_near_dup_pairs(emb, threshold=0.35, num_planes=8, num_bands=4)
 
 
 @query("multimodal_features")  # mapInPandas plumbing → rows-only
@@ -1036,10 +1209,28 @@ def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("near_dup_dedup_end_to_end")  # LSH-derived → rows-only; clusters tested in pytest
+@query(
+    "near_dup_dedup_end_to_end",
+    f"""WITH RECURSIVE {_jaccard_pairs_ctes()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM good
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM good),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+    losers AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING MIN(dst) < src)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)""",
+)
 def near_dup_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup dedup: MinHash-LSH pairs → connected components →
-    keep the min-id representative per cluster."""
+    keep the min-id representative per cluster.
+
+    Oracle: the exhaustive Jaccard pair set closed transitively with a
+    recursive CTE; survivors are nodes not reaching any smaller id —
+    exactly min-label propagation's fixpoint."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.5)
     return dedup_keep_representative(docs, pairs).select("doc_id", "lang", "source")
@@ -1306,10 +1497,63 @@ def pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 from stream_loader_spark.operators.corpus import clean_corpus, CorpusCleanConfig  # noqa: E402
 
 
-@query("clean_corpus_pipeline")  # composed approximate pipeline → rows-only
+_CLEAN_CORPUS_SQL = f"""WITH RECURSIVE c0 AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM documents),
+c1 AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS token_count,
+         length(text) AS char_count,
+         len(list_filter(toks, t -> list_contains([{_STOP_DE}], t))) AS hits_de,
+         len(list_filter(toks, t -> list_contains([{_STOP_EN}], t))) AS hits_en,
+         len(list_filter(toks, t -> list_contains([{_STOP_ES}], t))) AS hits_es,
+         len(list_filter(toks, t -> list_contains([{_STOP_FR}], t))) AS hits_fr
+  FROM c0),
+c2 AS (
+  SELECT doc_id, text, token_count,
+         CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+              WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+              WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+              WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+              ELSE 'fr' END AS pred_lang,
+         CASE WHEN token_count > 0 THEN CAST(char_count - token_count + 1 AS DOUBLE) / token_count ELSE 0.0 END AS avg_token_len,
+         CASE WHEN token_count > 0 THEN CAST(hits_en AS DOUBLE) / token_count ELSE 0.0 END AS stopword_ratio
+  FROM c1),
+c3 AS (
+  SELECT doc_id, text, token_count, pred_lang,
+         LEAST(token_count / 100.0, 1.0) * 0.4
+         + LEAST(stopword_ratio * 5.0, 1.0) * 0.3
+         + CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 0.3 ELSE 0.0 END AS quality_score
+  FROM c2),
+base AS (
+  SELECT doc_id, text, token_count, pred_lang, quality_score FROM c3
+  WHERE pred_lang IN ('en', 'de', 'es', 'fr') AND quality_score >= 0.3),
+base2 AS (
+  SELECT doc_id, text, token_count, pred_lang, quality_score FROM base
+  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)),
+{_jaccard_pairs_ctes(src="base2")},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM good
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM good),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+losers AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING MIN(dst) < src)
+SELECT doc_id, pred_lang, quality_score, token_count FROM base2
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""
+
+
+@query("clean_corpus_pipeline", _CLEAN_CORPUS_SQL)
 def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data cleaning flow: lang filter → quality
-    floor → exact dedup → MinHash-LSH near-dup dedup → token accounting."""
+    floor → exact dedup → MinHash-LSH near-dup dedup → token accounting.
+
+    Oracle: every stage is deterministic SQL (lang-id/quality formulas,
+    min-id-per-text exact dedup, exhaustive Jaccard pairs closed with a
+    recursive CTE) — the composition is checked end-to-end."""
     docs = load_table(spark, sf_dir, "documents")
     cleaned = clean_corpus(
         docs, CorpusCleanConfig(keep_langs=("en", "de", "es", "fr"), min_quality=0.3)
