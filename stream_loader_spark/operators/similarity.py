@@ -45,6 +45,9 @@ def cosine_col(a: Column, b: Column) -> Column:
     return F.round(dot_col(a, b) / (norm_col(a) * norm_col(b)), COSINE_SCALE)
 
 
+MAX_BRUTE_FORCE_QUERIES = 1000
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -56,8 +59,20 @@ def brute_force_topk(
 
     The query set is broadcast; ranking is a window over each query's
     candidates ordered by (cosine DESC, id ASC) for determinism.
+
+    Cost is O(corpus × queries): correct at any corpus size but only
+    affordable while the QUERY side is small, so the query count is
+    hard-capped — route large query sets to ``ivf_topk``, which scans
+    ~nprobe/num_centroids of the corpus per query instead.
     """
     from pyspark.sql import Window
+
+    if len(query_ids) > MAX_BRUTE_FORCE_QUERIES:
+        raise ValueError(
+            f"brute_force_topk got {len(query_ids)} query ids "
+            f"(cap {MAX_BRUTE_FORCE_QUERIES}): O(corpus x queries) exact scan "
+            "does not scale on the query side - use ivf_topk for large query sets"
+        )
 
     queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")

@@ -1,9 +1,10 @@
 """SparkSession construction with engine defaults.
 
-Tuned for correctness-vs-DuckDB (UTC session timezone, ANSI off) and for
-scale-minded defaults (AQE on, shuffle partitions sized to cores rather
-than the 200 default). On a real cluster the same builder is used with
-``master`` unset (inherited from spark-submit).
+Tuned for correctness-vs-DuckDB (UTC session timezone, ANSI mode pinned
+ON — query authors must use try_cast/when guards for null-on-error
+semantics) and for scale-minded defaults (AQE on, shuffle partitions
+sized to cores rather than the 200 default). On a real cluster the same
+builder is used with ``master`` unset (inherited from spark-submit).
 """
 
 from __future__ import annotations
@@ -32,6 +33,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # pinned explicitly: the engine's cast/overflow contract (e.g.
+        # checked_decimal's 'error' policy) assumes ANSI semantics and
+        # must not drift with a deployment's spark-defaults
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")

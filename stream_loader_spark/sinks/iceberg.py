@@ -22,13 +22,20 @@ property codec (pure Python) is tested regardless.
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from stream_loader_spark.model.position import StreamPosition
 from stream_loader_spark.operators.recovery import stream_ranges
 
 PROPERTY_PREFIX = "__consumer_offset"
+
+
+class _TransactionUnsupported(RuntimeError):
+    """The Java Transaction path is unavailable; fall back to
+    append + ALTER TABLE with the replay guard."""
 
 
 def offset_property(consumer_group: str, topic: str, partition: int) -> str:
@@ -58,6 +65,13 @@ def positions_from_properties(
         last = decode_position(value)
         out[(topic, int(partition))] = StreamPosition(last.offset + 1, last.watermark_ms)
     return out
+
+
+def sql_str_literal(value: str) -> str:
+    """Single-quoted SQL string literal with embedded quotes doubled —
+    topic/consumer-group names must not be able to break (or inject
+    into) the TBLPROPERTIES statement."""
+    return "'" + value.replace("'", "''") + "'"
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -95,33 +109,120 @@ class IcebergOffsetsSink:
                 return False
         return True
 
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        """Append + mirror offsets.
+    def _offset_props(self, ranges) -> dict[str, str]:
+        return {
+            offset_property(self.consumer_group, r["topic"], r["partition"]): (
+                f"{r['end_offset']}:"
+                f"{int(r['end_watermark'].timestamp() * 1000) if r['end_watermark'] is not None else 0}"
+            )
+            for r in ranges
+        }
 
-        NOTE: the DataFrame API cannot put the append and the property
-        update in ONE Iceberg transaction (the reference does,
-        IcebergRecordBatchStorage.scala:47-64, via the Java Transaction
-        API — the seam to graft when running with a real catalog). The
-        replay guard below closes the restart-duplication window: a
-        replayed batch whose ranges are already behind the recorded
-        positions is skipped; only a crash exactly between append and
-        property update needs the Java-transaction upgrade.
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Append + mirror offsets — ONE Iceberg transaction when the
+        Java Transaction API path succeeds (matching the reference,
+        IcebergRecordBatchStorage.scala:47-64), else append-then-ALTER
+        with a replay guard.
+
+        The fallback's only exposure is a crash exactly between append
+        and property update; the replay guard (skip batches whose
+        ranges are already behind the recorded positions) closes the
+        restart-duplication window either way.
         """
         batch_df = batch_df.persist()
-        ranges = stream_ranges(batch_df).collect()
-        if self.is_batch_committed(ranges):
+        try:
+            ranges = stream_ranges(batch_df).collect()
+            if self.is_batch_committed(ranges):
+                return
+            props = self._offset_props(ranges)
+            data = batch_df.drop("topic", "partition", "offset")
+            try:
+                self._transactional_commit(data, props)
+            except _TransactionUnsupported:
+                data.writeTo(self.table).append()
+                if props:
+                    kvs = ", ".join(
+                        f"{sql_str_literal(k)}={sql_str_literal(v)}"
+                        for k, v in props.items()
+                    )
+                    self.spark.sql(
+                        f"ALTER TABLE {self.table} SET TBLPROPERTIES ({kvs})"
+                    )
+        finally:
             batch_df.unpersist()
-            return
-        batch_df.drop("topic", "partition", "offset").writeTo(self.table).append()
-        props = ", ".join(
-            f"'{offset_property(self.consumer_group, r['topic'], r['partition'])}'="
-            f"'{r['end_offset']}:"
-            f"{int(r['end_watermark'].timestamp() * 1000) if r['end_watermark'] is not None else 0}'"
-            for r in ranges
-        )
+
+    # -- single-transaction commit (Java Transaction API) ---------------
+    def _jvm(self):
+        """JVM gateway accessor — a seam so the transaction path is
+        testable without Iceberg classes on the local classpath."""
+        return self.spark._jvm
+
+    def _load_java_table(self):
+        """Resolve the Java ``org.apache.iceberg.Table`` — the seam tests
+        monkeypatch; raises _TransactionUnsupported when the runtime
+        can't hand one over (e.g. a non-Iceberg-aware catalog)."""
+        try:
+            return self._jvm().org.apache.iceberg.spark.Spark3Util.loadIcebergTable(
+                self.spark._jsparkSession, self.table
+            )
+        except Exception as e:  # noqa: BLE001
+            raise _TransactionUnsupported(str(e)) from e
+
+    def _transactional_commit(self, data: DataFrame, props: dict[str, str]) -> None:
+        """Stage data files, then commit files + offset properties in ONE
+        Iceberg transaction (reference parity:
+        IcebergRecordBatchStorage.scala:47-64).
+
+        The staged parquet files are written outside any table commit
+        (invisible until the transaction lands), registered via
+        ``Transaction.newAppend`` with footer-derived metrics, and the
+        offset properties ride the same transaction — a crash anywhere
+        before ``commitTransaction`` leaves the table untouched.
+        """
+        jtable = self._load_java_table()
+        jvm = self._jvm()
+        staging = f"{jtable.location()}/data/_staging-{uuid.uuid4().hex}"
+        data.write.mode("overwrite").parquet(staging)
+        hconf = self.spark._jsc.hadoopConfiguration()
+        txn = jtable.newTransaction()
         if props:
-            self.spark.sql(f"ALTER TABLE {self.table} SET TBLPROPERTIES ({props})")
-        batch_df.unpersist()
+            up = txn.updateProperties()
+            for k, v in props.items():
+                up.set(k, v)
+            up.commit()  # staged — lands with the transaction
+        append = txn.newAppend()
+        metrics_config = jvm.org.apache.iceberg.MetricsConfig.forTable(jtable)
+        for path in self._staged_files(staging):
+            infile = jvm.org.apache.iceberg.hadoop.HadoopInputFile.fromLocation(path, hconf)
+            metrics = jvm.org.apache.iceberg.parquet.ParquetUtil.fileMetrics(
+                infile, metrics_config
+            )
+            append.appendFile(
+                jvm.org.apache.iceberg.DataFiles.builder(jtable.spec())
+                .withInputFile(infile)
+                .withMetrics(metrics)
+                .withFormat(jvm.org.apache.iceberg.FileFormat.PARQUET)
+                .build()
+            )
+        append.commit()  # staged
+        txn.commitTransaction()  # the ONE atomic commit point
+
+    def _staged_files(self, staging: str) -> list[str]:
+        """Parquet part files of a staged write (local or Hadoop FS)."""
+        if os.path.isdir(staging):
+            return [
+                os.path.join(staging, n)
+                for n in sorted(os.listdir(staging))
+                if n.endswith(".parquet")
+            ]
+        jvm = self._jvm()
+        jpath = jvm.org.apache.hadoop.fs.Path(staging)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return sorted(
+            f.getPath().toString()
+            for f in fs.listStatus(jpath)
+            if f.getPath().getName().endswith(".parquet")
+        )
 
     def committed_positions(self) -> dict[tuple[str, int], StreamPosition]:
         rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.table}").collect()

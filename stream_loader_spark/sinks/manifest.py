@@ -141,29 +141,34 @@ class ManifestFileSink:
             # replayed micro-batch after restart: commit already atomic+durable
             return
         ranges: list[StreamRange] = []
-        if self.meta_cols is not None:
+        persisted = self.meta_cols is not None
+        if persisted:
             t, p, o, ts = self.meta_cols
             batch_df = batch_df.persist()
-            for row in stream_ranges(batch_df, t, p, o, ts).collect():
-                ranges.append(
-                    StreamRange(
-                        row["topic"],
-                        row["partition"],
-                        StreamPosition(row["start_offset"], 0),
-                        StreamPosition(
-                            row["end_offset"],
-                            # a partition whose every record has a NULL ts
-                            # still commits (watermark floor 0) instead of
-                            # crash-looping the query on a poison batch
-                            int(row["end_watermark"].timestamp() * 1000)
-                            if row["end_watermark"] is not None
-                            else 0,
-                        ),
+        try:
+            if persisted:
+                for row in stream_ranges(batch_df, t, p, o, ts).collect():
+                    ranges.append(
+                        StreamRange(
+                            row["topic"],
+                            row["partition"],
+                            StreamPosition(row["start_offset"], 0),
+                            StreamPosition(
+                                row["end_offset"],
+                                # a partition whose every record has a NULL ts
+                                # still commits (watermark floor 0) instead of
+                                # crash-looping the query on a poison batch
+                                int(row["end_watermark"].timestamp() * 1000)
+                                if row["end_watermark"] is not None
+                                else 0,
+                            ),
+                        )
                     )
-                )
-        self._build_writer(batch_df).save(self.batch_data_dir(batch_id))
-        if self.meta_cols is not None:
-            batch_df.unpersist()
+            self._build_writer(batch_df).save(self.batch_data_dir(batch_id))
+        finally:
+            # a failed write must not leak the cached batch across retries
+            if persisted:
+                batch_df.unpersist()
         self._commit_manifest(batch_id, ranges)
 
     def _commit_manifest(self, batch_id: int, ranges: list[StreamRange]) -> None:
@@ -250,10 +255,18 @@ class ManifestFileSink:
         dirs = [b.data_dir for b in self.committed_batches() if os.path.exists(b.data_dir)]
         if not dirs:
             raise ValueError("no committed batches")
+        return self._build_reader(spark).load(dirs)
+
+    def _build_reader(self, spark: SparkSession):
+        """Reader mirroring the writer's options: mergeSchema for parquet
+        (schema evolution across batches) and the configured format
+        options (e.g. CSV header/sep) so round-trips are lossless."""
         reader = spark.read.format(self.file_format)
+        for k, v in self.writer_options.items():
+            reader = reader.option(k, v)
         if self.file_format == "parquet":
             reader = reader.option("mergeSchema", "true")
-        return reader.load(dirs)
+        return reader
 
     def compact_data(self, spark: SparkSession, min_batches: int = 2) -> str | None:
         """Rewrite all live batch dirs into ONE consolidated dir (the
@@ -272,7 +285,10 @@ class ManifestFileSink:
             return None
         max_id = max(b.batch_id for b in live)
         target = os.path.join(self.out_dir, "data", f"compact={max_id}")
-        df = spark.read.format(self.file_format).load(
+        # same reader as committed_data: without mergeSchema, compacting
+        # batches with evolved schemas would silently drop later-added
+        # columns — irreversibly once vacuum() deletes the originals
+        df = self._build_reader(spark).load(
             [b.data_dir for b in live if os.path.exists(b.data_dir)]
         )
         self._build_writer(df).save(target)

@@ -84,10 +84,14 @@ class RewindingSink:
             F.col("_f_next_offset").isNotNull() & (F.col(o) < F.col("_f_next_offset")),
         )
         joined = joined.persist()
-        replayed = joined.where(F.col("_replayed"))
-        new = joined.where(~F.col("_replayed"))
-        drop_cols = ["_replayed", "_f_topic", "_f_partition", "_f_next_offset"]
-        if self.warmup is not None:
-            self.warmup(replayed.drop(*drop_cols))
-        self.inner(new.drop(*drop_cols), batch_id)
-        joined.unpersist()
+        try:
+            replayed = joined.where(F.col("_replayed"))
+            new = joined.where(~F.col("_replayed"))
+            drop_cols = ["_replayed", "_f_topic", "_f_partition", "_f_next_offset"]
+            if self.warmup is not None:
+                self.warmup(replayed.drop(*drop_cols))
+            self.inner(new.drop(*drop_cols), batch_id)
+        finally:
+            # an exception mid-write must not leak the cached batch across
+            # foreachBatch retries
+            joined.unpersist()

@@ -382,3 +382,103 @@ class TestKillMidStream:
         assert data.select("offset").distinct().count() == n_files * per_file
         pos = sink.committed_positions()
         assert pos[("t", 0)].offset == n_files * per_file
+
+
+class TestCompactionSchemaEvolution:
+    def test_compaction_preserves_evolved_schema(self, spark, tmp_path):
+        """Compacting batches with differing schemas must keep the
+        later-added column (the read merges schemas exactly like
+        committed_data) — dropping it would be irreversible after
+        vacuum()."""
+        sink = ManifestFileSink(str(tmp_path / "out"), meta_cols=None)
+        sink.write_batch(
+            spark.createDataFrame([("t", 0, 1)], "topic string, partition int, offset bigint"),
+            0,
+        )
+        sink.write_batch(
+            spark.createDataFrame(
+                [("t", 0, 2, "new")],
+                "topic string, partition int, offset bigint, extra string",
+            ),
+            1,
+        )
+        assert sink.compact_data(spark) is not None
+        sink.vacuum()
+        data = sink.committed_data(spark)
+        assert set(data.columns) == {"topic", "partition", "offset", "extra"}
+        rows = {r["offset"]: r["extra"] for r in data.collect()}
+        assert rows == {1: None, 2: "new"}
+
+
+class TestIcebergTransactionSeam:
+    """The Iceberg runtime is absent here, so the single-transaction
+    commit path is exercised against a scripted Java-table double: the
+    test pins the CALL SEQUENCE the reference requires
+    (iceberg/IcebergRecordBatchStorage.scala:47-64) — properties and
+    appends staged on ONE transaction, exactly one commitTransaction,
+    and no table-level (non-transactional) commits."""
+
+    def _make_sink(self, spark, tmp_path, monkeypatch):
+        from stream_loader_spark.sinks import iceberg as mod
+
+        monkeypatch.setattr(mod, "iceberg_available", lambda _s: True)
+        return mod.IcebergOffsetsSink(spark, "cat.db.t", "cg-1")
+
+    def test_transactional_commit_call_sequence(self, spark, tmp_path, monkeypatch):
+        from unittest.mock import MagicMock
+
+        sink = self._make_sink(spark, tmp_path, monkeypatch)
+        loc = str(tmp_path / "table")
+        jtable = MagicMock(name="jtable")
+        jtable.location.return_value = loc
+        txn = jtable.newTransaction.return_value
+        monkeypatch.setattr(sink, "_load_java_table", lambda: jtable)
+        monkeypatch.setattr(sink, "_jvm", lambda: MagicMock(name="jvm"))
+
+        data = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+        props = {"__consumer_offset:cg-1:t:0": "41:1700000000000"}
+        sink._transactional_commit(data, props)
+
+        # staged parquet really written under the table location
+        staged = [
+            d for d in os.listdir(os.path.join(loc, "data"))
+            if d.startswith("_staging-")
+        ]
+        assert len(staged) == 1
+
+        # properties staged on the transaction, not on the table
+        txn.updateProperties.return_value.set.assert_called_once_with(
+            "__consumer_offset:cg-1:t:0", "41:1700000000000"
+        )
+        txn.updateProperties.return_value.commit.assert_called_once()
+        jtable.updateProperties.assert_not_called()
+
+        # every staged file appended on the SAME transaction
+        append = txn.newAppend.return_value
+        n_parts = len(
+            [
+                f
+                for f in os.listdir(os.path.join(loc, "data", staged[0]))
+                if f.endswith(".parquet")
+            ]
+        )
+        assert n_parts >= 1
+        assert append.appendFile.call_count == n_parts
+        append.commit.assert_called_once()
+        jtable.newAppend.assert_not_called()
+
+        # the one atomic commit point
+        txn.commitTransaction.assert_called_once()
+
+    def test_unsupported_runtime_raises_marker(self, spark, tmp_path, monkeypatch):
+        from stream_loader_spark.sinks.iceberg import _TransactionUnsupported
+
+        sink = self._make_sink(spark, tmp_path, monkeypatch)
+        with pytest.raises(_TransactionUnsupported):
+            sink._load_java_table()  # no Iceberg classes on this classpath
+
+    def test_property_sql_escaping(self):
+        from stream_loader_spark.sinks.iceberg import sql_str_literal
+
+        assert sql_str_literal("plain") == "'plain'"
+        assert sql_str_literal("o'brien:topic") == "'o''brien:topic'"
