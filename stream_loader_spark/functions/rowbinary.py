@@ -46,20 +46,46 @@ def leb128(n: int) -> bytes:
             return bytes(out)
 
 
+MAX_ARRAY_DEPTH = 2  # Array(Array(T)) — matches the reference encoder's
+# compile-time abort on deeper nesting
+# (clickhouse/rowbinary/RowBinaryClickHouseRecordEncoder.scala:89-116)
+
+
 @dataclass(frozen=True)
 class CHType:
-    """One RowBinary column type: name + encode fn + nullability/array."""
+    """One RowBinary column type: name + encode fn + nullability/array.
+
+    ``array=True`` means Array(T); ``array_depth=2`` means
+    Array(Array(T)) — each level is LEB128-count-prefixed, encoded
+    recursively per the RowBinary wire format. Deeper nesting aborts at
+    construction, mirroring the reference's compile-time rejection.
+    """
 
     name: str
     nullable: bool = False
     array: bool = False  # Array(T); arrays of nullables supported
+    array_depth: int = 0  # overrides `array` when > 0
+
+    def __post_init__(self):
+        depth = self._depth()
+        if depth > MAX_ARRAY_DEPTH:
+            raise ValueError(
+                f"RowBinary arrays nest at most {MAX_ARRAY_DEPTH} levels "
+                f"(got depth {depth}) — matching the reference encoder's abort"
+            )
+
+    def _depth(self) -> int:
+        return self.array_depth if self.array_depth > 0 else (1 if self.array else 0)
 
     def encode(self, v) -> bytes:
-        if self.array:
-            items = list(v) if v is not None else []
-            body = b"".join(self._encode_scalar(x) for x in items)
-            return leb128(len(items)) + body
-        return self._encode_scalar(v)
+        return self._encode_array(v, self._depth())
+
+    def _encode_array(self, v, depth: int) -> bytes:
+        if depth == 0:
+            return self._encode_scalar(v)
+        items = list(v) if v is not None else []
+        body = b"".join(self._encode_array(x, depth - 1) for x in items)
+        return leb128(len(items)) + body
 
     def _encode_scalar(self, v) -> bytes:
         if self.nullable:
@@ -153,7 +179,7 @@ class RowBinaryEncoder:
         fields = []
         for col, ctype in self.schema:
             np_t = self._NUMPY_DTYPES.get(ctype.name)
-            if np_t is None or ctype.nullable or ctype.array:
+            if np_t is None or ctype.nullable or ctype.array or ctype.array_depth:
                 return None
             fields.append((col, np_t))
         import numpy as np

@@ -114,6 +114,28 @@ class StreamPipeline:
     def format_records(self, schema: str, value_col: str = "props") -> "StreamPipeline":
         return self.transform(lambda df: formatted_records(df, schema, value_col))
 
+    def format_avro(
+        self, avro_schema_json: str, value_col: str = "value", mode: str = "PERMISSIVE"
+    ) -> "StreamPipeline":
+        """P2/E4: binary Avro payloads → typed columns (needs spark-avro;
+        reference AvroParquetFileBuilder.scala:30-86)."""
+        from stream_loader_spark.operators.projection import avro_formatted_records
+
+        return self.transform(
+            lambda df: avro_formatted_records(df, avro_schema_json, value_col, mode)
+        )
+
+    def format_protobuf(
+        self, message_name: str, descriptor_file: str | None = None, value_col: str = "value"
+    ) -> "StreamPipeline":
+        """E5: binary Protobuf payloads → typed columns (needs
+        spark-protobuf; reference ProtoParquetFileBuilder.scala:23-54)."""
+        from stream_loader_spark.operators.projection import protobuf_formatted_records
+
+        return self.transform(
+            lambda df: protobuf_formatted_records(df, message_name, descriptor_file, value_col)
+        )
+
     def clamp_watermark(
         self, ts_col: str = "ts", delay: str = "10 minutes", valid_diff: str = DEFAULT_VALID_DIFF
     ) -> "StreamPipeline":

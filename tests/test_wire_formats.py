@@ -3,6 +3,8 @@ RowBinary/native encoder test layer, SURVEY §5.1) — expected bytes are
 hand-derived from the public ClickHouse/Vertica format documentation."""
 
 import struct
+
+import pytest
 import uuid
 from datetime import date, datetime, timezone
 from decimal import Decimal
@@ -190,3 +192,47 @@ class TestRowBinaryVectorizedPath:
         assert enc._fixed_width_dtype() is None
         got = enc.encode_batch(pd.DataFrame({"a": [1], "s": ["x"]}))
         assert got == struct.pack("<q", 1) + b"\x01x"
+
+
+class TestRowBinaryNestedArrays:
+    """Array(Array(T)) golden bytes — recursive LEB128-counted levels
+    (reference RowBinaryClickHouseRecordEncoder.scala:89-116); deeper
+    nesting aborts at construction like the reference's compile error."""
+
+    def test_nested_array_golden_bytes(self):
+        enc = RowBinaryEncoder([("m", CHType("Int32", array_depth=2))])
+        got = enc.encode_rows([{"m": [[1, 2], [], [3]]}])
+        expected = (
+            b"\x03"  # outer count
+            + b"\x02" + b"\x01\x00\x00\x00" + b"\x02\x00\x00\x00"  # [1, 2]
+            + b"\x00"  # []
+            + b"\x01" + b"\x03\x00\x00\x00"  # [3]
+        )
+        assert got == expected
+
+    def test_nested_string_array(self):
+        enc = RowBinaryEncoder([("m", CHType("String", array_depth=2))])
+        got = enc.encode_rows([{"m": [["ab"], ["c", ""]]}])
+        expected = (
+            b"\x02"
+            + b"\x01" + b"\x02ab"
+            + b"\x02" + b"\x01c" + b"\x00"
+        )
+        assert got == expected
+
+    def test_null_outer_array_encodes_empty(self):
+        enc = RowBinaryEncoder([("m", CHType("Int32", array_depth=2))])
+        assert enc.encode_rows([{"m": None}]) == b"\x00"
+
+    def test_nested_nullable_elements(self):
+        enc = RowBinaryEncoder([("m", CHType("Int64", nullable=True, array_depth=2))])
+        got = enc.encode_rows([{"m": [[5, None]]}])
+        expected = b"\x01" + b"\x02" + b"\x00" + struct.pack("<q", 5) + b"\x01"
+        assert got == expected
+
+    def test_depth_three_aborts(self):
+        with pytest.raises(ValueError, match="nest at most 2"):
+            CHType("Int32", array_depth=3)
+
+    def test_depth_one_via_array_flag_unchanged(self):
+        assert CHType("Int32", array=True).encode([1]) == b"\x01\x01\x00\x00\x00"
