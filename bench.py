@@ -90,6 +90,40 @@ BENCH_QUERIES = [
 ]
 
 
+# Oracles whose DuckDB form is quadratic-verify (shingle-list
+# intersections over ~1M candidate pairs) and exceeds a bench budget at
+# sf0.1 — their SPARK timings still run; only the ratio is omitted.
+RATIO_SKIP = {
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "near_dup_dedup_end_to_end",
+    "clean_corpus_pipeline",
+}
+
+
+def duckdb_timings(sf_dir: str, names: list[str]) -> dict[str, float]:
+    """One timed DuckDB run per oracle-backed bench query (same parquet,
+    all cores) — the per-query denominator that keeps Spark regressions
+    visible against an embedded-engine yardstick."""
+    import duckdb
+
+    from stream_loader_spark.sources.tables import TABLE_NAMES, table_path
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    out: dict[str, float] = {}
+    for name in names:
+        if name not in oracles or name in RATIO_SKIP:
+            continue
+        t0 = time.time()
+        con.execute(oracles[name]).fetchall()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -116,6 +150,14 @@ def main() -> None:
                 timings[name] = took
 
     total = round(sum(timings.values()), 3)
+    duck = duckdb_timings(sf_dir, BENCH_QUERIES)
+    ratios = {
+        name: round(timings[name] / duck[name], 2) if duck[name] > 0 else None
+        for name in duck
+    }
+    ratio_vals = sorted(r for r in ratios.values() if r is not None)
+    common_spark = round(sum(timings[n] for n in duck), 3)
+    duck_total = round(sum(duck.values()), 3)
     print(
         json.dumps(
             {
@@ -124,6 +166,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                # Spark-vs-DuckDB yardstick over the oracle-backed subset
+                "duckdb": duck,
+                "ratio": ratios,
+                "ratio_median": ratio_vals[len(ratio_vals) // 2] if ratio_vals else None,
+                "ratio_total": round(common_spark / duck_total, 2) if duck_total else None,
+                "duckdb_total": duck_total,
+                "ratio_skipped": sorted(RATIO_SKIP),
             }
         )
     )

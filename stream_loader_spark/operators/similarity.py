@@ -222,20 +222,28 @@ def ivf_topk(
     )
 
 
-# Sign-LSH hyperplane coefficients: a multiplicative-congruential mix of
-# (dimension index, plane index) mapped into [-1, 1). Chosen over a
-# native hash (xxhash64) because BOTH engines can evaluate it with plain
-# integer arithmetic, making the full LSH algorithm — not just its
-# output — reproducible by an independent SQL oracle.
-LSH_DIM_MULT = 2654435761  # Knuth multiplicative constant
-LSH_PLANE_MULT = 40503
-LSH_MOD = 1000
+# Sign-LSH hyperplanes: md5-derived coefficients in [-1, 1), generated
+# once in Python and embedded as LITERALS in both engines' expressions —
+# reproducible by an independent SQL oracle (the algorithm, not just its
+# output, is cross-engine) AND high-quality pseudo-random. (A linear
+# congruential formula evaluated in-engine was tried first: its planes
+# are shifted linear ramps of each other, which collapses LSH buckets —
+# 680k candidate pairs on 2k fixture vectors vs ~30k for random planes.)
+LSH_DEFAULT_DIM = 64
 
 
-def plane_coeff_expr(i_expr: str, p: int) -> str:
-    """SQL text for the plane-p coefficient at 0-based dim index
-    ``i_expr`` — identical arithmetic in Spark SQL and DuckDB."""
-    return f"((({i_expr}) * {LSH_DIM_MULT} + {p * LSH_PLANE_MULT}) % {LSH_MOD}) / 500.0 - 1.0"
+def lsh_plane_coeffs(dim: int, total_planes: int) -> list[list[float]]:
+    """coeff[p][i] = (md5("p:i") % 1000) / 500 - 1 — deterministic,
+    near-orthogonal hyperplane matrix shared verbatim by Spark and SQL."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16) % 1000) / 500.0 - 1.0
+            for i in range(dim)
+        ]
+        for p in range(total_planes)
+    ]
 
 
 def cosine_near_dup_pairs(
@@ -245,6 +253,7 @@ def cosine_near_dup_pairs(
     num_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = LSH_DEFAULT_DIM,
 ) -> DataFrame:
     """Embedding near-dup pairs via banded sign-LSH + exact verify.
 
@@ -258,44 +267,47 @@ def cosine_near_dup_pairs(
     difference can never flip a boundary sign between engines.
     """
 
-    # sign bit per plane: sum_i vec[i] * coeff(i, p) >= 0.
-    # Plane index is captured in a closure — a two-parameter lambda would
-    # be read by Spark as (element, index).
-    def plane_term(p: int):
-        def apply(i: Column) -> Column:
-            coeff = (
-                (i.cast("long") * LSH_DIM_MULT + F.lit(p * LSH_PLANE_MULT)) % LSH_MOD
-            ).cast("double") / 500.0 - 1.0
-            return F.element_at(F.col(vec_col), i + 1).cast("double") * coeff
+    total_planes = num_bands * num_planes
+    coeffs = lsh_plane_coeffs(dim, total_planes)
+    # fixed-dim contract: vectors of any other length have no defined
+    # projection onto the plane matrix and are excluded (empty vectors
+    # have no direction at all)
+    nonempty = scatter(embeddings.where(F.size(F.col(vec_col)) == dim))
 
-        return apply
-
-    dim_count = F.size(F.col(vec_col))
+    # ALL plane dot products in one pass: posexplode the vector, then
+    # one hash-aggregate with `total_planes` codegen'd sums — the same
+    # explode+aggregate shape as MinHash (higher-order lambdas are
+    # interpreted per element; conditional sums stay in whole-stage
+    # codegen, with map-side combine carrying one row per vector).
+    ex = nonempty.select(id_col, F.posexplode(vec_col).alias("pos", "val"))
+    dot_sums = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.col("val").cast("double")
+                * F.element_at(
+                    F.array(*[F.lit(c) for c in coeffs[p]]), F.col("pos") + 1
+                )
+            ).alias(f"dot{p}")
+            for p in range(total_planes)
+        ]
+    )
 
     def sign_bit(p: int) -> Column:
-        dot = F.aggregate(
-            F.transform(F.sequence(F.lit(0), dim_count - 1), plane_term(p)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        return F.when(F.round(F.col(f"dot{p}"), COSINE_SCALE) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
         )
-        return F.when(F.round(dot, COSINE_SCALE) >= 0, F.lit("1")).otherwise(F.lit("0"))
 
-    band_sigs = [
-        F.concat_ws(
-            "", *[sign_bit(b * num_planes + j) for j in range(num_planes)]
-        ).alias(f"sig{b}")
-        for b in range(num_bands)
-    ]
-    # empty vectors have no meaningful direction and would make
-    # sequence(0, -1) descend into an element_at(vec, 0) error
-    nonempty = embeddings.where(F.size(F.col(vec_col)) > 0)
-    sigs = scatter(nonempty).select(id_col, vec_col, *band_sigs)
-    banded = sigs.select(
+    banded = dot_sums.select(
         id_col,
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig"))
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "", *[sign_bit(b * num_planes + j) for j in range(num_planes)]
+                        ).alias("sig"),
+                    )
                     for b in range(num_bands)
                 ]
             )
@@ -315,7 +327,9 @@ def cosine_near_dup_pairs(
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    vecs = sigs.select(id_col, vec_col)
+    # verify joins re-read the RAW vectors (cheap parquet re-scan) rather
+    # than re-deriving the signature lineage
+    vecs = nonempty.select(id_col, vec_col)
     return (
         cand.join(
             vecs.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")), "vec_a"

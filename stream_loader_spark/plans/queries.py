@@ -666,7 +666,7 @@ def _jaccard_pairs_ctes(src: str = "documents", threshold: float = 0.5) -> str:
     (lossless: jaccard > 0 requires a common shingle)."""
     return f"""jt AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM {src}),
-    jd AS (
+    jd AS MATERIALIZED (
       SELECT doc_id,
              CASE WHEN len(toks) >= 3 THEN
                list_distinct(list_transform(range(1, len(toks) - 1),
@@ -674,6 +674,8 @@ def _jaccard_pairs_ctes(src: str = "documents", threshold: float = 0.5) -> str:
              ELSE [array_to_string(toks, ' ')] END AS shingles
       FROM jt),
     jex AS (SELECT doc_id, unnest(shingles) AS shingle FROM jd),
+    -- jd is referenced three times (jex + two verify joins); without
+    -- materialization the shingle build would inline into each
     jcand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM jex a JOIN jex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
@@ -708,7 +710,7 @@ def _simhash_sig_ctes(src: str = "documents") -> str:
     shx AS (SELECT doc_id, md5(token) AS h FROM stok),
     snib AS (SELECT doc_id, {nibs} FROM shx),
     scnt AS (SELECT doc_id, COUNT(*) AS n, {cs} FROM snib GROUP BY doc_id),
-    sig AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM scnt)"""
+    sig AS MATERIALIZED (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM scnt)"""
 
 
 _COSINE_SQL = (
@@ -721,16 +723,22 @@ _COSINE_SQL = (
 )
 
 
-def _sign_lsh_ctes(num_planes: int = 8, num_bands: int = 4) -> str:
+def _sign_lsh_ctes(num_planes: int = 8, num_bands: int = 4, dim: int = 64) -> str:
     """CTE chain ending in ``lcand(vec_a, vec_b, ea, eb)`` — banded
-    sign-LSH candidates with the integer-arithmetic hyperplanes of
-    operators/similarity.py."""
-    from stream_loader_spark.operators.similarity import plane_coeff_expr
+    sign-LSH candidates with the SAME md5-derived hyperplane literals
+    as operators/similarity.py (one generator, two engines)."""
+    from stream_loader_spark.operators.similarity import lsh_plane_coeffs
+
+    coeffs = lsh_plane_coeffs(dim, num_bands * num_planes)
 
     def dot(p: int) -> str:
+        # list_zip so the literal coefficient list is built once per row,
+        # not once per ELEMENT (indexing a literal inside the lambda made
+        # the oracle ~500x slower)
+        lits = "[" + ", ".join(repr(c) for c in coeffs[p]) + "]"
         return (
-            "list_sum(list_transform(range(1, len(embedding) + 1), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({plane_coeff_expr('i - 1', p)})))"
+            f"list_sum(list_transform(list_zip(embedding, {lits}), "
+            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
         )
 
     band_exprs = ",\n             ".join(
@@ -743,8 +751,8 @@ def _sign_lsh_ctes(num_planes: int = 8, num_bands: int = 4) -> str:
         for b in range(num_bands)
     )
     any_band = " OR ".join(f"a.sig{b} = b.sig{b}" for b in range(num_bands))
-    return f"""le AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) > 0),
-    ls AS (SELECT vec_id, embedding,
+    return f"""le AS (SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = {dim}),
+    ls AS MATERIALIZED (SELECT vec_id, embedding,
              {band_exprs}
            FROM le),
     lcand AS (
