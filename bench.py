@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "token_counts_bpe",
     "token_frequencies",
+    "repetition_stats",
+    "deterministic_sample",
     "dedup_exact",
     "near_dup_dedup_end_to_end",
     "minhash_lsh_pairs",

@@ -108,6 +108,38 @@ def with_lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return df.drop("tokens", *[f"hits_{l}" for l in LANGS])
 
 
+def repetition_stats(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition metrics per document: type-token ratio and the share
+    of the single most frequent token — the standard cheap detectors
+    for degenerate/boilerplate text in corpus cleaning.
+
+    explode → two hash-aggregates (map-side combine carries one row per
+    (doc, token) then one per doc); empty docs have no tokens and are
+    excluded, mirroring the SQL oracle's WHERE clause.
+    """
+    toks = scatter(documents).select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    per_tok = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("token_count"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.max("cnt").alias("top_token_count"),
+        )
+        .select(
+            id_col,
+            "token_count",
+            "distinct_tokens",
+            (F.col("distinct_tokens") / F.col("token_count")).alias("type_token_ratio"),
+            (F.col("top_token_count") / F.col("token_count")).alias("top_token_share"),
+        )
+    )
+
+
 def with_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Stable document fingerprint: sha256 of the normalized text.
 

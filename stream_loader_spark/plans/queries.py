@@ -608,6 +608,48 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "repetition_stats",
+    """WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    pt AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS token_count,
+           COUNT(*) AS distinct_tokens,
+           COUNT(*) / CAST(SUM(cnt) AS BIGINT) AS type_token_ratio,
+           CAST(MAX(cnt) AS BIGINT) / CAST(SUM(cnt) AS BIGINT) AS top_token_share
+    FROM pt GROUP BY doc_id""",
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate detection: type-token ratio + top-token
+    share per document (explode → two hash-aggregates)."""
+    from stream_loader_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+@query(
+    "deterministic_sample",
+    """SELECT doc_id, lang,
+           (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+           AS sample_bucket
+    FROM documents
+    WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 51""",
+)
+def deterministic_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket ~20% sample (51/256): reproducible across reruns,
+    engines, and partitionings — the honest way to carve eval subsets
+    out of a large corpus. No shuffle; the filter rides the scan."""
+    from stream_loader_spark.operators.sampling import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return deterministic_sample(docs, keep_buckets=51)
+
+
+@query(
     "dedup_exact",
     """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
     FROM documents GROUP BY 1""",
