@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "q10_returned_items",
     "q11_important_suppliers",
     "q17_small_quantity_revenue",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q20_promo_part_suppliers",
     "intersect_building_big_orders",
     "grouping_sets_orders",
     "top_orders_per_segment",

@@ -2006,6 +2006,175 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q2_min_cost_supplier",
+    """WITH eur AS (
+      SELECT s.s_suppkey, s.s_name, n.n_name AS supp_nation
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    offers AS (
+      SELECT l.l_partkey, l.l_suppkey, CAST(MIN(l.l_extendedprice) AS DOUBLE) AS offer
+      FROM lineitem l JOIN eur e ON e.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2),
+    best AS (SELECT l_partkey, MIN(offer) AS best_offer FROM offers GROUP BY 1)
+    SELECT p.p_partkey, e.s_name, e.supp_nation, o.offer
+    FROM offers o
+    JOIN best b ON b.l_partkey = o.l_partkey AND o.offer = b.best_offer
+    JOIN part p ON p.p_partkey = o.l_partkey
+    JOIN eur e ON e.s_suppkey = o.l_suppkey
+    WHERE p.p_size <= 5""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest regional offer per part (correlated MIN
+    de-correlated into an aggregate self-join; lineitem stands in for
+    partsupp, which the fixture lacks). Ties keep every min-price
+    supplier — set semantics, deterministic."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 5)
+    eur = s.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        s.s_nationkey == n.n_nationkey,
+    ).select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+    offers = (
+        li.join(F.broadcast(eur.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").cast("double").alias("offer"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("bk")).agg(F.min("offer").alias("best_offer"))
+    return (
+        offers.join(best, (offers.l_partkey == F.col("bk")) & (F.col("offer") == F.col("best_offer")))
+        .join(F.broadcast(p), p.p_partkey == offers.l_partkey)
+        .join(F.broadcast(eur), eur.s_suppkey == offers.l_suppkey)
+        .select("p_partkey", "s_name", "supp_nation", "offer")
+    )
+
+
+@query(
+    "q8_market_share",
+    f"""SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_1' THEN {_REV_DEC.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS DOUBLE)
+           / CAST(CAST(SUM({_REV_DEC.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DECIMAL(38,6)) AS DOUBLE) AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share per year — conditional
+    decimal sum over total decimal sum, divided once in double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime(1998, 1, 1)))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    n1 = n.select(F.col("n_nationkey").alias("k1"), F.col("n_regionkey").alias("rk1"))
+    n2 = n.select(F.col("n_nationkey").alias("k2"), F.col("n_name").alias("supp_nation"))
+    rev = _rev_col()
+    j = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1.join(F.broadcast(r), F.col("rk1") == r.r_regionkey)), F.col("k1") == c.c_nationkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n2), F.col("k2") == s.s_nationkey)
+        .join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    )
+    national = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        (
+            F.sum(national).cast("decimal(38,6)").cast("double")
+            / F.sum(rev).cast("decimal(38,6)").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    """SELECT n.n_name, CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(SUM(
+             CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l.l_discount AS DECIMAL(18,6))
+             - CAST(p.p_retailprice * 0.6 AS DECIMAL(18,6)) * CAST(l.l_quantity AS DECIMAL(18,6))
+           ) AS DECIMAL(38,6)) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY 1, 2""",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus synthesized supply cost —
+    the fixture has no partsupp, so cost = 0.6 × retail × quantity) per
+    supplier nation and order year, exact decimal arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    profit_el = _rev_col() - (
+        (F.col("p_retailprice") * F.lit(0.6)).cast("decimal(18,6)")
+        * F.col("l_quantity").cast("decimal(18,6)")
+    )
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(profit_el).cast("decimal(38,6)").cast("double").alias("profit"))
+    )
+
+
+@query(
+    "q20_promo_part_suppliers",
+    """SELECT s.s_suppkey, s.s_name FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,6))) > 50)""",
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: semi join against an aggregated-HAVING subquery
+    (suppliers who moved > 50 units of any promo part in 1997+)."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit(datetime(1997, 1, 1))
+    )
+    promo = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    movers = (
+        li.join(F.broadcast(promo), promo.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return s.join(movers, movers.l_suppkey == s.s_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@query(
     "q10_returned_items",
     f"""SELECT c.c_custkey, c.c_mktsegment, n.n_name,
            {REV_SUM_L_SQL} AS revenue

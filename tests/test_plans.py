@@ -53,6 +53,38 @@ class TestPlanShapes:
         read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
         assert "value" not in read_schema  # unused payload column pruned
 
+    def test_sessionize_windows_on_high_cardinality_key(self, spark, sf_small):
+        """Round-1 scale-killer regression: the sessionization window
+        must partition on user_id (grows with users), never on the
+        8-value bucket derived from it."""
+        plan = plan_of(spark, "sessionize_events", sf_small)
+        window_lines = [l for l in plan.splitlines() if "Window" in l or "WindowGroupLimit" in l]
+        assert window_lines, plan
+        assert any("user_id" in l for l in window_lines)
+        assert not any("user_bucket" in l for l in window_lines)
+
+    def test_lsh_pair_queries_never_cross_join(self, spark, sf_small):
+        """Candidate generation is banded equi-join in every near-dup
+        operator — an all-pairs product would appear as a nested-loop
+        or cartesian join node."""
+        for name in ("minhash_lsh_pairs", "simhash_pairs", "embedding_near_dup"):
+            plan = plan_of(spark, name, sf_small)
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+    def test_embedding_lsh_single_signature_pass(self, spark, sf_small):
+        """All 32 plane dots come from ONE posexplode+aggregate pass —
+        interpreted higher-order lambdas in the signature path would
+        show up as `aggregate(...)` expressions over the raw vectors."""
+        plan = plan_of(spark, "embedding_near_dup", sf_small)
+        # one Generate for posexplode of the vectors feeding the dot sums
+        assert "Generate posexplode" in plan
+
+    def test_deterministic_sample_prunes_text(self, spark, sf_small):
+        plan = plan_of(spark, "deterministic_sample", sf_small)
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "text" not in read_schema  # only doc_id/lang reach the scan
+
 
 class TestCsvManifestSink:
     def test_csv_sink_with_reference_contract(self, spark, tmp_path):
