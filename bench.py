@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "d1_rewind_dedup",
     "events_hourly_rollup",
     "sessionize_events",
+    "session_window_stats",
     "distinct_users_daily",
     "approx_distinct_users",
     "p5_constrained_encoding",

@@ -1209,6 +1209,52 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_window_stats",
+    f"""WITH e AS (SELECT user_id, event_id, ts FROM events),
+    lagged AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM e),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_ms(ts) - epoch_ms(prev_ts) >= {SESSION_GAP_MS}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM lagged),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged)
+    SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms,
+           epoch_ms(MAX(ts)) + {SESSION_GAP_MS} AS session_end_ms,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id""",
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` aggregation (the streaming-compatible
+    session operator — the same expression works under readStream with
+    a watermark). Oracle: the lag/flag/running-sum sessionization; note
+    Spark merges events STRICTLY closer than the gap, and a session's
+    end is last-event + gap, so the oracle flags ``>= gap`` as a new
+    session and extends the end by the gap."""
+    from stream_loader_spark.sources.kafka_view import event_ts_col
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", event_ts_col(ev).alias("ts"))
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end_ms"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "distinct_users_daily",
     f"""{_KAFKA_CTE}
     SELECT topic, CAST(ts AS DATE) AS dt,

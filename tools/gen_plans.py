@@ -1,0 +1,67 @@
+"""Regenerate PLANS.md: captured physical plans for the queries whose
+scale properties README/COVERAGE claim, with one-line annotations.
+
+Usage: python tools/gen_plans.py [sf_dir]   (writes PLANS.md)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from stream_loader_spark.session import get_spark  # noqa: E402
+from stream_loader_spark.plans.queries import QUERIES  # noqa: E402
+
+# query name → the plan property the capture evidences
+ANNOTATED = {
+    "a1_committed_positions": "offset recovery: scan → partial agg → one exchange → final agg",
+    "q1_pricing_summary": "pushed filter + pruned columns + two-phase aggregation",
+    "q5_local_supplier_volume": (
+        "star join: fixed-size dims hinted broadcast, larger sides left to AQE "
+        "(locally AQE still picks broadcast)"
+    ),
+    "q6_forecast_revenue": "all predicates pushed into the parquet scan",
+    "q2_min_cost_supplier": "correlated MIN de-correlated into aggregate self-join; dims broadcast",
+    "minhash_lsh_pairs": "signature aggregation + banded self-join + verify joins",
+    "similarity_topk": "broadcast query set + windowed top-k",
+    "embedding_near_dup": (
+        "one posexplode+aggregate signature pass, banded equi-join candidates, "
+        "raw-table verify joins — no cartesian product anywhere"
+    ),
+    "range_join_purchase_windows": "binned interval join as hash equi-join",
+    "sessionize_events": (
+        "window partitioned on user_id (high cardinality — parallelism grows with "
+        "users); the 8-way bucket is derived AFTER sessionization"
+    ),
+    "session_window_stats": "native session_window aggregation (streaming-compatible)",
+    "deterministic_sample": "hash-bucket filter rides the scan; text column pruned",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("gen_plans")
+    out = [
+        "# PLANS — captured physical plans (sf0.01)",
+        "",
+        "Evidence for the scale properties claimed in README.md/COVERAGE.md:",
+        "`df.explain()` on the declared queries. Regenerate with",
+        "`python tools/gen_plans.py`; regressions are guarded by",
+        "tests/test_plans.py.",
+    ]
+    for name, note in ANNOTATED.items():
+        df = QUERIES[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        out += ["", f"## {name}", f"*{note}*", "```", buf.getvalue().rstrip(), "```"]
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote PLANS.md ({len(ANNOTATED)} plans)")
+
+
+if __name__ == "__main__":
+    main()
