@@ -266,3 +266,56 @@ class TestStreamStreamJoin:
         )
         assert q.awaitTermination(300)
         assert sorted(out) == [(1, 3), (2, 3)]
+
+
+class TestStreamingSessionWindows:
+    def test_session_windows_close_and_emit_once(self, spark, tmp_path):
+        """readStream → watermark → session_window (30 min gap) →
+        foreachBatch: sessions sealed by the advancing watermark emit
+        exactly once, with end = last event + gap (the same expression
+        `session_window_stats` verifies against the batch oracle)."""
+        from datetime import datetime, timedelta, timezone
+        from pyspark.sql import functions as F
+
+        src = str(tmp_path / "src")
+        base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        # one user: a 3-event burst, a 40-minute silence, a 2-event burst;
+        # then a far-future event to advance the watermark past both
+        write_source(
+            spark,
+            src,
+            [("t", 0, o, base + timedelta(minutes=10 * o)) for o in range(3)]
+            + [("t", 0, 10 + o, base + timedelta(minutes=60 + 10 * o)) for o in range(2)],
+        )
+        spark.createDataFrame(
+            [("t", 0, 100, base + timedelta(hours=12))], SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        out = []
+
+        def collect_sink(df, batch_id):
+            out.extend(
+                (r["session_window"]["start"].isoformat(),
+                 r["session_window"]["end"].isoformat(), r["n"])
+                for r in df.collect()
+            )
+
+        (
+            StreamPipeline(spark)
+            .from_file_stream(src, SCHEMA, maxFilesPerTrigger=1)
+            .clamp_watermark("ts", delay="30 minutes", valid_diff="INTERVAL 24 HOURS")
+            .transform(
+                lambda df: df.groupBy(
+                    F.col("partition"), F.session_window("ts", "30 minutes")
+                ).agg(F.count(F.lit(1)).alias("n"))
+            )
+            .sink(collect_sink, str(tmp_path / "cp"))
+            .run_available()
+        )
+        sessions = {(s, e): n for s, e, n in out}
+        # burst 1: events at 0/10/20 min -> session [0, 20+30) with 3 events
+        assert sessions.get(("2024-01-01T00:00:00", "2024-01-01T00:50:00")) == 3
+        # burst 2: events at 60/70 min -> session [60, 70+30) with 2 events
+        assert sessions.get(("2024-01-01T01:00:00", "2024-01-01T01:40:00")) == 2
+        # the watermark-advancing event's own session is still open
+        assert all(not s.startswith("2024-01-01T12") for s, _ in sessions)

@@ -607,3 +607,88 @@ class TestClickHouseHttpStorage:
         storage(self._batch(spark), 0)  # offsets 0..9 all behind 100
         inserts = [r for r in ch_server["requests"] if r["query"].startswith("INSERT")]
         assert inserts == []
+
+
+class TestDbTransactionalSink:
+    """K8/K9 one-transaction contract against real sqlite3: data +
+    offsets land together or not at all; replays are no-ops; recovery
+    is the A3 aggregation over the offsets table."""
+
+    def _sink(self, tmp_path):
+        from stream_loader_spark.sinks.dbtxn import DbTransactionalSink, sqlite_connect
+
+        sink = DbTransactionalSink(
+            sqlite_connect(str(tmp_path / "db.sqlite")),
+            data_table="events",
+            offsets_table="_offsets",
+            consumer_group="cg1",
+            data_cols=["topic", "partition", "offset", "value"],
+        )
+        sink.ensure_tables()
+        return sink
+
+    def _batch(self, spark, n=25, base=0):
+        from datetime import datetime, timezone
+
+        ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        return spark.createDataFrame(
+            [("t", i % 2, base + i, float(i), ts) for i in range(n)],
+            "topic string, partition int, offset bigint, value double, ts timestamp",
+        )
+
+    def _counts(self, sink):
+        con = sink.connect()
+        try:
+            d = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+            o = con.execute("SELECT COUNT(*) FROM _offsets").fetchone()[0]
+            return d, o
+        finally:
+            con.close()
+
+    def test_commit_then_replay_is_noop(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        sink(self._batch(spark), 0)
+        assert self._counts(sink) == (25, 2)  # two partitions -> two ranges
+        sink(self._batch(spark), 0)  # replay: guarded by A3 recovery
+        assert self._counts(sink) == (25, 2)
+        pos = sink.committed_positions()
+        assert pos[("t", 0)].offset == 25 and pos[("t", 1)].offset == 24
+
+    def test_crash_mid_transaction_leaves_nothing(self, spark, tmp_path, monkeypatch):
+        sink = self._sink(tmp_path)
+        boom = RuntimeError("db died mid-batch")
+
+        def exploding_chunks(df):
+            yield [("t", 0, 0, 0.0)]
+            raise boom
+
+        monkeypatch.setattr(sink, "_row_chunks", exploding_chunks)
+        with pytest.raises(RuntimeError):
+            sink(self._batch(spark), 0)
+        # rollback: neither the inserted chunk nor any offsets visible
+        assert self._counts(sink) == (0, 0)
+        assert sink.committed_positions() == {}
+
+        # recovery: the replayed batch commits cleanly
+        monkeypatch.undo()
+        sink(self._batch(spark), 0)
+        assert self._counts(sink) == (25, 2)
+
+    def test_second_batch_appends_and_advances_positions(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        sink(self._batch(spark), 0)
+        sink(self._batch(spark, base=1000), 1)
+        assert self._counts(sink) == (50, 4)
+        pos = sink.committed_positions()
+        assert pos[("t", 0)].offset == 1025
+        # data <-> offsets joinable via _batch_id (the file-id FK)
+        con = sink.connect()
+        try:
+            joined = con.execute(
+                "SELECT COUNT(*) FROM events e JOIN _offsets o "
+                "ON o._batch_id = e._batch_id AND o._topic = e.topic "
+                "AND o._partition = e.partition"
+            ).fetchone()[0]
+        finally:
+            con.close()
+        assert joined == 50
