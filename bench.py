@@ -131,10 +131,30 @@ def duckdb_timings(sf_dir: str, names: list[str]) -> dict[str, float]:
     return out
 
 
+def split_bytes_for(sf_dir: str) -> int:
+    """Size file splits to the benchmarked SF: the largest table should
+    fan out across the cores instead of scanning as one task (the
+    128 MB default is sized for production file sizes, not fixtures).
+    Clamped to [1 MB, 128 MB] so the rule stays sane at any scale."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    biggest = max(
+        (os.path.getsize(os.path.join(sf_dir, f)) for f in os.listdir(sf_dir) if f.endswith(".parquet")),
+        default=0,
+    )
+    return max(1 << 20, min(128 << 20, biggest // max(cpus // 2, 1)))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+    split = split_bytes_for(sf_dir)
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(split),
+            "spark.sql.files.openCostInBytes": str(min(split, 1 << 20)),
+        },
+    )
 
     # Warm the session (JVM/codegen/file-listing) and the Python worker
     # pool so the first timed query doesn't absorb one-time startup cost.

@@ -38,6 +38,32 @@ NUM_BANDS = 16           # LSH bands (rows per band = 64/16 = 4)
 SHINGLE_SIZE = 3         # word shingles
 SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 4
+SMALL_GRAPH_EDGES = 1_000_000  # below this, components resolve driver-side
+
+
+def _union_find_labels(spark, edges: list[tuple[int, int]]):
+    """Min-id connected components of a small edge list (path-halving
+    union-find); returns a (node, label) DataFrame."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root IS the cluster label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = {n for e in edges for n in e}
+    return spark.createDataFrame(
+        [(n, find(n)) for n in sorted(nodes)], "node bigint, label bigint"
+    )
 
 
 def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -276,6 +302,26 @@ def dedup_components(
     # persist pairs first: the two-direction union below would otherwise
     # evaluate the (expensive) pair-finding pipeline twice
     pairs = pairs.persist()
+
+    # Size-based strategy (the broadcast-vs-shuffle decision applied to
+    # graphs): near-dup edge sets are usually a tiny fraction of the
+    # corpus, and a small graph resolves in one driver-side union-find
+    # pass instead of paying per-round join + checkpoint + count jobs.
+    # Only the EDGES come to the driver (duplicate pairs, not corpus
+    # rows); past the threshold the distributed iteration takes over.
+    n_pairs = pairs.count()
+    if n_pairs <= SMALL_GRAPH_EDGES:
+        labels = _union_find_labels(
+            documents.sparkSession, [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+        )
+        pairs.unpersist()
+        singletons = documents.select(F.col(id_col)).join(
+            labels.select(F.col("node").alias(id_col)), id_col, "left_anti"
+        ).select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+        return labels.select(
+            F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+        ).unionByName(singletons)
+
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

@@ -324,19 +324,25 @@ class TestReviewRegressions:
         rows = salted_join(big2, small, ["k"], how="left").collect()
         assert len(rows) == 2
 
-    def test_components_converge_on_long_chain(self, spark):
-        from stream_loader_spark.operators.dedup import dedup_components
+    def test_components_converge_on_long_chain(self, spark, monkeypatch):
+        from stream_loader_spark.operators import dedup as mod
 
         n = 30
         docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
         chain = spark.createDataFrame(
             [(i, i + 1, 0.9) for i in range(n - 1)], "doc_a long, doc_b long, jaccard double"
         )
-        comps = {r["doc_id"]: r["cluster_id"] for r in dedup_components(docs, chain).collect()}
+        # small-graph fast path: driver-side union-find
+        comps = {r["doc_id"]: r["cluster_id"] for r in mod.dedup_components(docs, chain).collect()}
         assert set(comps.values()) == {0}  # one cluster, fully propagated
 
+        # force the DISTRIBUTED path (what big graphs take): same answer
+        monkeypatch.setattr(mod, "SMALL_GRAPH_EDGES", 0)
+        comps = {r["doc_id"]: r["cluster_id"] for r in mod.dedup_components(docs, chain).collect()}
+        assert set(comps.values()) == {0}
+
         with pytest.raises(RuntimeError, match="did not converge"):
-            dedup_components(docs, chain, max_iterations=3)
+            mod.dedup_components(docs, chain, max_iterations=3)
 
 
 class TestAsofJoinSemantics:
