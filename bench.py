@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "similarity_ivf_topk",
     "embedding_near_dup",
     "multimodal_features",
+    "multimodal_frames",
 ]
 
 

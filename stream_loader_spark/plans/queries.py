@@ -57,6 +57,7 @@ from stream_loader_spark.operators.multimodal import (
     synthetic_media,
     extract_features,  # noqa: F401 — vector API re-exported for operator users
     feature_summary,
+    sample_frames,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -931,6 +932,38 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream consumers."""
     docs = load_table(spark, sf_dir, "documents")
     return feature_summary(synthetic_media(docs))
+
+
+@query(
+    "multimodal_frames",
+    """WITH ascii_video AS (
+      SELECT doc_id, text FROM documents
+      WHERE strlen(text) = length(text) AND doc_id % 3 = 2),
+    idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(strlen(text) / 32.0) AS BIGINT))) AS j
+      FROM ascii_video)
+    SELECT doc_id AS media_id, CAST(j AS INT) AS frame_index,
+           CAST(strlen(substr(text, CAST(j * 32 + 1 AS BIGINT), 32)) AS INT) AS frame_bytes,
+           md5(substr(text, CAST(j * 32 + 1 AS BIGINT), 32)) AS frame_md5
+    FROM idx WHERE j % 4 = 0""",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through mapInPandas, hash-verified: every 4th
+    32-byte 'frame' of each video payload, surfaced as scalar metadata
+    (index, byte count, md5). Restricted to ASCII documents so the SQL
+    oracle's character slicing is byte-exact (this DuckDB build has no
+    BLOB substring); the binary plumbing under test is identical."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.octet_length("text") == F.length("text")
+    )
+    frames = sample_frames(synthetic_media(docs), every_k=4, frame_size=32)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.octet_length("frame").alias("frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
 
 
 # ---------------------------------------------------------------------------
