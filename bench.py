@@ -71,11 +71,14 @@ BENCH_QUERIES = [
     "semi_join_active_suppliers",
     "except_building_no_big_orders",
     "rollup_order_priority",
+    "cube_order_stats",
+    "ntile_customer_quartiles",
     "asof_join_last_order",
     "value_percentiles",
     "pivot_daily_event_counts",
     "range_join_purchase_windows",
     "moving_avg_values",
+    "range_frame_event_values",
     "embedding_norm_stats",
     "order_age_buckets",
     # training-data pipeline

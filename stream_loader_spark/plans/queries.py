@@ -1736,6 +1736,87 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GROUPING_SETS_SQL)
 
 
+@query(
+    "cube_order_stats",
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all four grouping-set combinations in one pass
+    (completes the rollup / grouping-sets / cube trio)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+@query(
+    "range_frame_event_values",
+    f"""{_KAFKA_CTE},
+    e AS (SELECT topic, "partition", "offset", epoch_ms(ts) AS ts_ms, value FROM kafka),
+    w AS (
+      SELECT topic, "partition", "offset",
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY topic, "partition" ORDER BY ts_ms
+               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum,
+             CAST(COUNT(*) OVER (
+               PARTITION BY topic, "partition" ORDER BY ts_ms
+               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_n
+      FROM e)
+    SELECT topic, "partition", "offset", hour_sum, hour_n
+    FROM w WHERE "offset" % 100 = 0""",
+)
+def range_frame_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event time: trailing-hour value sum per
+    stream partition (value-based frame bounds, vs the ROWS frame in
+    ``moving_avg_values``)."""
+    rec = _events(spark, sf_dir)
+    e = rec.select("topic", "partition", "offset", F.unix_millis("ts").alias("ts_ms"), "value")
+    w = (
+        Window.partitionBy("topic", "partition")
+        .orderBy("ts_ms")
+        .rangeBetween(-3_600_000, 0)
+    )
+    return (
+        e.select(
+            "topic",
+            "partition",
+            "offset",
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("hour_sum"),
+            F.count(F.lit(1)).over(w).alias("hour_n"),
+        )
+        .where(F.col("offset") % 100 == 0)
+    )
+
+
+@query(
+    "ntile_customer_quartiles",
+    """WITH t AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer)
+    SELECT c_mktsegment, quartile, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS balance_sum
+    FROM t GROUP BY 1, 2""",
+)
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE ranking: account-balance quartiles per market segment
+    (unique-key tie-break keeps bucket assignment deterministic)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "balance_sum"),
+        )
+    )
+
+
 from stream_loader_spark.operators.rangejoin import binned_range_join  # noqa: E402
 
 
