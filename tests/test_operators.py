@@ -444,3 +444,31 @@ class TestBinaryFormatters:
         df = spark.createDataFrame([(bytearray(b"\x02\x04ab"),)], "value binary")
         out = avro_formatted_records(df, schema).select("k", "name").collect()
         assert [(r["k"], r["name"]) for r in out] == [(1, "ab")]
+
+
+class TestComponentsStrategyEquivalence:
+    def test_union_find_and_distributed_agree_on_random_graphs(self, spark, monkeypatch):
+        """The size-based strategy switch must be invisible: both paths
+        produce identical min-id cluster labels on the same graph."""
+        import random
+
+        from stream_loader_spark.operators import dedup as mod
+
+        rng = random.Random(7)
+        for trial in range(3):
+            n = 40
+            edges = sorted(
+                {
+                    tuple(sorted(rng.sample(range(n), 2)))
+                    for _ in range(rng.randint(5, 25))
+                }
+            )
+            docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+            pairs = spark.createDataFrame(
+                [(a, b, 1.0) for a, b in edges], "doc_a long, doc_b long, jaccard double"
+            )
+            monkeypatch.setattr(mod, "SMALL_GRAPH_EDGES", 1_000_000)
+            small = {r["doc_id"]: r["cluster_id"] for r in mod.dedup_components(docs, pairs).collect()}
+            monkeypatch.setattr(mod, "SMALL_GRAPH_EDGES", 0)
+            big = {r["doc_id"]: r["cluster_id"] for r in mod.dedup_components(docs, pairs).collect()}
+            assert small == big, f"trial {trial}: strategy paths diverged"
