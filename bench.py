@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "token_counts_bpe",
     "token_frequencies",
     "repetition_stats",
+    "unigram_logprob",
+    "redact_pii",
     "deterministic_sample",
     "dedup_exact",
     "near_dup_dedup_end_to_end",

@@ -140,6 +140,71 @@ def repetition_stats(
     )
 
 
+def unigram_logprob(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean unigram log-likelihood per document under the corpus's own
+    unigram distribution — the cheap LM-based quality filter (docs with
+    very unlikely token mixes are noise/garble candidates).
+
+    Two aggregates over one explode: corpus token frequencies, then a
+    frequency join back to the tokens. Per-token logprobs are rounded
+    to 6 decimals and summed as exact decimals so the result is
+    independent of float summation order (cross-engine stable); every
+    token exists in the corpus by construction, so there is no OOV
+    branch.
+    """
+    toks = scatter(documents).select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.round(F.log(F.col("c").cast("double") / F.col("n")), 6)
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (
+            F.sum("lp").cast("decimal(38,6)").cast("double") / F.count(F.lit(1))
+        ).alias("mean_logprob"),
+    )
+
+
+# Conservative patterns shared verbatim by Java regex and RE2 (no
+# lookarounds, no backrefs): emails and long digit-ish runs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"[0-9][0-9 ()\-]{7,}[0-9]"
+
+
+def redact_pii(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Count and redact email/phone-shaped spans; emits per-doc match
+    counts and a fingerprint of the REDACTED text (the redacted content
+    itself stays internal — downstream writers take it from the
+    operator, hashes verify it)."""
+    emails = F.size(F.regexp_extract_all(text_col, F.lit(PII_EMAIL), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    phones = F.size(F.regexp_extract_all(text_col, F.lit(PII_PHONE), F.lit(0)))
+    return documents.select(
+        F.col(id_col),
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+        F.sha2(redacted, 256).alias("redacted_fingerprint"),
+    )
+
+
 def with_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Stable document fingerprint: sha256 of the normalized text.
 

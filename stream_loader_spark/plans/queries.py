@@ -651,6 +651,51 @@ def deterministic_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unigram_logprob",
+    """WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    freq AS MATERIALIZED (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(ROUND(ln(CAST(f.c AS DOUBLE) / n), 6) AS DECIMAL(18,6)) AS lp
+      FROM tok t JOIN freq f USING (token) CROSS JOIN tot)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(CAST(SUM(lp) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS mean_logprob
+    FROM scored GROUP BY doc_id""",
+)
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: mean per-token log-likelihood under the
+    corpus's own token distribution (per-token logs rounded then summed
+    exactly — float-order independent)."""
+    from stream_loader_spark.operators.text import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
+@query(
+    "redact_pii",
+    """SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '[0-9][0-9 ()\\-]{7,}[0-9]')) AS n_phones,
+           sha256(regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9][0-9 ()\\-]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_fingerprint
+    FROM documents""",
+)
+def redact_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/phone-shaped span counts + fingerprint of
+    the redacted text (patterns restricted to the regex subset Java and
+    RE2 treat identically)."""
+    from stream_loader_spark.operators.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    return redact_pii(docs)
+
+
+@query(
     "dedup_exact",
     """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
     FROM documents GROUP BY 1""",
