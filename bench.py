@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "value_percentiles",
     "pivot_daily_event_counts",
     "range_join_purchase_windows",
+    "salted_join_above_avg",
     "moving_avg_values",
     "range_frame_event_values",
     "embedding_norm_stats",

@@ -1782,6 +1782,40 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_join_above_avg",
+    f"""{_KAFKA_CTE},
+    avgs AS (
+      SELECT topic,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS topic_avg
+      FROM kafka GROUP BY topic)
+    SELECT k.topic, COUNT(*) AS above_avg_events
+    FROM kafka k JOIN avgs a ON a.topic = k.topic
+    WHERE k.value > a.topic_avg
+    GROUP BY k.topic""",
+)
+def salted_join_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join surfaced as a query: the events fact (skewed —
+    5 topic keys) joins its per-topic average through ``salted_join``,
+    which scatters each hot key across salt buckets; the result equals
+    the plain join exactly (the oracle runs the unsalted form), only
+    the shuffle distribution differs."""
+    from stream_loader_spark.operators.skew import salted_join
+
+    rec = _events(spark, sf_dir)
+    avgs = rec.groupBy(F.col("topic").alias("t2")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
+        ).alias("topic_avg")
+    ).withColumnRenamed("t2", "topic")
+    j = salted_join(rec.select("topic", "value"), avgs, on=["topic"], salt_buckets=8)
+    return (
+        j.where(F.col("value") > F.col("topic_avg"))
+        .groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("above_avg_events"))
+    )
+
+
+@query(
     "cube_order_stats",
     """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS order_count,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
