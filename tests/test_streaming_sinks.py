@@ -692,3 +692,89 @@ class TestDbTransactionalSink:
         finally:
             con.close()
         assert joined == 50
+
+
+class TestClickHouseStreamingEndToEnd:
+    def test_stream_then_restart_inserts_exactly_once(self, spark, tmp_path):
+        """Full pipeline → ClickHouseHttpStorage: a file stream drains
+        into tokened inserts; a second run from a fresh checkpoint
+        replays the batch and the replay guard (fed by the recorded
+        positions) skips it — no duplicate inserts."""
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        from urllib.parse import urlparse, parse_qs
+        from datetime import datetime, timezone
+
+        from stream_loader_spark.functions.rowbinary import CHType, RowBinaryEncoder
+        from stream_loader_spark.sinks.clickhouse import ClickHouseHttpStorage
+
+        inserts = []
+        positions = {"rows": []}
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                q = parse_qs(urlparse(self.path).query)
+                body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                query = q.get("query", [""])[0]
+                if query.startswith("INSERT"):
+                    inserts.append(
+                        {"token": q.get("insert_deduplication_token", [None])[0], "body": body}
+                    )
+                    payload = b""
+                else:
+                    payload = json.dumps({"data": positions["rows"]}).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *a):
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            enc = RowBinaryEncoder(
+                [
+                    ("topic", CHType("String")),
+                    ("partition", CHType("Int32")),
+                    ("offset", CHType("Int64")),
+                    ("value", CHType("Float64")),
+                ]
+            )
+            storage = ClickHouseHttpStorage(url, "db.events", enc, insert_partitions=2)
+
+            src = str(tmp_path / "src")
+            ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+            schema = "topic string, partition int, offset bigint, value double, ts timestamp"
+            spark.createDataFrame(
+                [("t", i % 2, i, float(i), ts) for i in range(40)], schema
+            ).coalesce(1).write.parquet(os.path.join(src, "f0"))
+
+            (
+                StreamPipeline(spark)
+                .from_file_stream(os.path.join(src, "*"), schema)
+                .sink(storage, str(tmp_path / "cp1"))
+                .run_available()
+            )
+            n_first = len(inserts)
+            assert 1 <= n_first <= 2
+            assert sum(len(r["body"]) for r in inserts) == 40 * 22  # every row once
+
+            # the "database" now knows the committed positions
+            positions["rows"] = [
+                {"topic": "t", "partition": 0, "next_offset": 39, "watermark_ms": 0},
+                {"topic": "t", "partition": 1, "next_offset": 40, "watermark_ms": 0},
+            ]
+            # fresh checkpoint = full replay of the same file; the replay
+            # guard must skip the committed batch
+            (
+                StreamPipeline(spark)
+                .from_file_stream(os.path.join(src, "*"), schema)
+                .sink(storage, str(tmp_path / "cp2"))
+                .run_available()
+            )
+            assert len(inserts) == n_first  # no new inserts
+        finally:
+            srv.shutdown()
