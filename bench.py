@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "rollup_order_priority",
     "cube_order_stats",
     "ntile_customer_quartiles",
+    "first_last_order_drift",
     "asof_join_last_order",
     "value_percentiles",
     "pivot_daily_event_counts",

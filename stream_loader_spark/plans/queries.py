@@ -1872,6 +1872,41 @@ def range_frame_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "first_last_order_drift",
+    """WITH w AS (
+      SELECT o_custkey,
+             FIRST_VALUE(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_price,
+             LAST_VALUE(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+      FROM orders)
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           MAX(first_price) AS first_price, MAX(last_price) AS last_price,
+           MAX(last_price) - MAX(first_price) AS price_drift
+    FROM w GROUP BY o_custkey""",
+)
+def first_last_order_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE window frames: each customer's first and
+    latest order price (LAST_VALUE needs the explicit unbounded-following
+    frame — the default frame ends at CURRENT ROW) and their drift."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per = o.select(
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+    )
+    return per.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("first_price").alias("first_price"),
+        F.max("last_price").alias("last_price"),
+        (F.max("last_price") - F.max("first_price")).alias("price_drift"),
+    )
+
+
+@query(
     "ntile_customer_quartiles",
     """WITH t AS (
       SELECT c_mktsegment, c_custkey, c_acctbal,
