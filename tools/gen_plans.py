@@ -38,6 +38,10 @@ ANNOTATED = {
     ),
     "session_window_stats": "native session_window aggregation (streaming-compatible)",
     "deterministic_sample": "hash-bucket filter rides the scan; text column pruned",
+    "salted_join_above_avg": (
+        "hot join keys scattered across salt buckets (small side exploded ×8); "
+        "result provably equals the unsalted join"
+    ),
 }
 
 
