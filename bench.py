@@ -193,21 +193,40 @@ def main() -> None:
     ratio_vals = sorted(r for r in ratios.values() if r is not None)
     common_spark = round(sum(timings[n] for n in duck), 3)
     duck_total = round(sum(duck.values()), 3)
+    detail = {
+        "metric": "headline_query_set_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        # Spark-vs-DuckDB yardstick over the oracle-backed subset
+        "duckdb": duck,
+        "ratio": ratios,
+        "ratio_median": ratio_vals[len(ratio_vals) // 2] if ratio_vals else None,
+        "ratio_total": round(common_spark / duck_total, 2) if duck_total else None,
+        "duckdb_total": duck_total,
+        "ratio_skipped": sorted(RATIO_SKIP),
+    }
+    # Per-query detail goes to a file plus an early stdout line; the
+    # FINAL stdout line is a compact summary that must stay well under
+    # the driver's bounded (2000-char) tail capture — BENCH_r02 went
+    # unscored because the one fat line outgrew it.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
                 "metric": "headline_query_set_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf),
-                # Spark-vs-DuckDB yardstick over the oracle-backed subset
-                "duckdb": duck,
-                "ratio": ratios,
-                "ratio_median": ratio_vals[len(ratio_vals) // 2] if ratio_vals else None,
-                "ratio_total": round(common_spark / duck_total, 2) if duck_total else None,
+                "n_queries": len(timings),
+                "ratio_total": detail["ratio_total"],
+                "ratio_median": detail["ratio_median"],
                 "duckdb_total": duck_total,
-                "ratio_skipped": sorted(RATIO_SKIP),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -121,16 +121,27 @@ def feature_summary(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """Scalar feature digest per media row — the checked-query surface.
 
     Emits only scalar columns (the vector itself stays internal: hashed
-    comparison layers choke on ARRAY cells): payload byte count, Shannon
-    entropy of the histogram, argmax bucket with its share, and a sha256
-    digest of the 6-decimal-rounded vector so any feature drift is still
-    detectable.
+    comparison layers choke on ARRAY cells), each chosen to be exactly
+    reproducible by an independent SQL engine over the same bytes:
+
+    - ``n_bytes`` / ``argmax_bucket`` — exact integers.
+    - ``top_share`` — the RAW max histogram share. A share is one IEEE
+      division ``count/total`` of exact integers, so its bits are
+      engine-independent; no rounding is applied (two engines' ``round``
+      can differ in the last ulp, raw division cannot).
+    - ``entropy_q`` — Shannon entropy quantized to 1e-4 (``round(H *
+      10000)`` as BIGINT): log2/summation order differ across engines
+      at ~1e-16, so the raw double is NOT portable; the quantized
+      integer is.
+    - ``feature_digest`` — sha256 of the ``%.6f``-formatted vector
+      (correctly-rounded decimal formatting of identical doubles is
+      engine-independent, ties-to-even in both CPython and fmt).
     """
     import hashlib
 
     out_schema = (
         "media_id BIGINT, media_type STRING, n_bytes BIGINT, "
-        "entropy DOUBLE, argmax_bucket INT, top_share DOUBLE, feature_digest STRING"
+        "entropy_q BIGINT, argmax_bucket INT, top_share DOUBLE, feature_digest STRING"
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -138,7 +149,7 @@ def feature_summary(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             hists = _batch_histograms(pdf["content"], dim)
             with np.errstate(divide="ignore", invalid="ignore"):
                 logs = np.where(hists > 0, np.log2(hists, where=hists > 0), 0.0)
-            entropy = np.round(-(hists * logs).sum(axis=1), 6)
+            entropy = -(hists * logs).sum(axis=1)
             digests = [
                 hashlib.sha256(",".join(f"{v:.6f}" for v in row).encode()).hexdigest()
                 for row in hists
@@ -148,9 +159,9 @@ def feature_summary(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": [len(bytes(b)) if b is not None else 0 for b in pdf["content"]],
-                    "entropy": entropy,
+                    "entropy_q": np.rint(entropy * 10000.0).astype(np.int64),
                     "argmax_bucket": hists.argmax(axis=1).astype(np.int32),
-                    "top_share": np.round(hists.max(axis=1), 6),
+                    "top_share": hists.max(axis=1),
                     "feature_digest": digests,
                 }
             )
@@ -179,16 +190,32 @@ def sample_frames(media: DataFrame, every_k: int = 4, frame_size: int = 32) -> D
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, idxs, frames = [], [], []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                if content is None:
-                    continue
-                b = bytes(content)
-                for j, start in enumerate(range(0, len(b), frame_size)):
-                    if j % every_k == 0:
-                        ids.append(mid)
-                        idxs.append(j)
-                        frames.append(b[start : start + frame_size])
-            yield pd.DataFrame({"media_id": ids, "frame_index": idxs, "frame": frames})
+            # All frame geometry in numpy over the concatenated buffer
+            # (same shape as _batch_histograms): per-row frame counts →
+            # kept-frame ordinals → global byte ranges. The only Python
+            # loop left is one slice per OUTPUT frame — each cell must
+            # become its own bytes object regardless.
+            bufs = [bytes(b) if b is not None else b"" for b in pdf["content"]]
+            n = len(bufs)
+            lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+            n_frames = -(-lens // frame_size)  # ceil; NULL/empty → 0 frames
+            kept = -(-n_frames // every_k)
+            total = int(kept.sum())
+            row = np.repeat(np.arange(n, dtype=np.int64), kept)
+            first = np.concatenate(([0], np.cumsum(kept)))[:-1]
+            ordinal = np.arange(total, dtype=np.int64) - np.repeat(first, kept)
+            fidx = ordinal * every_k
+            base = np.concatenate(([0], np.cumsum(lens)))
+            gs = base[row] + fidx * frame_size
+            ge = np.minimum(gs + frame_size, base[row] + lens[row])
+            allb = b"".join(bufs)
+            frames = [allb[s:e] for s, e in zip(gs.tolist(), ge.tolist())]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy()[row],
+                    "frame_index": fidx.astype(np.int32),
+                    "frame": frames,
+                }
+            )
 
     return media.where(F.col("media_type") == "video").mapInPandas(batches, schema=out_schema)

@@ -141,7 +141,10 @@ def repetition_stats(
 
 
 def unigram_logprob(
-    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Mean unigram log-likelihood per document under the corpus's own
     unigram distribution — the cheap LM-based quality filter (docs with
@@ -153,11 +156,22 @@ def unigram_logprob(
     independent of float summation order (cross-engine stable); every
     token exists in the corpus by construction, so there is no OOV
     branch.
+
+    The frequency join is BROADCAST by default: its key is a unigram
+    token — the most Zipf-skewed key there is — so a shuffle join hangs
+    every occurrence of "the" on one partition at 100 TB, while the
+    vocabulary side (distinct words, sublinear in corpus size) fits an
+    executor for any natural-language corpus. ``broadcast_vocab=False``
+    is the documented fallback for pathological vocabularies (e.g.
+    random-token corpora where distinct ≈ total): it reverts to the
+    shuffle join and leaves the skew to AQE.
     """
     toks = scatter(documents).select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    if broadcast_vocab:
+        freq = F.broadcast(freq)
     total = freq.agg(F.sum("c").alias("n"))
     scored = (
         toks.join(freq, "token")
@@ -189,14 +203,17 @@ def redact_pii(
     """Count and redact email/phone-shaped spans; emits per-doc match
     counts and a fingerprint of the REDACTED text (the redacted content
     itself stays internal — downstream writers take it from the
-    operator, hashes verify it)."""
+    operator, hashes verify it).
+
+    Phone matches are counted on the EMAIL-REDACTED text, because that
+    is the text the phone replacement actually runs against — a digit
+    run inside an email address must not count as a phone it never
+    redacts, so ``n_phones`` equals the number of ``<PHONE>``
+    substitutions in the fingerprinted output."""
     emails = F.size(F.regexp_extract_all(text_col, F.lit(PII_EMAIL), F.lit(0)))
-    redacted = F.regexp_replace(
-        F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),
-        PII_PHONE,
-        "<PHONE>",
-    )
-    phones = F.size(F.regexp_extract_all(text_col, F.lit(PII_PHONE), F.lit(0)))
+    email_redacted = F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>")
+    redacted = F.regexp_replace(email_redacted, PII_PHONE, "<PHONE>")
+    phones = F.size(F.regexp_extract_all(email_redacted, F.lit(PII_PHONE), F.lit(0)))
     return documents.select(
         F.col(id_col),
         emails.alias("n_emails"),

