@@ -93,6 +93,10 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "redact_pii",
     "deterministic_sample",
+    "stratified_sample",
+    "chunk_documents",
+    "benchmark_contamination",
+    "tfidf_top_terms",
     "dedup_exact",
     "near_dup_dedup_end_to_end",
     "minhash_lsh_pairs",

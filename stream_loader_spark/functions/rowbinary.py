@@ -46,6 +46,60 @@ def leb128(n: int) -> bytes:
             return bytes(out)
 
 
+def truncate_utf8_bytes(b: bytes, max_bytes: int) -> bytes:
+    """Longest prefix of ``b`` that fits ``max_bytes`` AND ends on a
+    UTF-8 character boundary (never slices a multi-byte sequence)."""
+    if len(b) <= max_bytes:
+        return b
+    cut = max_bytes
+    while cut > 0 and (b[cut] & 0xC0) == 0x80:  # continuation byte
+        cut -= 1
+    return b[:cut]
+
+
+def write_string(s: str, max_bytes: int, truncate: bool = True) -> bytes:
+    """VARCHAR-style RowBinary string: LEB128 byte length + UTF-8 bytes,
+    boundary-safe-truncated to ``max_bytes`` (the reference writer's
+    ``writeString`` contract: the declared length is the length of the
+    bytes actually written). ``truncate=False`` raises on overflow
+    instead — the reference's IllegalArgumentException."""
+    b = s.encode("utf-8")
+    if len(b) > max_bytes:
+        if not truncate:
+            raise ValueError(
+                f"string of {len(b)} UTF-8 bytes exceeds max {max_bytes} and truncation is disabled"
+            )
+        b = truncate_utf8_bytes(b, max_bytes)
+    return leb128(len(b)) + b
+
+
+def write_fixed_string(s: str, length_bytes: int, truncate: bool = True) -> bytes:
+    """FixedString(N): exactly N bytes — boundary-safe truncate then
+    NUL-pad (ClickHouse pads FixedString with zero bytes)."""
+    b = s.encode("utf-8")
+    if len(b) > length_bytes:
+        if not truncate:
+            raise ValueError(
+                f"string of {len(b)} UTF-8 bytes exceeds fixed length {length_bytes} and truncation is disabled"
+            )
+        b = truncate_utf8_bytes(b, length_bytes)
+    return b + b"\x00" * (length_bytes - len(b))
+
+
+def write_fixed_byte_array(
+    b: bytes, length: int, truncate: bool = True, pad_with: int = 0
+) -> bytes:
+    """Fixed-width raw bytes: hard trim at ``length`` (no UTF-8
+    boundary logic — these are not text) then pad."""
+    if len(b) > length:
+        if not truncate:
+            raise ValueError(
+                f"byte array of {len(b)} bytes exceeds fixed length {length} and truncation is disabled"
+            )
+        b = b[:length]
+    return b + bytes([pad_with]) * (length - len(b))
+
+
 MAX_ARRAY_DEPTH = 2  # Array(Array(T)) — matches the reference encoder's
 # compile-time abort on deeper nesting
 # (clickhouse/rowbinary/RowBinaryClickHouseRecordEncoder.scala:89-116)
@@ -65,6 +119,9 @@ class CHType:
     nullable: bool = False
     array: bool = False  # Array(T); arrays of nullables supported
     array_depth: int = 0  # overrides `array` when > 0
+    max_bytes: int | None = None  # String → VARCHAR(n) byte-truncation
+    fixed_bytes: int | None = None  # String → FixedString(n)
+    truncate: bool = True  # False: overflow raises instead of trimming
 
     def __post_init__(self):
         depth = self._depth()
@@ -99,6 +156,11 @@ class CHType:
             return b"\x00" + _encode_value(self.name, v)
         if v is None:
             raise ValueError(f"NULL in non-nullable {self.name} column")
+        if self.name == "String":
+            if self.fixed_bytes is not None:
+                return write_fixed_string(str(v), self.fixed_bytes, self.truncate)
+            if self.max_bytes is not None:
+                return write_string(str(v), self.max_bytes, self.truncate)
         return _encode_value(self.name, v)
 
 

@@ -32,11 +32,72 @@ VERTICA_EPOCH = datetime(2000, 1, 1, tzinfo=timezone.utc)
 VARIABLE = 0xFFFFFFFF
 
 
+def write_var_string(s: str, max_bytes: int, truncate: bool = True) -> bytes:
+    """VARCHAR(n) native value: uint32 LE byte length + UTF-8 bytes,
+    boundary-safe-truncated to ``max_bytes`` (the declared length is
+    the length of the bytes actually written). ``truncate=False``
+    raises on overflow — the reference writer's
+    IllegalArgumentException contract."""
+    from stream_loader_spark.functions.rowbinary import truncate_utf8_bytes
+
+    b = s.encode("utf-8")
+    if len(b) > max_bytes:
+        if not truncate:
+            raise ValueError(
+                f"string of {len(b)} UTF-8 bytes exceeds max {max_bytes} and truncation is disabled"
+            )
+        b = truncate_utf8_bytes(b, max_bytes)
+    return struct.pack("<I", len(b)) + b
+
+
+def write_fixed_string(s: str, length_bytes: int, truncate: bool = True) -> bytes:
+    """CHAR(n) native value: exactly n bytes — boundary-safe truncate
+    then SPACE-pad (Vertica pads CHAR with spaces, unlike ClickHouse's
+    NUL-padded FixedString)."""
+    from stream_loader_spark.functions.rowbinary import truncate_utf8_bytes
+
+    b = s.encode("utf-8")
+    if len(b) > length_bytes:
+        if not truncate:
+            raise ValueError(
+                f"string of {len(b)} UTF-8 bytes exceeds fixed length {length_bytes} and truncation is disabled"
+            )
+        b = truncate_utf8_bytes(b, length_bytes)
+    return b + b" " * (length_bytes - len(b))
+
+
+def write_var_byte_array(b: bytes, max_bytes: int, truncate: bool = True) -> bytes:
+    """VARBINARY(n): uint32 LE length + raw bytes, hard-trimmed (no
+    UTF-8 boundary logic — not text)."""
+    if len(b) > max_bytes:
+        if not truncate:
+            raise ValueError(
+                f"byte array of {len(b)} bytes exceeds max {max_bytes} and truncation is disabled"
+            )
+        b = b[:max_bytes]
+    return struct.pack("<I", len(b)) + b
+
+
+def write_fixed_byte_array(
+    b: bytes, length: int, truncate: bool = True, pad_with: int = 0
+) -> bytes:
+    """BINARY(n): exactly n raw bytes, hard trim then pad."""
+    if len(b) > length:
+        if not truncate:
+            raise ValueError(
+                f"byte array of {len(b)} bytes exceeds fixed length {length} and truncation is disabled"
+            )
+        b = b[:length]
+    return b + bytes([pad_with]) * (length - len(b))
+
+
 @dataclass(frozen=True)
 class VColumn:
     name: str
-    vtype: str  # integer | float | boolean | varchar | date | timestamp
-    width: int = 8  # fixed byte width; VARIABLE for varchar
+    vtype: str  # integer | float | boolean | varchar | char | date | timestamp
+    width: int = 8  # fixed byte width; VARIABLE for varchar; n for char
+    max_bytes: int | None = None  # varchar: VARCHAR(n) byte-truncation
+    truncate: bool = True  # False: overflow raises instead of trimming
 
     @property
     def declared_width(self) -> int:
@@ -50,8 +111,17 @@ class VColumn:
         if self.vtype == "boolean":
             return b"\x01" if v else b"\x00"
         if self.vtype == "varchar":
-            b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            if isinstance(v, str):
+                if self.max_bytes is not None:
+                    return write_var_string(v, self.max_bytes, self.truncate)
+                b = v.encode("utf-8")
+            else:
+                b = bytes(v)
+                if self.max_bytes is not None:
+                    return write_var_byte_array(b, self.max_bytes, self.truncate)
             return struct.pack("<I", len(b)) + b
+        if self.vtype == "char":
+            return write_fixed_string(str(v), self.width, self.truncate)
         if self.vtype == "date":
             d = v.date() if isinstance(v, datetime) else v
             return struct.pack("<q", (d - VERTICA_EPOCH_DATE).days)

@@ -91,6 +91,27 @@ def shingles_col(text: Column, size: int = SHINGLE_SIZE) -> Column:
     )
 
 
+def shingles_sql(text_col: str = "text", size: int = SHINGLE_SIZE) -> str:
+    """``shingles_col`` as ONE SQL expression string. Hot query builders
+    use this instead of the Column composition: python-lambda
+    higher-order functions cost hundreds of ms of py4j round-trips per
+    construction (measured ~0.8 s for the shingle expression alone at
+    build time), while parsing one expr string is ~free. Semantics are
+    identical — same split, same windows, same distinct."""
+    toks = (
+        "CASE WHEN length(trim({c})) = 0 THEN CAST(array() AS array<string>) "
+        # Spark SQL unescapes string literals ('\\s' would become 's'),
+        # so the parser must SEE backslash-backslash-s to yield regex \s+
+        "ELSE split(trim({c}), '\\\\s+') END"
+    ).format(c=text_col)
+    return (
+        f"CASE WHEN size({toks}) >= {size} THEN "
+        f"array_distinct(transform(sequence(1, size({toks}) - {size - 1}), "
+        f"i -> array_join(slice({toks}, i, {size}), ' '))) "
+        f"ELSE array(array_join({toks}, ' ')) END"
+    )
+
+
 def with_minhash(
     documents: DataFrame,
     text_col: str = "text",
@@ -106,17 +127,18 @@ def with_minhash(
     shuffle carries only one 64-long signature per document regardless
     of document length, which is what survives a 100 TB corpus.
     """
-    ex = scatter(documents).select(
-        F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("shingle")
+    ex = scatter(documents).selectExpr(
+        id_col, f"explode({shingles_sql(text_col)}) AS shingle"
     )
-    hashed = ex.select(
-        id_col, *[F.xxhash64("shingle", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    hashed = ex.selectExpr(
+        id_col, *[f"xxhash64(shingle, {i}) AS h{i}" for i in range(num_hashes)]
     )
     sig = hashed.groupBy(id_col).agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
     )
-    return sig.select(
-        id_col, F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("minhash")
+    return sig.selectExpr(
+        id_col,
+        "array(%s) AS minhash" % ",".join(f"m{i}" for i in range(num_hashes)),
     )
 
 
@@ -136,30 +158,21 @@ def minhash_lsh_pairs(
 
     # Slim banded view: (id, band, band_hash) only — the shingle arrays
     # do NOT ride through the bands explode / self-join shuffle.
-    bands = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("minhash", b * rows_per_band + j + 1).cast(
-                                        "string"
-                                    )
-                                    for j in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select(id_col, "bh.band", "bh.band_hash")
+    band_structs = ",".join(
+        "named_struct('band', %d, 'band_hash', xxhash64(concat_ws(',', %s)))"
+        % (
+            b,
+            ",".join(
+                # [] indexing is 0-based in Spark SQL (element_at is 1-based)
+                f"CAST(minhash[{b * rows_per_band + j}] AS STRING)"
+                for j in range(rows_per_band)
+            ),
+        )
+        for b in range(num_bands)
+    )
+    bands = sig.selectExpr(
+        id_col, f"explode(array({band_structs})) AS bh"
+    ).selectExpr(id_col, "bh.band AS band", "bh.band_hash AS band_hash")
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -178,8 +191,8 @@ def minhash_lsh_pairs(
     )
 
     # Verify only candidate pairs with true Jaccard on the shingle sets.
-    shingle_sets = scatter(documents).select(
-        F.col(id_col), shingles_col(F.col(text_col)).alias("shingles")
+    shingle_sets = scatter(documents).selectExpr(
+        id_col, f"{shingles_sql(text_col)} AS shingles"
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (

@@ -1,0 +1,185 @@
+"""Training-corpus preparation operators (beyond-reference surface).
+
+The steps a large-scale LLM training-data pipeline runs after cleaning
+and dedup: chunking documents into model-window-sized pieces,
+screening against evaluation benchmarks (contamination), capped
+per-stratum sampling, and TF-IDF term scoring. Each is built from
+cross-engine primitives (word tokens, md5 buckets, ``ln``, sha256) so
+a DuckDB oracle can replicate the algorithm, not just sample its
+output.
+
+Scale notes (100 TB):
+
+- ``chunk_documents`` is a narrow transform+explode — no shuffle; rows
+  grow by the chunk count, bytes stay ~constant (+overlap).
+- ``benchmark_contamination`` broadcasts the DISTINCT benchmark
+  shingle set: benchmarks are thousands of documents, corpora are
+  billions — broadcasting the small side replaces the classic
+  every-shingle shuffle with a map-side semi-join. If a benchmark set
+  ever outgrows broadcast, swap in the same banded-LSH candidate
+  pattern as ``dedup.py``.
+- ``stratified_sample`` windows per stratum; strata are languages (a
+  few hundred at most), and the per-stratum ORDER BY md5 makes the cap
+  reproducible. For mega-strata, pre-thin with the hash-bucket filter
+  from ``sampling.py`` before the exact window.
+- ``tfidf_top_terms`` broadcasts the document-frequency vocabulary
+  (sublinear in corpus size) — same Zipf-skew argument as
+  ``unigram_logprob``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stream_loader_spark.operators.dedup import shingles_col
+from stream_loader_spark.operators.text import tokens_col
+from stream_loader_spark.operators.sampling import sample_bucket
+from stream_loader_spark.sources.tables import scatter
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size token chunks with overlap — the standard shaping of
+    documents into model context windows.
+
+    Chunk k covers tokens [k·stride, k·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the final chunk may be shorter.
+    Emits (doc_id, chunk_index, n_tokens, chunk_hash) — the hash is
+    sha256 of the space-rejoined tokens, so chunk CONTENT is verified
+    without shipping it.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    # k = 0 .. floor((n-1)/stride) for n > 0 — every start < n
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int")),
+        lambda k: F.struct(
+            k.alias("chunk_index"),
+            F.slice(toks, k * stride + 1, chunk_tokens).alias("chunk"),
+        ),
+    )
+    return (
+        scatter(documents)
+        .where(F.size(toks) > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_index").alias("chunk_index"),
+            F.size("c.chunk").alias("n_tokens"),
+            F.sha2(F.array_join("c.chunk", " "), 256).alias("chunk_hash"),
+        )
+    )
+
+
+def benchmark_contamination(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    shingle_size: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination screen: the fraction of each document's
+    distinct word shingles that appear in ANY benchmark document.
+
+    The benchmark shingle set is deduplicated and BROADCAST; each
+    corpus document then answers its overlap with a map-side join —
+    no corpus-sized shuffle. Emits (doc_id, n_shingles, n_contaminated,
+    contamination) with the fraction as one exact IEEE division.
+    """
+    doc_shingles = (
+        scatter(documents)
+        .select(F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_size)).alias("shingle"))
+    )
+    bench_shingles = (
+        benchmark.select(F.explode(shingles_col(F.col(text_col), shingle_size)).alias("shingle"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = doc_shingles.join(F.broadcast(bench_shingles), "shingle", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            (F.col("n_contaminated") / F.col("n_shingles")).alias("contamination"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    per_stratum: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """At most ``per_stratum`` rows per stratum, chosen by the
+    deterministic md5 order (then id as tie-break) — a reproducible
+    balanced subset regardless of partitioning, engine, or rerun.
+    Emits the kept rows with their ``sample_rank`` (1-based within the
+    stratum)."""
+    rank_order = [sample_bucket(F.col(id_col), salt), F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.col(id_col)]
+    w = Window.partitionBy(stratum_col).orderBy(*rank_order)
+    return (
+        df.select(id_col, stratum_col)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= per_stratum)
+    )
+
+
+def tfidf_top_terms(
+    documents: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    idf = ln(N / df) over distinct-doc term frequency; score =
+    round(tf · idf, 6); ties break by token text so the top-k set is
+    total-order deterministic. The document-frequency side is
+    broadcast by default (vocabulary ≪ corpus; see module scale
+    notes)."""
+    toks = scatter(documents).select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if broadcast_vocab:
+        df_counts = F.broadcast(df_counts)
+    n_docs = documents.where(F.size(tokens_col(F.col(text_col))) > 0).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    scored = (
+        tf.join(df_counts, "token")
+        .crossJoin(F.broadcast(n_docs))  # scalar joined lazily, no driver count
+        .select(
+            id_col,
+            "token",
+            "tf",
+            F.round(
+                F.col("tf").cast("double") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .select(id_col, "term_rank", "token", "tf", "score")
+    )

@@ -2586,3 +2586,119 @@ def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("supp_value") > F.col("thr"))
         .select("l_suppkey", "supp_value")
     )
+
+
+# --- Training-corpus preparation (operators/training.py) -----------------
+
+
+@query(
+    "chunk_documents",
+    """WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0)
+    SELECT doc_id,
+           CAST(k AS INT) AS chunk_index,
+           CAST(len(list_slice(toks, k * 24 + 1, k * 24 + 32)) AS INT) AS n_tokens,
+           sha256(array_to_string(list_slice(toks, k * 24 + 1, k * 24 + 32), ' '))
+             AS chunk_hash
+    FROM t, UNNEST(range(0, (len(toks) - 1) // 24 + 1)) AS u(k)""",
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token chunks, 8-token overlap
+    (stride 24). Narrow transform+explode — no shuffle; chunk content
+    verified via sha256 of the rejoined tokens."""
+    from stream_loader_spark.operators.training import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+@query(
+    "benchmark_contamination",
+    """WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    d AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+             ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM t),
+    bench AS MATERIALIZED (
+      SELECT DISTINCT unnest(shingles) AS shingle FROM d WHERE doc_id % 50 = 0),
+    ds AS (SELECT doc_id, unnest(shingles) AS shingle FROM d WHERE doc_id % 50 <> 0)
+    SELECT ds.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(b.shingle) AS n_contaminated,
+           COUNT(b.shingle) / CAST(COUNT(*) AS DOUBLE) AS contamination
+    FROM ds LEFT JOIN bench b USING (shingle)
+    GROUP BY ds.doc_id""",
+)
+def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: share of each corpus document's
+    distinct 3-gram shingles that appear in the (broadcast) benchmark
+    shingle set — benchmark = every 50th document, corpus = the rest."""
+    from stream_loader_spark.operators.training import benchmark_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return benchmark_contamination(corpus, bench)
+
+
+@query(
+    "stratified_sample",
+    """WITH b AS (
+      SELECT doc_id, lang,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+             AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bucket, h, doc_id)
+               AS sample_rank
+      FROM b)
+    SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+    FROM r WHERE sample_rank <= 40""",
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped per-language sample (≤40 docs/lang) in deterministic md5
+    order — a reproducible balanced subset for eval carve-outs."""
+    from stream_loader_spark.operators.training import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, per_stratum=40)
+
+
+@query(
+    "tfidf_top_terms",
+    """WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS MATERIALIZED (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tok),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf,
+             ROUND(CAST(t.tf AS DOUBLE) * ln(n.n_docs / d.df), 6) AS score
+      FROM tf t JOIN dfreq d USING (token) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, token, tf, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token)
+               AS term_rank
+      FROM scored)
+    SELECT doc_id, CAST(term_rank AS INT) AS term_rank, token,
+           CAST(tf AS BIGINT) AS tf, score
+    FROM ranked WHERE term_rank <= 3""",
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document; the document-frequency
+    vocabulary joins broadcast (same Zipf-skew rationale as
+    unigram_logprob)."""
+    from stream_loader_spark.operators.training import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)

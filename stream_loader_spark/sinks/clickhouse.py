@@ -5,16 +5,23 @@ The reference inserts one RowBinary file per batch with an
 ``insert_deduplication_token`` and recovers positions with the in-row
 A1 query. The Spark-native shape:
 
-- the batch repartitions by (topic, partition) — deterministic hash
-  partitioning, so a replayed batch produces byte-identical partition
-  payloads;
-- each partition encodes itself to ONE RowBinary blob (Arrow-batched,
-  ``functions/rowbinary.py``) and derives its dedup token from the
-  stream ranges it contains — recomputed identically on replay;
+- ONE insert block per (topic, partition) group — the dedup token is
+  derived purely from that group's offset range, so it is independent
+  of Arrow batch slicing, shuffle partition counts, or any session
+  config: a replayed batch re-derives byte-identical payloads and
+  identical tokens under ANY configuration;
 - each blob POSTs from ITS executor (``foreach``), so inserts scale
-  with the cluster and never funnel through the driver;
+  with the cluster (parallelism = Kafka partitions in the batch) and
+  never funnel through the driver;
 - ClickHouse drops re-inserted blocks carrying a known token, which
-  together with the replay guard gives exactly-once;
+  together with the replay guard gives exactly-once — PROVIDED the
+  table supports insert dedup: tokens are honored for
+  Replicated*MergeTree always, for plain MergeTree only when the table
+  setting ``non_replicated_deduplication_window > 0`` (default 0 =
+  off), and only within the recent-blocks window (default 100, which
+  must cover the partitions of at least one batch).
+  ``check_dedup_support()`` probes exactly these via ``system.tables``
+  and is invoked before the first insert unless disabled;
 - ``committed_positions`` runs the A1 aggregation over the in-row
   ``_topic/_partition/_offset/_watermark`` columns via HTTP.
 
@@ -28,6 +35,7 @@ from __future__ import annotations
 import gzip
 import hashlib
 import json
+import re
 import urllib.parse
 import urllib.request
 from typing import Callable
@@ -68,6 +76,14 @@ class ClickHouseHttpStorage:
     loaders/ClickHouse.scala:77-97 projects exactly these).
     """
 
+    #: sent with every INSERT: dedup on (including through dependent
+    #: materialized views, which otherwise silently re-materialize
+    #: replayed blocks).
+    INSERT_SETTINGS = {
+        "insert_deduplicate": "1",
+        "deduplicate_blocks_in_dependent_materialized_views": "1",
+    }
+
     def __init__(
         self,
         url: str,
@@ -75,56 +91,59 @@ class ClickHouseHttpStorage:
         encoder: RowBinaryEncoder,
         client: Callable[[str, dict, bytes, dict], str] = http_post,
         compress: bool = False,
-        insert_partitions: int = 32,
         topic_col: str = "topic",
         partition_col: str = "partition",
         offset_col: str = "offset",
         ts_col: str = "ts",
+        verify_dedup: bool = True,
+        insert_settings: dict[str, str] | None = None,
     ) -> None:
         self.url = url
         self.table = table
         self.encoder = encoder
         self.client = client
         self.compress = compress
-        self.insert_partitions = insert_partitions
         self.meta = (topic_col, partition_col, offset_col, ts_col)
+        self.verify_dedup = verify_dedup
+        self.insert_settings = dict(self.INSERT_SETTINGS, **(insert_settings or {}))
+        self._dedup_checked = False
 
     # -- write path ------------------------------------------------------
     def encoded_blocks(self, batch_df: DataFrame) -> DataFrame:
-        """(num_rows, payload, token) — one RowBinary block per insert
-        partition, tokens derived from the ranges inside each block."""
+        """(num_rows, payload, token) — ONE RowBinary block per
+        (topic, partition) group, offset-sorted, token derived from the
+        group's offset range alone. Grouping by the STREAM key (not a
+        configurable shuffle count) is what makes the token stable: no
+        Arrow batch boundary, ``spark.sql.shuffle.partitions`` value, or
+        maxRecordsPerBatch change can re-key a replayed block. One
+        micro-batch group is bounded by maxOffsetsPerTrigger, so a
+        whole group fits a task comfortably."""
         t, p, o, _ts = self.meta
         import pandas as pd
 
         enc, table = self.encoder, self.table
 
-        def run(batches):
-            total, chunks, keys = 0, [], []
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                chunks.append(enc.encode_batch(pdf))
-                total += len(pdf)
-                per = pdf.groupby([t, p])[o].agg(["min", "max"])
-                for (topic, part), row in per.iterrows():
-                    keys.append(f"{topic}:{part}:{row['min']}:{row['max']}")
-            if total:
-                yield pd.DataFrame(
-                    {
-                        "num_rows": [total],
-                        "payload": [b"".join(chunks)],
-                        "token": [partition_token(table, keys)],
-                    }
-                )
+        def one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(pdf):
+                return pd.DataFrame({"num_rows": [], "payload": [], "token": []})
+            pdf = pdf.sort_values(o)  # deterministic byte order
+            key = f"{pdf[t].iloc[0]}:{pdf[p].iloc[0]}:{pdf[o].min()}:{pdf[o].max()}"
+            return pd.DataFrame(
+                {
+                    "num_rows": [len(pdf)],
+                    "payload": [enc.encode_batch(pdf)],
+                    "token": [partition_token(table, [key])],
+                }
+            )
 
-        # deterministic co-location: the same rows land in the same
-        # insert block on every (re)run of the batch
-        pre = batch_df.repartition(self.insert_partitions, t, p).sortWithinPartitions(t, p, o)
-        return pre.mapInPandas(run, schema="num_rows bigint, payload binary, token string")
+        return batch_df.groupBy(t, p).applyInPandas(
+            one_group, schema="num_rows bigint, payload binary, token string"
+        )
 
     def insert_batch(self, batch_df: DataFrame) -> None:
         """POST every block from its executor (no driver funnel)."""
         url, table, client, compress = self.url, self.table, self.client, self.compress
+        settings = dict(self.insert_settings)
 
         def post(row) -> None:
             body = bytes(row["payload"])
@@ -137,12 +156,45 @@ class ClickHouseHttpStorage:
                 {
                     "query": f"INSERT INTO {table} FORMAT RowBinary",
                     "insert_deduplication_token": row["token"],
+                    **settings,
                 },
                 body,
                 headers,
             )
 
         self.encoded_blocks(batch_df).foreach(post)
+
+    # -- dedup prerequisites ---------------------------------------------
+    def check_dedup_support(self) -> None:
+        """Fail fast when ``insert_deduplication_token`` would be a
+        silent no-op: plain (non-replicated) MergeTree honors tokens
+        only with ``non_replicated_deduplication_window > 0`` — the
+        DEFAULT is 0, i.e. a retried partial batch quietly duplicates
+        rows. Probes ``system.tables`` for the engine and the engine's
+        settings clause; Replicated*MergeTree passes unconditionally."""
+        db, _, tbl = self.table.partition(".")
+        if not tbl:
+            db, tbl = "default", db
+        query = (
+            "SELECT engine, engine_full FROM system.tables "
+            f"WHERE database = '{db}' AND name = '{tbl}' FORMAT JSON"
+        )
+        rows = json.loads(self.client(self.url, {"query": query}, b"", {})).get("data", [])
+        if not rows:
+            raise RuntimeError(f"table {self.table} not found while probing dedup support")
+        engine = rows[0].get("engine", "")
+        engine_full = rows[0].get("engine_full", "")
+        if engine.startswith("Replicated"):
+            return
+        m = re.search(r"non_replicated_deduplication_window\s*=\s*(\d+)", engine_full)
+        if not m or int(m.group(1)) <= 0:
+            raise RuntimeError(
+                f"table {self.table} (engine {engine}) does not deduplicate inserts: "
+                "insert_deduplication_token is honored by non-replicated MergeTree "
+                "only when the table setting non_replicated_deduplication_window > 0 "
+                "(default 0). Create the table with that setting (sized to cover at "
+                "least one batch's partition count) or use Replicated*MergeTree."
+            )
 
     # -- recovery (A1 in-row query) --------------------------------------
     def committed_positions(self) -> dict[tuple[str, int], StreamPosition]:
@@ -178,6 +230,9 @@ class ClickHouseHttpStorage:
         """foreachBatch entry: replay guard + tokened insert."""
         from stream_loader_spark.operators.recovery import stream_ranges
 
+        if self.verify_dedup and not self._dedup_checked:
+            self.check_dedup_support()
+            self._dedup_checked = True
         t, p, o, ts = self.meta
         batch_df = batch_df.persist()
         try:

@@ -8,8 +8,15 @@ ExternalOffsetVerticaFileStorage.scala:46-135). A crash anywhere rolls
 the whole batch back; recovery is the A1/A3 MAX-GROUP-BY query.
 
 This sink reproduces that contract against any Python DB-API
-connection (tested with stdlib sqlite3; psycopg2/vertica-python plug
-into the same seam):
+connection. Portability is explicit, not assumed: the placeholder
+token is a constructor parameter (``param_token="?"`` for sqlite's
+qmark style, ``"%s"`` for psycopg2/vertica-python's format style),
+the DDL uses ANSI column types (accepted by sqlite, required
+elsewhere), and the transaction contract is enforced by turning
+autocommit OFF on every connection that exposes it (an autocommit
+connection would silently commit each chunk, voiding atomicity).
+Tested end-to-end with stdlib sqlite3 plus a statement-capture double
+for the format paramstyle:
 
 - rows stream to the loader via ``toLocalIterator`` in bounded chunks —
   the same single-ingest-stream shape as the reference's COPY (a DB
@@ -53,6 +60,8 @@ class DbTransactionalSink:
         partition_col: str = "partition",
         offset_col: str = "offset",
         ts_col: str = "ts",
+        param_token: str = "?",
+        data_col_types: dict[str, str] | None = None,
     ) -> None:
         self.connect = connect
         self.data_table = data_table
@@ -60,18 +69,32 @@ class DbTransactionalSink:
         self.consumer_group = consumer_group
         self.data_cols = data_cols
         self.meta = (topic_col, partition_col, offset_col, ts_col)
+        self.param_token = param_token
+        self.data_col_types = data_col_types or {}
+
+    def _open(self):
+        """Connect with autocommit forced OFF — the one-transaction
+        contract is void on an autocommitting connection."""
+        con = self.connect()
+        if getattr(con, "autocommit", False) is True:
+            con.autocommit = False
+        return con
 
     def ensure_tables(self) -> None:
-        cols = ", ".join(f"{c}" for c in self.data_cols)
-        con = self.connect()
+        cols = ", ".join(
+            f"{c} {self.data_col_types[c]}" if c in self.data_col_types else c
+            for c in self.data_cols
+        )
+        con = self._open()
         try:
             con.execute(
-                f"CREATE TABLE IF NOT EXISTS {self.data_table} ({cols}, _batch_id)"
+                f"CREATE TABLE IF NOT EXISTS {self.data_table} ({cols}, _batch_id BIGINT)"
             )
             con.execute(
                 f"CREATE TABLE IF NOT EXISTS {self.offsets_table} ("
-                "_consumer_group, _topic, _partition, _start_offset, _end_offset, "
-                "_end_watermark_ms, _batch_id, "
+                "_consumer_group VARCHAR(255), _topic VARCHAR(255), "
+                "_partition INTEGER, _start_offset BIGINT, _end_offset BIGINT, "
+                "_end_watermark_ms BIGINT, _batch_id BIGINT, "
                 "UNIQUE(_consumer_group, _topic, _partition, _end_offset))"
             )
             con.commit()
@@ -80,11 +103,11 @@ class DbTransactionalSink:
 
     # -- recovery (A3 over the offsets table) ---------------------------
     def committed_positions(self) -> dict[tuple[str, int], StreamPosition]:
-        con = self.connect()
+        con = self._open()
         try:
             rows = con.execute(
                 f"SELECT _topic, _partition, MAX(_end_offset) + 1, MAX(_end_watermark_ms) "
-                f"FROM {self.offsets_table} WHERE _consumer_group = ? "
+                f"FROM {self.offsets_table} WHERE _consumer_group = {self.param_token} "
                 "GROUP BY _topic, _partition",
                 (self.consumer_group,),
             ).fetchall()
@@ -122,18 +145,20 @@ class DbTransactionalSink:
             ranges = stream_ranges(batch_df, t, p, o, ts).collect()
             if self.is_batch_committed(ranges):
                 return
-            placeholders = ", ".join("?" for _ in self.data_cols)
-            con = self.connect()
+            tok = self.param_token
+            placeholders = ", ".join(tok for _ in self.data_cols)
+            con = self._open()
             try:
                 # ONE transaction: every data chunk + the offsets rows.
                 # A crash before commit() leaves nothing visible.
                 for chunk in self._row_chunks(batch_df):
                     con.executemany(
-                        f"INSERT INTO {self.data_table} VALUES ({placeholders}, ?)",
+                        f"INSERT INTO {self.data_table} VALUES ({placeholders}, {tok})",
                         [row + (batch_id,) for row in chunk],
                     )
                 con.executemany(
-                    f"INSERT INTO {self.offsets_table} VALUES (?, ?, ?, ?, ?, ?, ?)",
+                    f"INSERT INTO {self.offsets_table} VALUES "
+                    f"({', '.join([tok] * 7)})",
                     [
                         (
                             self.consumer_group,

@@ -178,9 +178,32 @@ class IcebergOffsetsSink:
         ``Transaction.newAppend`` with footer-derived metrics, and the
         offset properties ride the same transaction — a crash anywhere
         before ``commitTransaction`` leaves the table untouched.
+
+        Field-ID safety: Spark's plain parquet writer emits NO Iceberg
+        field IDs, so files registered this way are readable only via a
+        name mapping — without one, readers fall back to positional ID
+        assignment and a reordered or schema-evolved table silently
+        yields wrong/NULL columns. This path therefore (a) refuses
+        partitioned tables (staged files carry no partition tuple —
+        the fallback ``writeTo`` append is Iceberg-aware and handles
+        them) and (b) ensures ``schema.name-mapping.default`` is set,
+        deriving it from the table schema inside the SAME transaction
+        when absent.
         """
         jtable = self._load_java_table()
         jvm = self._jvm()
+        if not jtable.spec().isUnpartitioned():
+            raise _TransactionUnsupported(
+                "staged-parquet transactional append supports only unpartitioned "
+                "tables (plain parquet carries no Iceberg partition tuple); "
+                "using the Iceberg-aware append + replay-guarded ALTER instead"
+            )
+        props = dict(props)
+        if not jtable.properties().containsKey("schema.name-mapping.default"):
+            mapping = jvm.org.apache.iceberg.mapping.MappingUtil.create(jtable.schema())
+            props["schema.name-mapping.default"] = (
+                jvm.org.apache.iceberg.mapping.NameMappingParser.toJson(mapping)
+            )
         staging = f"{jtable.location()}/data/_staging-{uuid.uuid4().hex}"
         data.write.mode("overwrite").parquet(staging)
         hconf = self.spark._jsc.hadoopConfiguration()

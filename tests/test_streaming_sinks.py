@@ -471,6 +471,58 @@ class TestIcebergTransactionSeam:
         # the one atomic commit point
         txn.commitTransaction.assert_called_once()
 
+    def test_partitioned_table_refuses_staged_parquet_path(self, spark, tmp_path, monkeypatch):
+        """Staged plain parquet carries no partition tuple: the
+        transaction path must bail to the Iceberg-aware fallback BEFORE
+        writing anything."""
+        from unittest.mock import MagicMock
+
+        from stream_loader_spark.sinks.iceberg import _TransactionUnsupported
+
+        sink = self._make_sink(spark, tmp_path, monkeypatch)
+        loc = str(tmp_path / "table")
+        jtable = MagicMock(name="jtable")
+        jtable.location.return_value = loc
+        jtable.spec.return_value.isUnpartitioned.return_value = False
+        monkeypatch.setattr(sink, "_load_java_table", lambda: jtable)
+        monkeypatch.setattr(sink, "_jvm", lambda: MagicMock(name="jvm"))
+
+        data = spark.createDataFrame([(1, "a")], "id bigint, v string")
+        with pytest.raises(_TransactionUnsupported, match="partition"):
+            sink._transactional_commit(data, {})
+        jtable.newTransaction.assert_not_called()
+        assert not os.path.exists(os.path.join(loc, "data"))  # nothing staged
+
+    def test_missing_name_mapping_is_set_in_same_transaction(self, spark, tmp_path, monkeypatch):
+        """Files registered without Iceberg field IDs are only readable
+        via a name mapping — when the table lacks one it must be derived
+        and land in the SAME transaction as the files."""
+        from unittest.mock import MagicMock
+
+        sink = self._make_sink(spark, tmp_path, monkeypatch)
+        loc = str(tmp_path / "table")
+        jtable = MagicMock(name="jtable")
+        jtable.location.return_value = loc
+        jtable.spec.return_value.isUnpartitioned.return_value = True
+        jtable.properties.return_value.containsKey.return_value = False
+        jvm = MagicMock(name="jvm")
+        jvm.org.apache.iceberg.mapping.NameMappingParser.toJson.return_value = '{"mapped":1}'
+        monkeypatch.setattr(sink, "_load_java_table", lambda: jtable)
+        monkeypatch.setattr(sink, "_jvm", lambda: jvm)
+
+        data = spark.createDataFrame([(1, "a")], "id bigint, v string")
+        sink._transactional_commit(data, {})
+
+        jvm.org.apache.iceberg.mapping.MappingUtil.create.assert_called_once_with(
+            jtable.schema()
+        )
+        txn = jtable.newTransaction.return_value
+        txn.updateProperties.return_value.set.assert_called_once_with(
+            "schema.name-mapping.default", '{"mapped":1}'
+        )
+        txn.updateProperties.return_value.commit.assert_called_once()
+        txn.commitTransaction.assert_called_once()
+
     def test_unsupported_runtime_raises_marker(self, spark, tmp_path, monkeypatch):
         from stream_loader_spark.sinks.iceberg import _TransactionUnsupported
 
@@ -509,6 +561,7 @@ class TestClickHouseHttpStorage:
                         "token": q.get("insert_deduplication_token", [None])[0],
                         "body": body,
                         "encoding": self.headers.get("Content-Encoding"),
+                        "params": q,
                     }
                 )
                 payload = (
@@ -546,7 +599,8 @@ class TestClickHouseHttpStorage:
                 ("value", CHType("Float64")),
             ]
         )
-        return ClickHouseHttpStorage(url, "db.events", enc, insert_partitions=2, **kw)
+        kw.setdefault("verify_dedup", False)  # probe tested separately
+        return ClickHouseHttpStorage(url, "db.events", enc, **kw)
 
     def _batch(self, spark, n=10):
         from datetime import datetime, timezone
@@ -561,7 +615,7 @@ class TestClickHouseHttpStorage:
         storage = self._storage(ch_server["url"])
         storage(self._batch(spark), 0)
         inserts = [r for r in ch_server["requests"] if r["query"].startswith("INSERT")]
-        assert 1 <= len(inserts) <= 2  # one per non-empty insert partition
+        assert len(inserts) == 2  # exactly one block per (topic, partition)
         assert all(r["query"] == "INSERT INTO db.events FORMAT RowBinary" for r in inserts)
         assert all(r["token"] for r in inserts)
         # every row is 2 (leb128 len + 't') + 4 + 8 + 8 = 22 bytes
@@ -574,9 +628,62 @@ class TestClickHouseHttpStorage:
         ch_server["requests"].clear()
         storage.insert_batch(self._batch(spark))
         second = sorted(r["token"] for r in ch_server["requests"])
-        # deterministic repartition + range-derived tokens: ClickHouse
-        # sees identical dedup tokens on replay and drops the blocks
+        # range-derived tokens: ClickHouse sees identical dedup tokens
+        # on replay and drops the blocks
         assert first == second
+
+    def test_tokens_survive_shuffle_partition_config_change(self, spark, ch_server):
+        """The dedup token derives from the (topic, partition) offset
+        range ONLY — re-running the same batch under a different
+        shuffle-partition config must produce the same tokens, or a
+        config change between run and replay defeats dedup."""
+        storage = self._storage(ch_server["url"])
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        storage.insert_batch(self._batch(spark))
+        first = sorted(r["token"] for r in ch_server["requests"])
+        ch_server["requests"].clear()
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            storage.insert_batch(self._batch(spark))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+        second = sorted(r["token"] for r in ch_server["requests"])
+        assert first == second
+
+    def test_insert_sends_dedup_settings(self, spark, ch_server):
+        storage = self._storage(ch_server["url"])
+        storage.insert_batch(self._batch(spark))
+        inserts = [r for r in ch_server["requests"] if r["query"].startswith("INSERT")]
+        assert inserts and all(r["params"]["insert_deduplicate"] == ["1"] for r in inserts)
+        assert all(
+            r["params"]["deduplicate_blocks_in_dependent_materialized_views"] == ["1"]
+            for r in inserts
+        )
+
+    def test_dedup_probe_accepts_replicated_and_windowed_tables(self, spark, ch_server):
+        storage = self._storage(ch_server["url"], verify_dedup=True)
+        ch_server["select_response"]["data"] = [
+            {"engine": "ReplicatedMergeTree", "engine_full": "ReplicatedMergeTree(...)"}
+        ]
+        storage.check_dedup_support()  # no raise
+        ch_server["select_response"]["data"] = [
+            {
+                "engine": "MergeTree",
+                "engine_full": "MergeTree ORDER BY offset "
+                "SETTINGS non_replicated_deduplication_window = 100",
+            }
+        ]
+        storage.check_dedup_support()  # no raise
+
+    def test_dedup_probe_rejects_windowless_mergetree(self, spark, ch_server):
+        """Plain MergeTree with the DEFAULT window (0) silently ignores
+        dedup tokens — the storage must refuse to pretend exactly-once."""
+        storage = self._storage(ch_server["url"], verify_dedup=True)
+        ch_server["select_response"]["data"] = [
+            {"engine": "MergeTree", "engine_full": "MergeTree ORDER BY offset"}
+        ]
+        with pytest.raises(RuntimeError, match="non_replicated_deduplication_window"):
+            storage.check_dedup_support()
 
     def test_gzip_content_encoding(self, spark, ch_server):
         storage = self._storage(ch_server["url"], compress=True)
@@ -694,6 +801,81 @@ class TestDbTransactionalSink:
         assert joined == 50
 
 
+class TestDbTxnPortability:
+    """The DB-API seam is portable by PARAMETER, not by assumption:
+    format-paramstyle engines (psycopg2/vertica-python) get %s
+    statements and ANSI-typed DDL, and autocommit connections are
+    forced into transaction mode."""
+
+    class _Cap:
+        """Statement-capturing DB-API double (format paramstyle)."""
+
+        def __init__(self, log):
+            self.log = log
+            self.autocommit = True  # e.g. a misconfigured psycopg2 conn
+
+        def execute(self, sql, params=None):
+            self.log.append(sql)
+
+            class _R:
+                def fetchall(self):
+                    return []
+
+            return _R()
+
+        def executemany(self, sql, rows):
+            self.log.append(sql)
+
+        def commit(self):
+            self.log.append("COMMIT")
+
+        def rollback(self):
+            self.log.append("ROLLBACK")
+
+        def close(self):
+            pass
+
+    def test_format_paramstyle_statements_and_autocommit_off(self, spark):
+        from datetime import datetime, timezone
+
+        from stream_loader_spark.sinks.dbtxn import DbTransactionalSink
+
+        log = []
+        cons = []
+
+        def connect():
+            con = self._Cap(log)
+            cons.append(con)
+            return con
+
+        sink = DbTransactionalSink(
+            connect,
+            data_table="events",
+            offsets_table="_offsets",
+            consumer_group="cg1",
+            data_cols=["topic", "partition", "offset", "value"],
+            param_token="%s",
+            data_col_types={"topic": "VARCHAR(255)", "offset": "BIGINT"},
+        )
+        sink.ensure_tables()
+        ddl = [s for s in log if s.startswith("CREATE")]
+        assert "topic VARCHAR(255)" in ddl[0] and "_batch_id BIGINT" in ddl[0]
+        assert "_partition INTEGER" in ddl[1]
+
+        ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        batch = spark.createDataFrame(
+            [("t", 0, 1, 1.5, ts)],
+            "topic string, partition int, offset bigint, value double, ts timestamp",
+        )
+        sink(batch, 7)
+        inserts = [s for s in log if s.startswith("INSERT")]
+        assert inserts, "no inserts captured"
+        assert all("?" not in s for s in log), f"qmark leaked into: {log}"
+        assert any("%s, %s, %s, %s, %s" in s for s in inserts)
+        # every connection the sink opened had autocommit forced off
+        assert all(c.autocommit is False for c in cons)
+
+
 class TestClickHouseStreamingEndToEnd:
     def test_stream_then_restart_inserts_exactly_once(self, spark, tmp_path):
         """Full pipeline → ClickHouseHttpStorage: a file stream drains
@@ -743,7 +925,7 @@ class TestClickHouseStreamingEndToEnd:
                     ("value", CHType("Float64")),
                 ]
             )
-            storage = ClickHouseHttpStorage(url, "db.events", enc, insert_partitions=2)
+            storage = ClickHouseHttpStorage(url, "db.events", enc, verify_dedup=False)
 
             src = str(tmp_path / "src")
             ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
@@ -759,7 +941,7 @@ class TestClickHouseStreamingEndToEnd:
                 .run_available()
             )
             n_first = len(inserts)
-            assert 1 <= n_first <= 2
+            assert n_first == 2  # one block per (topic, partition)
             assert sum(len(r["body"]) for r in inserts) == 40 * 22  # every row once
 
             # the "database" now knows the committed positions

@@ -1,0 +1,129 @@
+"""Training-corpus operators: chunking, contamination, stratified
+sampling, TF-IDF (operators/training.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stream_loader_spark.operators.training import (
+    benchmark_contamination,
+    chunk_documents,
+    stratified_sample,
+    tfidf_top_terms,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+class TestChunkDocuments:
+    def test_chunks_cover_with_overlap(self, spark):
+        text = " ".join(f"w{i}" for i in range(40))
+        out = chunk_documents(
+            _docs(spark, [(1, text, "en")]), chunk_tokens=32, overlap=8
+        ).collect()
+        # stride 24 over 40 tokens → starts 0 and 24 → sizes 32 and 16
+        by_idx = {r["chunk_index"]: r["n_tokens"] for r in out}
+        assert by_idx == {0: 32, 1: 16}
+
+    def test_short_doc_is_one_chunk(self, spark):
+        out = chunk_documents(_docs(spark, [(1, "a b c", "en")])).collect()
+        assert len(out) == 1 and out[0]["n_tokens"] == 3
+
+    def test_empty_doc_has_no_chunks(self, spark):
+        out = chunk_documents(_docs(spark, [(1, "   ", "en")])).collect()
+        assert out == []
+
+    def test_chunk_hash_pins_content(self, spark):
+        import hashlib
+
+        out = chunk_documents(_docs(spark, [(1, "a b c", "en")])).collect()
+        assert out[0]["chunk_hash"] == hashlib.sha256(b"a b c").hexdigest()
+
+    def test_overlap_must_be_smaller_than_chunk(self, spark):
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(_docs(spark, [(1, "a", "en")]), chunk_tokens=8, overlap=8)
+
+
+class TestBenchmarkContamination:
+    def test_copied_document_is_fully_contaminated(self, spark):
+        bench_text = "alpha beta gamma delta epsilon zeta"
+        corpus = _docs(
+            spark,
+            [
+                (10, bench_text, "en"),  # verbatim copy of a benchmark doc
+                (11, "one two three four five six", "en"),  # disjoint
+            ],
+        )
+        bench = _docs(spark, [(1, bench_text, "en")])
+        rows = {r["doc_id"]: r for r in benchmark_contamination(corpus, bench).collect()}
+        assert rows[10]["contamination"] == 1.0
+        assert rows[11]["contamination"] == 0.0
+        assert rows[11]["n_contaminated"] == 0
+
+    def test_partial_overlap_fraction(self, spark):
+        # doc shares exactly its first 3-shingle with the benchmark
+        bench = _docs(spark, [(1, "a b c", "en")])
+        corpus = _docs(spark, [(2, "a b c d", "en")])  # shingles: "a b c", "b c d"
+        (row,) = benchmark_contamination(corpus, bench).collect()
+        assert row["n_shingles"] == 2 and row["n_contaminated"] == 1
+        assert row["contamination"] == 0.5
+
+    def test_plan_broadcasts_benchmark_side(self, spark):
+        bench = _docs(spark, [(1, "a b c", "en")])
+        corpus = _docs(spark, [(2, "a b c d", "en")])
+        plan = benchmark_contamination(corpus, bench)._jdf.queryExecution().toString()
+        assert "broadcast" in plan.lower()
+
+
+class TestStratifiedSample:
+    def test_caps_every_stratum(self, spark):
+        rows = [(i, f"t{i}", "en" if i % 3 else "de") for i in range(100)]
+        out = stratified_sample(_docs(spark, rows), per_stratum=5).collect()
+        by_lang: dict[str, list] = {}
+        for r in out:
+            by_lang.setdefault(r["lang"], []).append(r["sample_rank"])
+        assert set(by_lang) == {"en", "de"}
+        assert all(sorted(v) == list(range(1, 6)) for v in by_lang.values())
+
+    def test_deterministic_across_partitionings(self, spark):
+        rows = [(i, f"t{i}", "en") for i in range(200)]
+        df1 = _docs(spark, rows).repartition(1)
+        df2 = _docs(spark, rows).repartition(7)
+        pick1 = sorted(r["doc_id"] for r in stratified_sample(df1, 10).collect())
+        pick2 = sorted(r["doc_id"] for r in stratified_sample(df2, 10).collect())
+        assert pick1 == pick2
+
+    def test_small_stratum_kept_whole(self, spark):
+        rows = [(1, "x", "fr"), (2, "y", "fr")]
+        out = stratified_sample(_docs(spark, rows), per_stratum=10).collect()
+        assert len(out) == 2
+
+
+class TestTfidfTopTerms:
+    def test_rare_term_outranks_common(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, "common common rare", "en"),
+                (2, "common filler filler", "en"),
+                (3, "common other other", "en"),
+            ],
+        )
+        out = tfidf_top_terms(docs, k=1).collect()
+        top = {r["doc_id"]: r["token"] for r in out}
+        # "common" is in every doc → idf = ln(1) = 0; unique terms win
+        assert top[1] == "rare"
+        assert top[2] == "filler" and top[3] == "other"
+
+    def test_k_and_rank_are_respected(self, spark):
+        docs = _docs(spark, [(1, "a b c d e", "en"), (2, "a x", "en")])
+        out = tfidf_top_terms(docs, k=3).collect()
+        per_doc: dict[int, list[int]] = {}
+        for r in out:
+            per_doc.setdefault(r["doc_id"], []).append(r["term_rank"])
+        assert sorted(per_doc[1]) == [1, 2, 3]
+        assert all(rk <= 3 for rks in per_doc.values() for rk in rks)

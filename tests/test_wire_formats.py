@@ -236,3 +236,188 @@ class TestRowBinaryNestedArrays:
 
     def test_depth_one_via_array_flag_unchanged(self):
         assert CHType("Int32", array=True).encode([1]) == b"\x01\x01\x00\x00\x00"
+
+
+# ---------------------------------------------------------------------------
+# Reference writer-primitive parity: one test per vector in
+# RowBinaryClickHousePrimitiveTypeWriterTest.scala:54-160 and
+# NativeVerticaPrimitiveTypeWriterTest.scala:34-123 (same inputs, same
+# expected bytes/strings/errors), plus the reference's three property
+# tests ported to hypothesis.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from stream_loader_spark.functions import rowbinary as rb  # noqa: E402
+from stream_loader_spark.functions import vertica_native as vn  # noqa: E402
+
+
+def _leb_decode(b: bytes) -> tuple[int, int]:
+    val, shift, i = 0, 0, 0
+    while True:
+        val |= (b[i] & 0x7F) << shift
+        if not b[i] & 0x80:
+            return val, i + 1
+        shift += 7
+        i += 1
+
+
+class TestRowBinaryStringPrimitives:
+    """RowBinaryClickHousePrimitiveTypeWriterTest parity."""
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(), st.integers(1, 32767))
+    def test_always_writes_correct_string_byte_length(self, s, max_bytes):
+        out = rb.write_string(s, max_bytes, truncate=True)
+        length, used = _leb_decode(out)
+        assert len(out[used:]) == length
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(), st.integers(1, 32767))
+    def test_trimmed_strings_fit_max_bytes(self, s, max_bytes):
+        out = rb.write_string(s, max_bytes, truncate=True)
+        _, used = _leb_decode(out)
+        assert len(out[used:]) <= max_bytes
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(), st.integers(1, 32767))
+    def test_trimmed_strings_are_prefixes(self, s, max_bytes):
+        out = rb.write_string(s, max_bytes, truncate=True)
+        _, used = _leb_decode(out)
+        assert s.startswith(out[used:].decode("utf-8"))
+
+    def test_trims_simple_example_strings(self):
+        out = rb.write_string("123456789", 5, truncate=True)
+        assert out == leb128(5) + b"12345"
+
+    def test_trims_multibyte_character_strings(self):
+        # 4 x 2-byte characters (U+0080), two should remain
+        out = rb.write_string("\u0080\u0080\u0080\u0080", 5, truncate=True)
+        _, used = _leb_decode(out)
+        assert out[used:].decode("utf-8") == "\u0080\u0080"
+        # 2 x 4-byte characters (U+10000), one should remain
+        out = rb.write_string("\U00010000\U00010000", 5, truncate=True)
+        _, used = _leb_decode(out)
+        assert out[used:].decode("utf-8") == "\U00010000"
+
+    def test_trims_fixed_length_strings(self):
+        assert rb.write_fixed_string("123456789", 5, truncate=True) == b"12345"
+
+    def test_pads_fixed_length_strings(self):
+        assert (
+            rb.write_fixed_string("123456789", 15, truncate=True)
+            == b"123456789" + b"\x00" * 6
+        )
+
+    def test_trims_fixed_length_byte_arrays(self):
+        assert (
+            rb.write_fixed_byte_array(bytes([1, 2, 3, 4, 5, 6]), 5, truncate=True)
+            == bytes([1, 2, 3, 4, 5])
+        )
+
+    def test_pads_fixed_length_byte_arrays(self):
+        assert (
+            rb.write_fixed_byte_array(bytes([1, 2, 3, 4]), 10, truncate=True)
+            == bytes([1, 2, 3, 4]) + b"\x00" * 6
+        )
+
+    def test_truncation_disabled_variable_string_raises(self):
+        with pytest.raises(ValueError):
+            rb.write_string("123456", 5, truncate=False)
+
+    def test_truncation_disabled_fixed_string_raises(self):
+        with pytest.raises(ValueError):
+            rb.write_fixed_string("123456", 5, truncate=False)
+
+    def test_truncation_disabled_byte_array_raises(self):
+        with pytest.raises(ValueError):
+            rb.write_fixed_byte_array(bytes([1, 2, 3, 4]), 3, truncate=False)
+
+    def test_schema_level_varchar_and_fixedstring(self):
+        enc = RowBinaryEncoder(
+            [
+                ("v", CHType("String", max_bytes=5)),
+                ("f", CHType("String", fixed_bytes=6)),
+            ]
+        )
+        out = enc.encode_rows([{"v": "123456789", "f": "abc"}])
+        assert out == leb128(5) + b"12345" + b"abc\x00\x00\x00"
+
+
+class TestVerticaStringPrimitives:
+    """NativeVerticaPrimitiveTypeWriterTest parity."""
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(), st.integers(1, 32767))
+    def test_always_writes_correct_string_byte_length(self, s, max_bytes):
+        out = vn.write_var_string(s, max_bytes, truncate=True)
+        (length,) = struct.unpack("<I", out[:4])
+        assert len(out[4:]) == length
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(), st.integers(1, 32767))
+    def test_trimmed_strings_fit_max_bytes(self, s, max_bytes):
+        out = vn.write_var_string(s, max_bytes, truncate=True)
+        assert len(out[4:]) <= max_bytes
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(), st.integers(1, 32767))
+    def test_trimmed_strings_are_prefixes(self, s, max_bytes):
+        out = vn.write_var_string(s, max_bytes, truncate=True)
+        assert s.startswith(out[4:].decode("utf-8"))
+
+    def test_trims_simple_example_strings(self):
+        assert vn.write_var_string("123456789", 5, truncate=True) == struct.pack("<I", 5) + b"12345"
+
+    def test_trims_multibyte_character_strings(self):
+        out = vn.write_var_string("\u0080\u0080\u0080\u0080", 5, truncate=True)
+        assert out[4:].decode("utf-8") == "\u0080\u0080"
+        out = vn.write_var_string("\U00010000\U00010000", 5, truncate=True)
+        assert out[4:].decode("utf-8") == "\U00010000"
+
+    def test_trims_fixed_length_strings(self):
+        assert vn.write_fixed_string("123456789", 5, truncate=True) == b"12345"
+
+    def test_pads_fixed_length_strings_with_spaces(self):
+        # Vertica CHAR pads with SPACES (ClickHouse FixedString uses NULs)
+        assert vn.write_fixed_string("123456789", 15, truncate=True) == b"123456789" + b" " * 6
+
+    def test_trims_fixed_length_byte_arrays(self):
+        assert (
+            vn.write_fixed_byte_array(bytes([1, 2, 3, 4, 5, 6]), 5, truncate=True)
+            == bytes([1, 2, 3, 4, 5])
+        )
+
+    def test_pads_fixed_length_byte_arrays(self):
+        assert (
+            vn.write_fixed_byte_array(bytes([1, 2, 3, 4]), 10, truncate=True)
+            == bytes([1, 2, 3, 4]) + b"\x00" * 6
+        )
+
+    def test_truncation_disabled_variable_string_raises(self):
+        with pytest.raises(ValueError):
+            vn.write_var_string("123456", 5, truncate=False)
+
+    def test_truncation_disabled_fixed_string_raises(self):
+        with pytest.raises(ValueError):
+            vn.write_fixed_string("123456", 5, truncate=False)
+
+    def test_truncation_disabled_var_byte_array_raises(self):
+        with pytest.raises(ValueError):
+            vn.write_var_byte_array(bytes([1, 2, 3, 4]), 3, truncate=False)
+
+    def test_truncation_disabled_fixed_byte_array_raises(self):
+        with pytest.raises(ValueError):
+            vn.write_fixed_byte_array(bytes([1, 2, 3, 4]), 3, truncate=False)
+
+    def test_schema_level_varchar_truncation_and_char_padding(self):
+        enc = VerticaNativeEncoder(
+            [
+                VColumn("v", "varchar", max_bytes=5),
+                VColumn("c", "char", width=6),
+            ]
+        )
+        row = enc.encode_row({"v": "123456789", "c": "abc"})
+        # row: uint32 size + 1-byte null bitmap + values
+        values = row[5:]
+        assert values == struct.pack("<I", 5) + b"12345" + b"abc   "
