@@ -1422,20 +1422,30 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     a red row means the sketch drifted outside its advertised rsd.
     rsd=0.01 because rsd is a standard deviation, not a bound: measured
     max per-group error is 3.2%/1.5%/0% at sf0.01/0.1/0.001 (rsd=0.02
-    breached 5% on one sf0.01 group)."""
+    breached 5% on one sf0.01 group).
+
+    The approx and exact aggregates run as SEPARATE aggregations joined
+    on the (small) group keys: mixing a distinct aggregate with the HLL
+    in one groupBy forces Catalyst's expand-based mixed-distinct plan,
+    which measured 8× slower than the two clean partial-aggregate plans
+    plus a tiny join (7.7 s vs 1.0 s at sf0.1)."""
     rec = _events(spark, sf_dir)
-    agg = rec.groupBy("topic", F.to_date("ts").alias("dt")).agg(
+    keys = [F.col("topic"), F.to_date("ts").alias("dt")]
+    ap = rec.groupBy(*keys).agg(
         F.approx_count_distinct("value", rsd=0.01).alias("approx"),
-        F.count_distinct("value").alias("exact"),
         F.count(F.lit(1)).alias("events"),
     )
-    return agg.select(
-        "topic",
-        "dt",
-        "events",
-        (F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= 0.05).alias(
-            "within_tolerance"
-        ),
+    ex = rec.groupBy(*keys).agg(F.count_distinct("value").alias("exact"))
+    return (
+        ap.join(ex, ["topic", "dt"])
+        .select(
+            "topic",
+            "dt",
+            "events",
+            (F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= 0.05).alias(
+                "within_tolerance"
+            ),
+        )
     )
 
 
