@@ -25,6 +25,7 @@ reference's per-consumer-thread decode loop.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import struct
 import uuid as _uuid
@@ -252,6 +253,12 @@ def _decode(buf: bytes, s: AvroSchema, pos: int) -> tuple[Any, int]:
         return buf[pos] != 0, pos + 1
     if k in ("int", "long"):
         n, pos = _read_long(buf, pos)
+        if s.logical == "date":
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=n), pos
+        if s.logical == "timestamp-millis":
+            return _dt.datetime.fromtimestamp(n / 1000, _dt.timezone.utc), pos
+        if s.logical == "timestamp-micros":
+            return _dt.datetime.fromtimestamp(n / 1_000_000, _dt.timezone.utc), pos
         return n, pos
     if k == "float":
         return struct.unpack_from("<f", buf, pos)[0], pos + 4
