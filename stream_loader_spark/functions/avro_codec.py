@@ -149,6 +149,20 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
 # -- encode ------------------------------------------------------------------
 
 
+# Timestamp convention: decode() returns tz-AWARE UTC datetimes; Spark's
+# from_avro + collect() under a UTC session timezone yields the same wall
+# values tz-NAIVE. Strip tzinfo (or attach utc) before comparing the two.
+# All arithmetic is exact integer epoch-delta: float seconds would drift
+# ±1µs past ~2242 and fromtimestamp() raises on the year-9999 sentinel.
+_EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def _timestamp_units(value: _dt.datetime, unit: _dt.timedelta) -> int:
+    if value.tzinfo is None:
+        value = value.replace(tzinfo=_dt.timezone.utc)
+    return (value - _EPOCH) // unit
+
+
 def encode(value: Any, schema: AvroSchema) -> bytes:
     out = bytearray()
     _encode(value, schema, out)
@@ -163,9 +177,9 @@ def _encode(value: Any, s: AvroSchema, out: bytearray) -> None:
         out.append(1 if value else 0)
     elif k in ("int", "long"):
         if s.logical == "timestamp-millis" and not isinstance(value, int):
-            value = int(value.timestamp() * 1000)
+            value = _timestamp_units(value, _dt.timedelta(milliseconds=1))
         elif s.logical == "timestamp-micros" and not isinstance(value, int):
-            value = int(value.timestamp() * 1_000_000)
+            value = _timestamp_units(value, _dt.timedelta(microseconds=1))
         elif s.logical == "date" and not isinstance(value, int):
             value = value.toordinal() - 719163  # days since 1970-01-01
         _write_long(int(value), out)
@@ -256,9 +270,9 @@ def _decode(buf: bytes, s: AvroSchema, pos: int) -> tuple[Any, int]:
         if s.logical == "date":
             return _dt.date(1970, 1, 1) + _dt.timedelta(days=n), pos
         if s.logical == "timestamp-millis":
-            return _dt.datetime.fromtimestamp(n / 1000, _dt.timezone.utc), pos
+            return _EPOCH + _dt.timedelta(milliseconds=n), pos
         if s.logical == "timestamp-micros":
-            return _dt.datetime.fromtimestamp(n / 1_000_000, _dt.timezone.utc), pos
+            return _EPOCH + _dt.timedelta(microseconds=n), pos
         return n, pos
     if k == "float":
         return struct.unpack_from("<f", buf, pos)[0], pos + 4

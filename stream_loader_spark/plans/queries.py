@@ -79,6 +79,12 @@ _KAFKA_CTE = f"WITH kafka AS ({KAFKA_VIEW_SQL})"
 REQUIRED_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # The fixture parquet stores timestamp[us] with isAdjustedToUTC=false;
+    # Spark 4.1 infers TIMESTAMP_NTZ for those, which unix_millis/
+    # session_window reject. Read them as TIMESTAMP (UTC session tz makes
+    # the values identical); load_table also casts defensively in case
+    # this conf is locked by the caller.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

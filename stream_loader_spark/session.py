@@ -43,6 +43,10 @@ def get_spark(
         # the events fixture stores TIMESTAMP(NANOS); Spark reads those as
         # raw longs and sources/kafka_view converts to micros explicitly
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # tz-less parquet timestamps read as TIMESTAMP (not NTZ) so
+        # unix_millis/session_window/watermarks accept them; under the UTC
+        # session timezone the values are identical either way
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -32,7 +32,14 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # Normalize TIMESTAMP_NTZ (Spark 4.1+ inference over tz-less parquet)
+    # to TIMESTAMP: every operator and oracle compares under a UTC session
+    # timezone, where the cast is value-identical. Analysis-time only.
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, df[c].cast("timestamp"))
+    return df
 
 
 def scatter(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -212,3 +212,51 @@ class TestTruncatePropertyBased:
             if len(r) < len(t):
                 nxt = t[len(r)]
                 assert len((r + nxt).encode("utf-8")) > b, (t, b, r)
+
+
+class TestTimestampNtzNormalization:
+    """Pin the fix for the Spark 4.1 TIMESTAMP_NTZ regression.
+
+    The fixture parquet stores timestamp[us] with isAdjustedToUTC=false;
+    Spark 4.1+ infers TIMESTAMP_NTZ for those unless
+    spark.sql.parquet.inferTimestampNTZ.enabled=false. load_table must
+    yield plain TIMESTAMP regardless of that conf so unix_millis /
+    session_window / watermark operators keep resolving.
+    """
+
+    def test_load_table_yields_ltz_even_with_ntz_inference(self, spark, sf_small):
+        from stream_loader_spark.sources.tables import load_table
+
+        prev = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", None)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        try:
+            for table, col in (("events", "ts"), ("orders", "o_orderdate")):
+                df = load_table(spark, sf_small, table)
+                assert df.schema[col].dataType.typeName() == "timestamp", table
+                # the operator class that broke must analyze
+                df.select(F.unix_millis(F.col(col)).alias("ms")).limit(1).collect()
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)
+
+    def test_ntz_cast_preserves_utc_wall_values(self, spark, sf_small):
+        from stream_loader_spark.sources.tables import load_table
+
+        prev = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", None)
+        try:
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+            with_cast = (
+                load_table(spark, sf_small, "events")
+                .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+                .collect()[0]
+            )
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+            native = (
+                spark.read.parquet(f"{sf_small}/events.parquet")
+                .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+                .collect()[0]
+            )
+            assert with_cast == native
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)

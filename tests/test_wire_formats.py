@@ -421,3 +421,86 @@ class TestVerticaStringPrimitives:
         # row: uint32 size + 1-byte null bitmap + values
         values = row[5:]
         assert values == struct.pack("<I", 5) + b"12345" + b"abc   "
+
+
+# ---------------------------------------------------------------------------
+# Avro logical-type roundtrips (encode -> decode identity, boundary values).
+# Reference vectors: the avro4s-encoded ExampleMessage of
+# stream-loader-tests ExampleMessage.scala:22-33 exercises
+# timestamp-millis; the spec sentinel 9999-12-31T23:59:59.999999 must
+# decode exactly (integer epoch-delta arithmetic, no float seconds).
+# ---------------------------------------------------------------------------
+
+from stream_loader_spark.functions import avro_codec as ac  # noqa: E402
+
+
+def _ts_schema(logical: str) -> ac.AvroSchema:
+    return ac.parse_schema({"type": "long", "logicalType": logical})
+
+
+_UTC = timezone.utc
+
+
+class TestAvroLogicalTypeRoundtrip:
+    @pytest.mark.parametrize(
+        "dt",
+        [
+            datetime(1970, 1, 1, tzinfo=_UTC),
+            datetime(1969, 12, 31, 23, 59, 59, 999000, tzinfo=_UTC),  # pre-epoch
+            datetime(1901, 2, 3, 4, 5, 6, 7000, tzinfo=_UTC),
+            datetime(2024, 1, 15, 12, 34, 56, 789000, tzinfo=_UTC),
+            datetime(9999, 12, 31, 23, 59, 59, 999000, tzinfo=_UTC),  # sentinel
+        ],
+    )
+    def test_timestamp_millis_roundtrip(self, dt):
+        s = _ts_schema("timestamp-millis")
+        assert ac.decode(ac.encode(dt, s), s) == dt
+
+    @pytest.mark.parametrize(
+        "dt",
+        [
+            datetime(1970, 1, 1, tzinfo=_UTC),
+            datetime(1969, 12, 31, 23, 59, 59, 999999, tzinfo=_UTC),
+            datetime(2242, 3, 16, 12, 56, 31, 145224, tzinfo=_UTC),  # 2^53 µs edge
+            datetime(9999, 12, 31, 23, 59, 59, 999999, tzinfo=_UTC),  # sentinel
+        ],
+    )
+    def test_timestamp_micros_roundtrip(self, dt):
+        s = _ts_schema("timestamp-micros")
+        assert ac.decode(ac.encode(dt, s), s) == dt
+
+    def test_timestamp_millis_known_bytes(self):
+        # 1ms after epoch -> long 1 -> zigzag varint 0x02
+        s = _ts_schema("timestamp-millis")
+        assert ac.encode(datetime(1970, 1, 1, 0, 0, 0, 1000, tzinfo=_UTC), s) == b"\x02"
+        # -1ms -> long -1 -> zigzag 0x01
+        assert (
+            ac.encode(datetime(1969, 12, 31, 23, 59, 59, 999000, tzinfo=_UTC), s)
+            == b"\x01"
+        )
+
+    def test_naive_datetime_encodes_as_utc(self):
+        s = _ts_schema("timestamp-micros")
+        naive = datetime(2024, 1, 15, 12, 0, 0)
+        aware = naive.replace(tzinfo=_UTC)
+        assert ac.encode(naive, s) == ac.encode(aware, s)
+
+    def test_decode_returns_aware_utc(self):
+        s = _ts_schema("timestamp-millis")
+        out = ac.decode(ac.encode(datetime(2024, 1, 1, tzinfo=_UTC), s), s)
+        assert out.tzinfo == _UTC
+
+    @pytest.mark.parametrize(
+        "d",
+        [date(1970, 1, 1), date(1969, 12, 31), date(1, 1, 1), date(9999, 12, 31)],
+    )
+    def test_date_roundtrip(self, d):
+        s = ac.parse_schema({"type": "int", "logicalType": "date"})
+        assert ac.decode(ac.encode(d, s), s) == d
+
+    def test_integer_passthrough_still_roundtrips(self):
+        s = _ts_schema("timestamp-micros")
+        raw = 253402300799999999  # 9999-12-31T23:59:59.999999 in micros
+        assert ac.encode(raw, s) == ac.encode(
+            datetime(9999, 12, 31, 23, 59, 59, 999999, tzinfo=_UTC), s
+        )
