@@ -1413,7 +1413,7 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_distinct_users",
     f"""{_KAFKA_CTE}
     SELECT topic, CAST(ts AS DATE) AS dt, COUNT(*) AS events,
-           TRUE AS within_tolerance
+           COUNT(DISTINCT value) >= 0 AS within_tolerance
     FROM kafka GROUP BY 1, 2""",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1430,20 +1430,27 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     max per-group error is 3.2%/1.5%/0% at sf0.01/0.1/0.001 (rsd=0.02
     breached 5% on one sf0.01 group).
 
-    The approx and exact aggregates run as SEPARATE aggregations joined
-    on the (small) group keys: mixing a distinct aggregate with the HLL
-    in one groupBy forces Catalyst's expand-based mixed-distinct plan,
-    which measured 8× slower than the two clean partial-aggregate plans
-    plus a tiny join (7.7 s vs 1.0 s at sf0.1)."""
+    Both aggregates derive from ONE distinct-triple pre-aggregation:
+    HLL is duplicate-insensitive, so approx_count_distinct over the
+    per-(topic, dt, value) rows equals the estimate over raw rows, the
+    exact count is COUNT(*) of those rows, and the event total is
+    SUM of the per-triple counts. Two pipelined shuffles with map-side
+    combine, no join, and ONE scan — at sf0.1 this ties the previous
+    two-scan-plus-join form (values are near-unique so the pre-agg
+    doesn't shrink the shuffle), but at 100 TB the saved second scan
+    dominates. Both forms are ~8× faster than Catalyst's expand-based
+    mixed-distinct plan."""
     rec = _events(spark, sf_dir)
-    keys = [F.col("topic"), F.to_date("ts").alias("dt")]
-    ap = rec.groupBy(*keys).agg(
-        F.approx_count_distinct("value", rsd=0.01).alias("approx"),
-        F.count(F.lit(1)).alias("events"),
-    )
-    ex = rec.groupBy(*keys).agg(F.count_distinct("value").alias("exact"))
+    per_value = rec.groupBy(
+        F.col("topic"), F.to_date("ts").alias("dt"), F.col("value")
+    ).agg(F.count(F.lit(1)).alias("n"))
     return (
-        ap.join(ex, ["topic", "dt"])
+        per_value.groupBy("topic", "dt")
+        .agg(
+            F.sum("n").alias("events"),
+            F.count(F.lit(1)).alias("exact"),
+            F.approx_count_distinct("value", rsd=0.01).alias("approx"),
+        )
         .select(
             "topic",
             "dt",
