@@ -78,6 +78,35 @@ def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def keep_best_dedup(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Exact dedup keeping the highest-QUALITY duplicate per content
+    group (ties → lowest id), not an arbitrary representative — the
+    policy real corpus pipelines want when duplicates differ in
+    upstream cleaning.
+
+    One hash-aggregate with map-side combine: ``max_by`` over a
+    (quality, -id) struct picks the winner inside the partial
+    aggregate, so no window, no second shuffle, and no per-group row
+    materialization — the 100 TB-safe shape (a row_number window over
+    content_hash would sort every group).
+    """
+    pref = F.struct(
+        F.col(quality_col).alias("q"), (-F.col(id_col)).alias("tie")
+    )
+    return documents.groupBy(
+        F.sha2(F.col(text_col), 256).alias("content_hash")
+    ).agg(
+        F.max_by(F.col(id_col), pref).alias("keep_id"),
+        F.max(quality_col).alias("best_quality"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
 def shingles_col(text: Column, size: int = SHINGLE_SIZE) -> Column:
     """Distinct word ``size``-shingles of the text; docs shorter than
     ``size`` tokens contribute their whole text as one shingle."""

@@ -11,7 +11,7 @@ shuffle — the filter evaluates inside the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SAMPLE_BUCKETS = 256  # two md5 hex nibbles
@@ -39,3 +39,60 @@ def deterministic_sample(
     """
     out = df.withColumn(bucket_col, sample_bucket(F.col(id_col), salt))
     return out.where(F.col(bucket_col) < keep_buckets)
+
+
+def rebalance_domains(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic domain-mix rebalancing: downsample every domain to
+    ≈ the smallest domain's row count via hash-bucket filtering.
+
+    Data mixing is the standard final step of a training-corpus build
+    (cap the over-represented crawl so curated sources keep weight).
+    The per-domain counts aggregate is tiny (|domains| rows) and is
+    broadcast back, so the only full-data work is the bucket filter
+    riding the scan — one small shuffle total, independent of corpus
+    size. The keep threshold is an integer bucket count, so the
+    sampled set is exactly reproducible on any engine.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("cnt"))
+    min_cnt = counts.agg(F.min("cnt").alias("min_cnt"))
+    thr = counts.crossJoin(F.broadcast(min_cnt)).select(
+        domain_col,
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.lit(256.0) * F.col("min_cnt") / F.col("cnt")),
+        )
+        .cast("int")
+        .alias("keep_thr"),
+    )
+    out = df.withColumn("sample_bucket", sample_bucket(F.col(id_col), salt))
+    return out.join(F.broadcast(thr), domain_col).where(
+        F.col("sample_bucket") < F.col("keep_thr")
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training order for one epoch.
+
+    ``shard`` is the md5 bucket (0..255) of (seed + id) and
+    ``pos_in_shard`` the rank within the shard by md5 key — the global
+    epoch order is (shard, pos_in_shard), fully reproducible from the
+    seed alone. 256 windows run in parallel (≈400 GB per shard at
+    100 TB), so no single-partition sort anywhere; a new seed draws an
+    independent permutation. Writers consume shards in order and get
+    sequential-read locality per shard file.
+    """
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    out = df.withColumn("shuffle_key", key).withColumn(
+        "shard", sample_bucket(F.col(id_col), seed)
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return out.withColumn("pos_in_shard", F.row_number().over(w))

@@ -656,6 +656,60 @@ def deterministic_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(docs, keep_buckets=51)
 
 
+_MD5_BUCKET_SQL = (
+    "(strpos('0123456789abcdef', substr(md5({e}), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5({e}), 2, 1)) - 1)"
+)
+
+
+@query(
+    "domain_rebalance",
+    f"""WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1),
+    m AS (SELECT MIN(cnt) AS min_cnt FROM c),
+    t AS (SELECT source,
+                 CAST(GREATEST(1, FLOOR(256.0 * min_cnt / cnt)) AS INT) AS keep_thr
+          FROM c CROSS JOIN m),
+    b AS (SELECT doc_id, source,
+                 {_MD5_BUCKET_SQL.format(e="CAST(doc_id AS VARCHAR)")} AS sample_bucket
+          FROM documents)
+    SELECT b.doc_id, b.source, b.sample_bucket, t.keep_thr
+    FROM b JOIN t USING (source) WHERE b.sample_bucket < t.keep_thr""",
+)
+def domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing: every source downsampled to ≈ the
+    smallest source's count by integer hash-bucket threshold. The
+    per-source counts are broadcast back; the only full-data work is
+    the bucket filter riding the scan."""
+    from stream_loader_spark.operators.sampling import rebalance_domains
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = rebalance_domains(docs)
+    return out.select("doc_id", "source", "sample_bucket", "keep_thr")
+
+
+@query(
+    "epoch_shuffle_order",
+    f"""WITH k AS (
+      SELECT doc_id,
+             md5('ep1' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+             {_MD5_BUCKET_SQL.format(e="'ep1' || CAST(doc_id AS VARCHAR)")} AS shard
+      FROM documents)
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY shuffle_key, doc_id) AS INT)
+             AS pos_in_shard
+    FROM k""",
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: global training order is
+    (shard, pos_in_shard), a pure function of the seed. 256 windows
+    rank in parallel — no single-partition sort at any scale."""
+    from stream_loader_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, seed="ep1").select("doc_id", "shard", "pos_in_shard")
+
+
 @query(
     "unigram_logprob",
     """WITH tok AS (
@@ -712,6 +766,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup: representative + multiplicity per digest."""
     docs = load_table(spark, sf_dir, "documents")
     return exact_dedup(docs)
+
+
+@query(
+    "dedup_keep_best",
+    """WITH h AS (
+      SELECT sha256(text) AS content_hash, doc_id, n_chars FROM documents),
+    r AS (
+      SELECT content_hash, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY content_hash
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY content_hash) AS dup_count,
+             MAX(n_chars) OVER (PARTITION BY content_hash) AS best_quality
+      FROM h)
+    SELECT content_hash, doc_id AS keep_id, best_quality, dup_count
+    FROM r WHERE rn = 1""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the highest-quality duplicate (max n_chars,
+    ties → lowest id). Single map-side-combinable hash aggregate via
+    max_by over a (quality, -id) struct — the oracle's window form
+    would sort every content group; the aggregate form never
+    materializes group rows."""
+    from stream_loader_spark.operators.dedup import keep_best_dedup
+
+    return keep_best_dedup(load_table(spark, sf_dir, "documents"))
 
 
 @query(

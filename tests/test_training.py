@@ -127,3 +127,103 @@ class TestTfidfTopTerms:
             per_doc.setdefault(r["doc_id"], []).append(r["term_rank"])
         assert sorted(per_doc[1]) == [1, 2, 3]
         assert all(rk <= 3 for rks in per_doc.values() for rk in rks)
+
+
+class TestKeepBestDedup:
+    def test_keeps_highest_quality_min_id_tiebreak(self, spark):
+        from stream_loader_spark.operators.dedup import keep_best_dedup
+
+        rows = [
+            # group A: quality winner is doc 3 (longest)
+            (1, "same text", 5),
+            (3, "same text", 9),
+            (2, "same text", 7),
+            # group B: tie on quality -> lowest id (4) wins
+            (6, "other text", 4),
+            (4, "other text", 4),
+            # singleton
+            (9, "unique", 2),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+        out = {
+            r["content_hash"]: r
+            for r in keep_best_dedup(df).collect()
+        }
+        by_text = {}
+        import hashlib
+
+        for text in ("same text", "other text", "unique"):
+            by_text[text] = hashlib.sha256(text.encode()).hexdigest()
+        a = out[by_text["same text"]]
+        assert (a["keep_id"], a["best_quality"], a["dup_count"]) == (3, 9, 3)
+        b = out[by_text["other text"]]
+        assert (b["keep_id"], b["best_quality"], b["dup_count"]) == (4, 4, 2)
+        c = out[by_text["unique"]]
+        assert (c["keep_id"], c["dup_count"]) == (9, 1)
+
+    def test_plan_is_single_aggregate_no_window(self, spark):
+        from stream_loader_spark.operators.dedup import keep_best_dedup
+
+        df = spark.createDataFrame(
+            [(1, "t", 1)], "doc_id long, text string, n_chars long"
+        )
+        plan = keep_best_dedup(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+
+
+class TestRebalanceDomains:
+    def test_small_domain_kept_whole_large_downsampled(self, spark):
+        from stream_loader_spark.operators.sampling import rebalance_domains
+
+        rows = [(i, "big") for i in range(400)] + [
+            (1000 + i, "small") for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = rebalance_domains(df).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        # small domain: thr = 256 -> everything kept
+        assert len(by_src["small"]) == 40
+        # big domain: thr = floor(256*40/400) = 25 -> ~10% kept, never 0
+        big = by_src["big"]
+        assert 0 < len(big) < 100
+        assert all(r["sample_bucket"] < r["keep_thr"] for r in out)
+
+    def test_threshold_never_zero(self, spark):
+        from stream_loader_spark.operators.sampling import rebalance_domains
+
+        rows = [(i, "huge") for i in range(1000)] + [(2000, "tiny")]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        thr = {
+            r["source"]: r["keep_thr"]
+            for r in rebalance_domains(df).select("source", "keep_thr").distinct().collect()
+        }
+        assert thr.get("huge", 1) >= 1
+
+
+class TestEpochShuffle:
+    def test_reproducible_and_seed_sensitive(self, spark):
+        from stream_loader_spark.operators.sampling import epoch_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+        a1 = sorted(
+            epoch_shuffle(df, "s1").select("doc_id", "shard", "pos_in_shard").collect()
+        )
+        a2 = sorted(
+            epoch_shuffle(df, "s1").select("doc_id", "shard", "pos_in_shard").collect()
+        )
+        b = sorted(
+            epoch_shuffle(df, "s2").select("doc_id", "shard", "pos_in_shard").collect()
+        )
+        assert a1 == a2
+        assert a1 != b
+
+    def test_positions_dense_within_shard(self, spark):
+        from stream_loader_spark.operators.sampling import epoch_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+        out = epoch_shuffle(df, "s1").groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n"), F.max("pos_in_shard").alias("mx")
+        )
+        assert all(r["n"] == r["mx"] for r in out.collect())
