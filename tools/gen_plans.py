@@ -42,6 +42,22 @@ ANNOTATED = {
         "hot join keys scattered across salt buckets (small side exploded ×8); "
         "result provably equals the unsalted join"
     ),
+    "dedup_keep_best": (
+        "single map-side-combinable hash aggregate (max_by over a "
+        "(quality, -id) struct) — no window, groups never materialize"
+    ),
+    "domain_rebalance": (
+        "per-source thresholds broadcast back; bucket filter evaluated "
+        "on the scan side of the broadcast join"
+    ),
+    "epoch_shuffle_order": (
+        "256 shard windows rank in parallel — exchange on shard, never "
+        "a single-partition global sort"
+    ),
+    "approx_distinct_users": (
+        "one scan: distinct-triple partial agg feeds both exact count "
+        "and duplicate-insensitive HLL — no join, no expand"
+    ),
 }
 
 
