@@ -80,3 +80,83 @@ def with_tracked_watermark(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+try:  # Spark 4+ API; absent on 3.5 — v2 entry point guards on this
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor as _SP
+except ImportError:  # pragma: no cover
+    _SP = object
+
+
+class _WatermarkProcessor(_SP):
+    """StatefulProcessor for the transformWithStateInPandas variant —
+    defined module-level so cloudpickle ships only the tiny config."""
+
+    def __init__(self, in_cols, valid_diff_ms, now_ms_fn):
+        self.in_cols = in_cols
+        self.valid_diff_ms = valid_diff_ms
+        self.now_ms_fn = now_ms_fn
+
+    def init(self, handle):
+        self._wm = handle.getValueState("wm", "watermark_ms bigint")
+
+    def handleInputRows(self, key, rows, timer_values):
+        wm = self._wm.get()[0] if self._wm.exists() else -1
+        now_ms = self.now_ms_fn()
+        chunks = list(rows)
+        if not chunks:
+            self._wm.update((wm,))
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(["offset"])
+            .reset_index(drop=True)
+        )
+        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
+        valid = ts_ms <= now_ms + self.valid_diff_ms
+        candidates = np.where(valid, ts_ms, -(2**62))
+        running = np.maximum(np.maximum.accumulate(candidates), wm)
+        if len(running):
+            wm = int(running[-1])
+        pdf["watermark_ms"] = running
+        self._wm.update((wm,))
+        yield pdf[self.in_cols + ["watermark_ms"]]
+
+    def close(self):
+        pass
+
+
+def with_tracked_watermark_v2(
+    stream: DataFrame,
+    valid_diff_ms: int = DEFAULT_VALID_DIFF_MS,
+    now_ms_fn=lambda: int(time.time() * 1000),
+) -> DataFrame:
+    """``with_tracked_watermark`` on the transformWithState API (the
+    arbitrary-stateful-processing successor to applyInPandasWithState,
+    Spark 4+): identical MaxWatermarkProvider semantics, but state goes
+    through a named ValueState handle, which buys schema evolution and
+    the RocksDB state-store backend for free. Prefer this on Spark 4
+    clusters; the v1 form remains for Spark 3.5 compatibility.
+
+    Runtime requirement: the transformWithState state-server protocol
+    speaks protobuf — environments without ``google.protobuf`` can
+    build this plan but not run it (the streaming driver worker exits
+    at init). The pytest is importorskip-gated on exactly that.
+    """
+    if _SP is object:  # pragma: no cover
+        raise RuntimeError("transformWithStateInPandas requires Spark >= 4.0")
+
+    in_cols = stream.schema.fieldNames()
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in stream.schema.fields
+    )
+    out_schema += ", watermark_ms bigint"
+
+    proc = _WatermarkProcessor(in_cols, valid_diff_ms, now_ms_fn)
+
+    return stream.groupBy("topic", "partition").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
+    )
