@@ -116,6 +116,7 @@ RATIO_SKIP = {
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "near_dup_dedup_end_to_end",
+    "near_dup_keep_best",
     "clean_corpus_pipeline",
 }
 

@@ -429,6 +429,31 @@ def dedup_keep_representative(
     return documents.join(losers, id_col, "left_anti")
 
 
+def dedup_keep_best_in_cluster(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Near-dup dedup keeping the highest-QUALITY member per cluster
+    (ties → lowest id) instead of the arbitrary min-id representative.
+
+    Composition of two scale-safe pieces: connected components label
+    every document (iteration cost tracks the duplicate population),
+    then ONE map-side-combinable aggregate picks each cluster's winner
+    via max_by over a (quality, -id) struct, and a left-semi join
+    filters the corpus. No window over clusters, no per-cluster row
+    materialization.
+    """
+    comps = dedup_components(documents, pairs, id_col)
+    labeled = documents.select(id_col, quality_col).join(comps, id_col)
+    pref = F.struct(F.col(quality_col).alias("q"), (-F.col(id_col)).alias("tie"))
+    winners = labeled.groupBy("cluster_id").agg(
+        F.max_by(F.col(id_col), pref).alias(id_col)
+    )
+    return documents.join(winners.select(id_col), id_col, "left_semi")
+
+
 def simhash_pairs(
     documents: DataFrame,
     text_col: str = "text",

@@ -1590,6 +1590,42 @@ def near_dup_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_representative(docs, pairs).select("doc_id", "lang", "source")
 
 
+@query(
+    "near_dup_keep_best",
+    f"""WITH RECURSIVE {_jaccard_pairs_ctes()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM good
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM good),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+    lbl AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+      GROUP BY d.doc_id),
+    ranked AS (
+      SELECT l.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                ORDER BY d.n_chars DESC, l.doc_id) AS rn
+      FROM lbl l JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM ranked WHERE rn = 1)""",
+)
+def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup with the keep-best policy: MinHash-LSH pairs →
+    connected components → highest-n_chars member survives per cluster
+    (ties → lowest id). Oracle closes the exhaustive Jaccard pairs
+    transitively and ranks members per cluster label."""
+    from stream_loader_spark.operators.dedup import dedup_keep_best_in_cluster
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup_keep_best_in_cluster(docs, pairs).select("doc_id", "lang", "source")
+
+
 # ---------------------------------------------------------------------------
 # Wider TPC-H-shaped relational coverage (adapted to the fixture schema)
 # ---------------------------------------------------------------------------

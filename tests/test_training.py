@@ -227,3 +227,27 @@ class TestEpochShuffle:
             F.count(F.lit(1)).alias("n"), F.max("pos_in_shard").alias("mx")
         )
         assert all(r["n"] == r["mx"] for r in out.collect())
+
+
+class TestKeepBestInCluster:
+    def test_cluster_winner_is_highest_quality(self, spark):
+        from stream_loader_spark.operators.dedup import dedup_keep_best_in_cluster
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a", 5),
+                (2, "b", 9),  # cluster {1,2,3}: winner 2 (quality 9)
+                (3, "c", 7),
+                (10, "d", 4),  # cluster {10,11}: tie -> min id 10
+                (11, "e", 4),
+                (20, "f", 1),  # singleton survives
+            ],
+            "doc_id long, text string, n_chars long",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+        )
+        kept = sorted(
+            r["doc_id"] for r in dedup_keep_best_in_cluster(docs, pairs).collect()
+        )
+        assert kept == [2, 10, 20]
