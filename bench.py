@@ -98,7 +98,12 @@ BENCH_QUERIES = [
     "benchmark_contamination",
     "tfidf_top_terms",
     "dedup_exact",
+    "dedup_keep_best",
+    "domain_rebalance",
+    "epoch_shuffle_order",
+    "doc_length_quantiles",
     "near_dup_dedup_end_to_end",
+    "near_dup_keep_best",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "similarity_topk",

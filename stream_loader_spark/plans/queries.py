@@ -1859,6 +1859,49 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_length_quantiles",
+    """SELECT source, COUNT(*) AS n_docs,
+           quantile_disc(n_chars, 0.5) >= 0 AND quantile_disc(n_chars, 0.9) >= 0
+             AND quantile_disc(n_chars, 0.99) >= 0 AS within_tolerance
+    FROM documents GROUP BY source""",
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per source via the approx-percentile
+    SKETCH — the 100 TB path (GK sketch, bounded memory per group)
+    beside the exact-sort `value_percentiles`.
+
+    Like `approx_distinct_users`, a sketch can't hash-match an exact
+    engine, so the checked column is a per-group tolerance bit: each
+    approximate quantile must land within 2% of the exact discrete
+    quantile (both sides pick actual data values). The oracle computes
+    the exact quantiles and emits the same constant-true shape — a red
+    row means the sketch broke its accuracy contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    ap = docs.groupBy("source").agg(
+        F.percentile_approx("n_chars", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)).alias("aq"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    ex = docs.groupBy("source").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").alias("e50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)").alias("e90"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars)").alias("e99"),
+    )
+    tol = lambda a, e: F.abs(a - e) <= F.greatest(F.lit(1.0), e * 0.02)  # noqa: E731
+    return (
+        ap.join(ex, "source")
+        .select(
+            "source",
+            "n_docs",
+            (
+                tol(F.element_at("aq", 1).cast("double"), F.col("e50").cast("double"))
+                & tol(F.element_at("aq", 2).cast("double"), F.col("e90").cast("double"))
+                & tol(F.element_at("aq", 3).cast("double"), F.col("e99").cast("double"))
+            ).alias("within_tolerance"),
+        )
+    )
+
+
+@query(
     "pivot_daily_event_counts",
     f"""{_KAFKA_CTE}
     SELECT CAST(ts AS DATE) AS dt,
