@@ -157,3 +157,25 @@ class TestParquetConfig:
 
         files = os.listdir(sink.batch_data_dir(0))
         assert any(".gz.parquet" in f for f in files)
+
+
+class TestRegistryInvariants:
+    """Drift guards: the driver gate depends on these staying true."""
+
+    def test_every_query_is_oracle_verified(self):
+        from stream_loader_spark.plans.queries import QUERIES, ORACLE_SQL
+
+        assert set(ORACLE_SQL) <= set(QUERIES)
+        # no rows-only queries: every declared query has a DuckDB oracle
+        assert sorted(set(QUERIES) - set(ORACLE_SQL)) == []
+
+    def test_bench_covers_registry(self):
+        import bench
+        from stream_loader_spark.plans.queries import QUERIES
+
+        # heavyweight pair-finders benched once via the end-to-end forms
+        waived = {"clean_corpus_pipeline", "ngram_jaccard_pairs"}
+        assert set(bench.BENCH_QUERIES) | waived == set(QUERIES)
+        assert not set(bench.BENCH_QUERIES) - set(QUERIES)
+        # ratio-skip entries must still be real queries
+        assert bench.RATIO_SKIP <= set(QUERIES)
