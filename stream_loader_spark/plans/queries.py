@@ -1877,27 +1877,26 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact quantiles and emits the same constant-true shape — a red
     row means the sketch broke its accuracy contract."""
     docs = load_table(spark, sf_dir, "documents")
-    ap = docs.groupBy("source").agg(
-        F.percentile_approx("n_chars", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)).alias("aq"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )
-    ex = docs.groupBy("source").agg(
+    # sketch and exact are both plain (non-distinct) aggregates, so ONE
+    # groupBy computes the pair — no second scan, no join, no expand
+    agg = docs.groupBy("source").agg(
+        F.percentile_approx(
+            "n_chars", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+        ).alias("aq"),
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").alias("e50"),
         F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)").alias("e90"),
         F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars)").alias("e99"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
     tol = lambda a, e: F.abs(a - e) <= F.greatest(F.lit(1.0), e * 0.02)  # noqa: E731
-    return (
-        ap.join(ex, "source")
-        .select(
-            "source",
-            "n_docs",
-            (
-                tol(F.element_at("aq", 1).cast("double"), F.col("e50").cast("double"))
-                & tol(F.element_at("aq", 2).cast("double"), F.col("e90").cast("double"))
-                & tol(F.element_at("aq", 3).cast("double"), F.col("e99").cast("double"))
-            ).alias("within_tolerance"),
-        )
+    return agg.select(
+        "source",
+        "n_docs",
+        (
+            tol(F.element_at("aq", 1).cast("double"), F.col("e50").cast("double"))
+            & tol(F.element_at("aq", 2).cast("double"), F.col("e90").cast("double"))
+            & tol(F.element_at("aq", 3).cast("double"), F.col("e99").cast("double"))
+        ).alias("within_tolerance"),
     )
 
 
