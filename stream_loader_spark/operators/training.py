@@ -158,7 +158,9 @@ def tfidf_top_terms(
     toks = scatter(documents).select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df vocabulary and the scoring join; persist so
+    # the tokenize+explode+aggregate pipeline runs once, not twice
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")).persist()
     df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if broadcast_vocab:
         df_counts = F.broadcast(df_counts)
