@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "domain_rebalance",
     "epoch_shuffle_order",
+    "pack_sequences_spans",
     "doc_length_quantiles",
     "near_dup_dedup_end_to_end",
     "near_dup_keep_best",

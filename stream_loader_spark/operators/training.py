@@ -185,3 +185,62 @@ def tfidf_top_terms(
         .where(F.col("term_rank") <= k)
         .select(id_col, "term_rank", "token", "tf", "score")
     )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    seed: str,
+    context_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: map each document to its
+    token span in the epoch's packed training stream.
+
+    The standard GPT-style packing — documents concatenated in epoch
+    order, the stream sliced into fixed ``context_len`` windows — is a
+    per-shard running sum: a document's ``start_tok`` is the sum of
+    the token counts before it, and its first/last training sequence
+    is that offset integer-divided by the context length. Emitting the
+    span (not materialized sequences) keeps this a metadata pass; the
+    actual byte assembly happens in the per-shard writer that consumes
+    it.
+
+    Scale shape: everything is per-shard (md5 bucket of seed+id, 256
+    shards ≈ 400 GB each at 100 TB) — one exchange on shard, parallel
+    window cumsums, no global coordination. A fresh seed re-packs the
+    whole corpus differently, which is exactly the per-epoch behavior
+    training wants.
+    """
+    if context_len < 1:
+        raise ValueError(f"context_len must be >= 1, got {context_len}")
+    from stream_loader_spark.operators.sampling import epoch_shuffle
+
+    toks = documents.select(
+        id_col, F.size(tokens_col(F.col(text_col))).alias("n_tokens")
+    )
+    ordered = epoch_shuffle(toks, seed, id_col=id_col)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("shuffle_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = ordered.withColumn(
+        "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    )
+    # explicit floor (not a double->int cast): offsets are non-negative
+    # and floor semantics must match any SQL engine bit-for-bit
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "start_tok",
+        F.floor(F.col("start_tok") / context_len).alias("first_seq"),
+        F.floor(
+            F.greatest(
+                F.col("start_tok"),
+                F.col("start_tok") + F.col("n_tokens") - 1,
+            )
+            / context_len
+        ).alias("last_seq"),
+    )

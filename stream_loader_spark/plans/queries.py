@@ -711,6 +711,37 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_sequences_spans",
+    f"""WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             md5('ep1' || CAST(doc_id AS VARCHAR)) AS k,
+             {_MD5_BUCKET_SQL.format(e="'ep1' || CAST(doc_id AS VARCHAR)")} AS shard
+      FROM documents),
+    s AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM t)
+    SELECT doc_id, shard, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(FLOOR(start_tok / 512.0) AS BIGINT) AS first_seq,
+           CAST(FLOOR(GREATEST(start_tok, start_tok + n_tokens - 1) / 512.0) AS BIGINT)
+             AS last_seq
+    FROM s""",
+)
+def pack_sequences_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk packing as a metadata pass: each
+    document's token span and first/last training sequence in the
+    epoch's packed stream (context 512). Per-shard window cumsum —
+    one exchange, 256 parallel shards, no global coordination."""
+    from stream_loader_spark.operators.training import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, seed="ep1", context_len=512)
+
+
+@query(
     "unigram_logprob",
     """WITH tok AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token

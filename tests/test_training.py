@@ -251,3 +251,35 @@ class TestKeepBestInCluster:
             r["doc_id"] for r in dedup_keep_best_in_cluster(docs, pairs).collect()
         )
         assert kept == [2, 10, 20]
+
+
+class TestPackSequences:
+    def test_spans_are_contiguous_per_shard(self, spark):
+        from stream_loader_spark.operators.training import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(i, "tok " * (i % 7 + 1)) for i in range(200)],
+            "doc_id long, text string",
+        )
+        out = pack_sequences(docs, "s1", context_len=16).collect()
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for rows in by_shard.values():
+            rows.sort(key=lambda r: r["start_tok"])
+            expect = 0
+            for r in rows:
+                assert r["start_tok"] == expect  # no gaps, no overlap
+                expect += r["n_tokens"]
+                assert r["first_seq"] == r["start_tok"] // 16
+                last_tok = max(r["start_tok"], r["start_tok"] + r["n_tokens"] - 1)
+                assert r["last_seq"] == last_tok // 16
+
+    def test_context_len_validated(self, spark):
+        from stream_loader_spark.operators.training import pack_sequences
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            pack_sequences(docs, "s1", context_len=0)
