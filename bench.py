@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "doc_length_quantiles",
     "near_dup_dedup_end_to_end",
     "near_dup_keep_best",
+    "incremental_near_dup",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "similarity_topk",
@@ -120,6 +121,7 @@ BENCH_QUERIES = [
 # sf0.1 — their SPARK timings still run; only the ratio is omitted.
 RATIO_SKIP = {
     "ngram_jaccard_pairs",
+    "incremental_near_dup",
     "minhash_lsh_pairs",
     "near_dup_dedup_end_to_end",
     "near_dup_keep_best",

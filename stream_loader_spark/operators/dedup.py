@@ -171,22 +171,22 @@ def with_minhash(
     )
 
 
-def minhash_lsh_pairs(
+def band_index(
     documents: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    threshold: float = 0.5,
     num_bands: int = NUM_BANDS,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+    """The slim LSH band table (id, band, band_hash) — ``num_bands``
+    rows per document, no text, no shingles.
 
-    Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+    This IS the persistable near-dup index: write it once per corpus
+    snapshot (a few hundred bytes per document at any corpus size) and
+    every future ingest probes it instead of re-hashing the corpus —
+    see ``incremental_near_dup_pairs``.
     """
     rows_per_band = NUM_HASHES // num_bands
     sig = with_minhash(documents, text_col, id_col)
-
-    # Slim banded view: (id, band, band_hash) only — the shingle arrays
-    # do NOT ride through the bands explode / self-join shuffle.
     band_structs = ",".join(
         "named_struct('band', %d, 'band_hash', xxhash64(concat_ws(',', %s)))"
         % (
@@ -199,9 +199,23 @@ def minhash_lsh_pairs(
         )
         for b in range(num_bands)
     )
-    bands = sig.selectExpr(
+    return sig.selectExpr(
         id_col, f"explode(array({band_structs})) AS bh"
     ).selectExpr(id_col, "bh.band AS band", "bh.band_hash AS band_hash")
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+    """
+    bands = band_index(documents, text_col, id_col, num_bands)
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -224,6 +238,80 @@ def minhash_lsh_pairs(
         id_col, f"{shingles_sql(text_col)} AS shingles"
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        candidates.join(
+            shingle_sets.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            shingle_sets.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("jaccard", jaccard)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def incremental_near_dup_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a new batch, probed against a persisted
+    band index — the 100 TB ingest path.
+
+    Re-running ``minhash_lsh_pairs`` over corpus+batch re-hashes every
+    historical document per ingest; this probes instead: only the new
+    batch is shingled and banded, its bands join the stored
+    ``band_index`` (plus the batch's own bands for new-new pairs), and
+    the exact-Jaccard verify re-derives shingles ONLY for the touched
+    corpus documents (candidate ids joined before shingling, so the
+    text of unmatched corpus rows never leaves the scan). Ingest cost
+    scales with batch size + collision count, not corpus size.
+
+    Returns (doc_a, doc_b, jaccard) with at least one side in the
+    batch; ids must be globally unique across corpus and batch.
+    """
+    new_bands = band_index(new_docs, text_col, id_col, num_bands)
+    all_bands = corpus_index.select(id_col, "band", "band_hash").unionByName(
+        new_bands
+    )
+    n = new_bands.alias("n")
+    a = all_bands.alias("a")
+    candidates = (
+        n.join(
+            a,
+            (F.col("n.band") == F.col("a.band"))
+            & (F.col("n.band_hash") == F.col("a.band_hash"))
+            & (F.col(f"n.{id_col}") != F.col(f"a.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"a.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"a.{id_col}")).alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    # shingle only the touched documents: candidate ids first, text after
+    touched = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .union(candidates.select("doc_b"))
+        .distinct()
+    )
+    all_docs = corpus_docs.select(id_col, text_col).unionByName(
+        new_docs.select(id_col, text_col)
+    )
+    shingle_sets = all_docs.join(touched, id_col).selectExpr(
+        id_col, f"{shingles_sql(text_col)} AS shingles"
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
     return (
         candidates.join(
             shingle_sets.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")),

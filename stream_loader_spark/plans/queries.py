@@ -1622,6 +1622,35 @@ def near_dup_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_near_dup",
+    f"""WITH {_jaccard_pairs_ctes()},
+    newset AS (
+      SELECT doc_id FROM documents
+      WHERE {_MD5_BUCKET_SQL.format(e="CAST(doc_id AS VARCHAR)")} < 64)
+    SELECT doc_a, doc_b, jaccard FROM good
+    WHERE doc_a IN (SELECT doc_id FROM newset)
+       OR doc_b IN (SELECT doc_id FROM newset)""",
+)
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a deterministic ~25% of the corpus
+    plays the 'new batch', probing the persisted band index of the
+    rest — only the batch is re-hashed; corpus text is shingled solely
+    for collision-touched ids. Oracle: exhaustive Jaccard pairs
+    restricted to those touching the batch."""
+    from stream_loader_spark.operators.dedup import (
+        band_index,
+        incremental_near_dup_pairs,
+    )
+    from stream_loader_spark.operators.sampling import sample_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = sample_bucket(F.col("doc_id")) < 64
+    new_docs = docs.where(is_new)
+    corpus = docs.where(~is_new)
+    return incremental_near_dup_pairs(new_docs, corpus, band_index(corpus))
+
+
+@query(
     "near_dup_keep_best",
     f"""WITH RECURSIVE {_jaccard_pairs_ctes()},
     edges AS (

@@ -283,3 +283,35 @@ class TestPackSequences:
 
         with _pytest.raises(ValueError):
             pack_sequences(docs, "s1", context_len=0)
+
+
+class TestIncrementalNearDup:
+    def test_probe_equals_batch_pairs_touching_new(self, spark, sf_small):
+        """The incremental probe against a persisted band index finds
+        exactly the batch-mode pairs that involve a new document."""
+        from stream_loader_spark.operators.dedup import (
+            band_index,
+            incremental_near_dup_pairs,
+            minhash_lsh_pairs,
+        )
+        from stream_loader_spark.operators.sampling import sample_bucket
+        from stream_loader_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_small, "documents")
+        is_new = sample_bucket(F.col("doc_id")) < 64
+        new_docs, corpus = docs.where(is_new), docs.where(~is_new)
+
+        inc = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+            for r in incremental_near_dup_pairs(
+                new_docs, corpus, band_index(corpus)
+            ).collect()
+        }
+        new_ids = {r["doc_id"] for r in new_docs.select("doc_id").collect()}
+        batch = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+            for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+            if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+        }
+        assert inc == batch
+        assert len(inc) > 0  # fixture guarantees near-dups across the split
