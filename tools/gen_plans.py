@@ -58,6 +58,14 @@ ANNOTATED = {
         "one scan: distinct-triple partial agg feeds both exact count "
         "and duplicate-insensitive HLL — no join, no expand"
     ),
+    "pack_sequences_spans": (
+        "per-shard window cumsum over the seeded order — one exchange "
+        "on shard, 256 parallel cumsums, no global sort"
+    ),
+    "incremental_near_dup": (
+        "batch-only banding probes the stored index; corpus text is "
+        "shingled only after the candidate-id join restricts it"
+    ),
 }
 
 
