@@ -197,6 +197,29 @@ def ivf_topk(
     queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
+    return ivf_probe(assigned, centroids, queries, k, nprobe, id_col, vec_col)
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a PREBUILT IVF index: the ANN twin of dedup's
+    ``band_index`` ingest path.
+
+    ``assigned`` (vec_id, embedding, cluster_id) and ``centroids``
+    (centroid_id, centroid_vec) are the persistable index — write both
+    once per corpus snapshot; each query batch then costs one broadcast
+    of the (tiny) probe set against only the probed clusters' rows,
+    never a corpus rebuild. ``queries`` is (query_id, query_vec).
+    """
+    from pyspark.sql import Window
+
     qprobe = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn("cos", cosine_col(F.col("query_vec"), F.col("centroid_vec")))

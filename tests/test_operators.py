@@ -472,3 +472,30 @@ class TestComponentsStrategyEquivalence:
             monkeypatch.setattr(mod, "SMALL_GRAPH_EDGES", 0)
             big = {r["doc_id"]: r["cluster_id"] for r in mod.dedup_components(docs, pairs).collect()}
             assert small == big, f"trial {trial}: strategy paths diverged"
+
+
+class TestIvfProbePrebuilt:
+    def test_prebuilt_index_probe_equals_ivf_topk(self, spark, sf_small):
+        """Persisting the IVF index (assignments + centroids) and probing
+        it must reproduce ivf_topk exactly — the ANN ingest path."""
+        from pyspark.sql import functions as F
+        from stream_loader_spark.operators.similarity import (
+            assign_clusters,
+            ivf_probe,
+            ivf_topk,
+            seed_centroids,
+        )
+        from stream_loader_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_small, "embeddings")
+        qids = [3, 17, 40]
+
+        direct = ivf_topk(emb, qids, k=5).collect()
+
+        centroids = seed_centroids(emb, 16)
+        assigned = assign_clusters(emb, 16, centroids=centroids)
+        queries = emb.where(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        probed = ivf_probe(assigned, centroids, queries, k=5).collect()
+        assert sorted(map(tuple, probed)) == sorted(map(tuple, direct))
