@@ -107,6 +107,32 @@ def keep_best_dedup(
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-dedup a new batch against the corpus's content-hash set.
+
+    ``seen_hashes`` is the persisted (content_hash) table — 32 bytes
+    per historical document, appended after every ingest. The batch is
+    first deduped within itself (min-id representative, same policy as
+    ``exact_dedup``), then anti-joined against history. Only the batch
+    is ever hashed; with the hash table bucketed on content_hash the
+    anti-join co-locates and the historical side never re-shuffles.
+
+    Returns the surviving batch rows plus their ``content_hash`` so
+    the caller can append exactly these hashes to the history table.
+    """
+    hashed = new_docs.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+    w_first = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    in_batch_unique = hashed.join(w_first, ["content_hash", id_col], "left_semi")
+    return in_batch_unique.join(
+        seen_hashes.select("content_hash"), "content_hash", "left_anti"
+    )
+
+
 def shingles_col(text: Column, size: int = SHINGLE_SIZE) -> Column:
     """Distinct word ``size``-shingles of the text; docs shorter than
     ``size`` tokens contribute their whole text as one shingle."""

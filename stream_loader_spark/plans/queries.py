@@ -1622,6 +1622,42 @@ def near_dup_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_exact_dedup",
+    f"""WITH newset AS (
+      SELECT doc_id, text, lang, source, sha256(text) AS content_hash
+      FROM documents
+      WHERE {_MD5_BUCKET_SQL.format(e="CAST(doc_id AS VARCHAR)")} < 64),
+    seen AS (
+      SELECT DISTINCT sha256(text) AS content_hash FROM documents
+      WHERE {_MD5_BUCKET_SQL.format(e="CAST(doc_id AS VARCHAR)")} >= 64),
+    firsts AS (
+      SELECT content_hash, MIN(doc_id) AS doc_id FROM newset GROUP BY 1)
+    SELECT n.doc_id, n.lang, n.source, n.content_hash
+    FROM newset n
+    JOIN firsts f ON f.content_hash = n.content_hash AND f.doc_id = n.doc_id
+    WHERE n.content_hash NOT IN (SELECT content_hash FROM seen)""",
+)
+def incremental_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: the batch (deterministic ~25% split)
+    dedupes within itself then anti-joins the history's content-hash
+    set — only the batch is hashed; history contributes 32 bytes/doc."""
+    from stream_loader_spark.operators.dedup import incremental_exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    from stream_loader_spark.operators.sampling import sample_bucket
+
+    is_new = sample_bucket(F.col("doc_id")) < 64
+    new_docs = docs.where(is_new).select("doc_id", "text", "lang", "source")
+    seen = (
+        docs.where(~is_new)
+        .select(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .distinct()
+    )
+    out = incremental_exact_dedup(new_docs, seen)
+    return out.select("doc_id", "lang", "source", "content_hash")
+
+
+@query(
     "incremental_near_dup",
     f"""WITH {_jaccard_pairs_ctes()},
     newset AS (

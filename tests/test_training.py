@@ -315,3 +315,42 @@ class TestIncrementalNearDup:
         }
         assert inc == batch
         assert len(inc) > 0  # fixture guarantees near-dups across the split
+
+
+class TestIncrementalExactDedup:
+    def test_batch_dedup_then_history_anti_join(self, spark):
+        from stream_loader_spark.operators.dedup import incremental_exact_dedup
+
+        new = spark.createDataFrame(
+            [
+                (10, "alpha"),
+                (11, "alpha"),  # in-batch dup: 10 kept
+                (12, "beta"),  # already in history: dropped
+                (13, "gamma"),  # novel: kept
+            ],
+            "doc_id long, text string",
+        )
+        seen = spark.createDataFrame([("beta",)], "text string").select(
+            F.sha2(F.col("text"), 256).alias("content_hash")
+        )
+        kept = sorted(
+            r["doc_id"] for r in incremental_exact_dedup(new, seen).collect()
+        )
+        assert kept == [10, 13]
+
+    def test_returned_hashes_extend_history(self, spark):
+        from stream_loader_spark.operators.dedup import incremental_exact_dedup
+
+        new = spark.createDataFrame(
+            [(1, "x"), (2, "y")], "doc_id long, text string"
+        )
+        empty_seen = spark.createDataFrame([], "content_hash string")
+        out = incremental_exact_dedup(new, empty_seen)
+        assert "content_hash" in out.columns
+        hashes = {r["content_hash"] for r in out.collect()}
+        import hashlib
+
+        assert hashes == {
+            hashlib.sha256(b"x").hexdigest(),
+            hashlib.sha256(b"y").hexdigest(),
+        }
