@@ -321,6 +321,9 @@ def incremental_near_dup_pairs(
             F.greatest(F.col(f"n.{id_col}"), F.col(f"a.{id_col}")).alias("doc_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+        # candidates feed the touched-id union (twice) and the verify
+        # joins — persist so the banding pipeline runs once, not thrice
+        .persist()
     )
 
     # shingle only the touched documents: candidate ids first, text after
