@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_keep_best",
     "domain_rebalance",
+    "domain_oversample",
     "epoch_shuffle_order",
     "pack_sequences_spans",
     "doc_length_quantiles",

@@ -96,3 +96,49 @@ def epoch_shuffle(
     )
     w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
     return out.withColumn("pos_in_shard", F.row_number().over(w))
+
+
+def oversample_domains(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic up-sampling: replicate every domain to ≈ the
+    largest domain's row count — the other half of data mixing
+    (``rebalance_domains`` caps the big sources; this up-weights the
+    small ones, e.g. curated corpora trained for multiple epochs).
+
+    Each row gets ``floor(max/cnt)`` copies plus one more when its md5
+    bucket falls under the fractional remainder's threshold, so
+    expected totals hit the target exactly while every decision stays
+    a pure function of (salt, id). Replication is explode(sequence) —
+    a narrow transform; the only shuffle is the tiny per-domain count
+    aggregate, broadcast back. Emits ``copy_index`` (0-based) so
+    downstream epoch shuffling can spread copies apart.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("cnt"))
+    mx = counts.agg(F.max("cnt").alias("mx"))
+    ratio = F.lit(1.0) * F.col("mx") / F.col("cnt")
+    plan = counts.crossJoin(F.broadcast(mx)).select(
+        domain_col,
+        F.floor(ratio).cast("bigint").alias("base_copies"),
+        F.floor(F.lit(256.0) * (ratio - F.floor(ratio))).cast("int").alias("extra_thr"),
+    )
+    rows = (
+        df.withColumn("_bkt", sample_bucket(F.col(id_col), salt))
+        .join(F.broadcast(plan), domain_col)
+        .withColumn(
+            "copies",
+            F.col("base_copies")
+            + F.when(F.col("_bkt") < F.col("extra_thr"), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .where(F.col("copies") > 0)
+    )
+    return rows.select(
+        id_col,
+        domain_col,
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("copies") - 1)).alias(
+            "copy_index"
+        ),
+    )

@@ -688,6 +688,35 @@ def domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "domain_oversample",
+    f"""WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1),
+    m AS (SELECT MAX(cnt) AS mx FROM c),
+    t AS (SELECT source,
+                 CAST(FLOOR(1.0 * mx / cnt) AS BIGINT) AS base_copies,
+                 CAST(FLOOR(256.0 * (1.0 * mx / cnt - FLOOR(1.0 * mx / cnt))) AS INT)
+                   AS extra_thr
+          FROM c CROSS JOIN m),
+    b AS (SELECT doc_id, source,
+                 {_MD5_BUCKET_SQL.format(e="CAST(doc_id AS VARCHAR)")} AS bkt
+          FROM documents),
+    r AS (SELECT b.doc_id, b.source,
+                 t.base_copies + CASE WHEN b.bkt < t.extra_thr THEN 1 ELSE 0 END
+                   AS copies
+          FROM b JOIN t USING (source))
+    SELECT doc_id, source, unnest(range(copies)) AS copy_index
+    FROM r WHERE copies > 0""",
+)
+def domain_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic up-sampling to the largest source's count:
+    integer replication plus an md5-bucket fractional remainder —
+    data mixing's up-weighting half (rebalance is the capping half)."""
+    from stream_loader_spark.operators.sampling import oversample_domains
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return oversample_domains(docs)
+
+
+@query(
     "epoch_shuffle_order",
     f"""WITH k AS (
       SELECT doc_id,

@@ -354,3 +354,36 @@ class TestIncrementalExactDedup:
             hashlib.sha256(b"x").hexdigest(),
             hashlib.sha256(b"y").hexdigest(),
         }
+
+
+class TestOversampleDomains:
+    def test_small_domain_replicated_to_target(self, spark):
+        from stream_loader_spark.operators.sampling import oversample_domains
+
+        rows = [(i, "big") for i in range(400)] + [
+            (1000 + i, "small") for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = oversample_domains(df).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        assert len(by_src["big"]) == 400  # largest source: exactly 1 copy each
+        # small source: 10x target, integer part 10 -> >= 400 copies,
+        # fractional bucket can only add more
+        n_small = len(by_src["small"])
+        assert 400 <= n_small <= 440
+        # copy_index dense per doc
+        per_doc = {}
+        for r in by_src["small"]:
+            per_doc.setdefault(r["doc_id"], []).append(r["copy_index"])
+        assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
+
+    def test_deterministic_across_runs(self, spark):
+        from stream_loader_spark.operators.sampling import oversample_domains
+
+        rows = [(i, "a") for i in range(100)] + [(200 + i, "b") for i in range(33)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        r1 = sorted(map(tuple, oversample_domains(df).collect()))
+        r2 = sorted(map(tuple, oversample_domains(df).collect()))
+        assert r1 == r2
