@@ -66,6 +66,14 @@ ANNOTATED = {
         "batch-only banding probes the stored index; corpus text is "
         "shingled only after the candidate-id join restricts it"
     ),
+    "q17_small_quantity_revenue": (
+        "correlated per-part average as a window AFTER the broadcast "
+        "part semi-join — one lineitem scan, no de-correlated self-join"
+    ),
+    "domain_oversample": (
+        "counts broadcast back; replication is a narrow explode — "
+        "no corpus-sized shuffle in either mixing direction"
+    ),
 }
 
 
