@@ -1,0 +1,89 @@
+"""Streaming corpus ingest: per-micro-batch dedup against history.
+
+Composes the incremental training-corpus operators with Structured
+Streaming: each micro-batch of documents is exact-deduped within
+itself and against the persisted content-hash history, survivors land
+in the corpus directory, and exactly their hashes are appended to the
+history — so the history table stays the authoritative 32-bytes-per-
+document dedup state across restarts.
+
+Exactly-once shape (same discipline as sinks/manifest.py): both the
+corpus rows and the history append for batch ``n`` write to
+deterministic ``batch=n`` subdirectories in overwrite mode, so a
+replayed batch overwrites its own output instead of duplicating it —
+and because the batch's own hashes live in ``batch=n`` of the history,
+a replay reads a history WITHOUT that batch's hashes (its own partial
+write is overwritten, not double-counted).
+
+Scale: the per-batch work is the batch's hash aggregate plus an
+anti-join against the history table; with both sides bucketed on
+content_hash (operators/bucketing.py) the anti-join co-locates. The
+history grows 32 bytes per unique document — at 10B documents that is
+~320 GB, a normal Spark table, never driver-resident.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_loader_spark.operators.dedup import incremental_exact_dedup
+
+
+class DedupIngestSink:
+    """``foreachBatch`` callable: dedup each batch against history and
+    append survivors.
+
+    Layout under ``out_dir``::
+
+        corpus/batch=<n>/   surviving document rows (+ content_hash)
+        hashes/batch=<n>/   exactly the hashes this batch added
+    """
+
+    def __init__(self, out_dir: str, text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.out_dir = out_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        os.makedirs(self._hashes_dir, exist_ok=True)
+
+    @property
+    def _corpus_dir(self) -> str:
+        return os.path.join(self.out_dir, "corpus")
+
+    @property
+    def _hashes_dir(self) -> str:
+        return os.path.join(self.out_dir, "hashes")
+
+    def _history(self, spark: SparkSession, exclude_batch: int) -> DataFrame:
+        """All committed hashes EXCEPT the given batch's own (a replay
+        must not see its previous partial write as 'history')."""
+        try:
+            hist = spark.read.option("basePath", self._hashes_dir).parquet(
+                self._hashes_dir
+            )
+        except Exception:  # noqa: BLE001 — no batches yet
+            return spark.createDataFrame([], "content_hash string")
+        if "batch" in hist.columns:
+            hist = hist.where(F.col("batch") != exclude_batch)
+        return hist.select("content_hash")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        seen = self._history(spark, exclude_batch=batch_id)
+        survivors = incremental_exact_dedup(
+            batch_df, seen, text_col=self.text_col, id_col=self.id_col
+        )
+        # deterministic dirs + overwrite = replay-safe (see module doc)
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(self._corpus_dir, f"batch={batch_id}")
+        )
+        survivors.select("content_hash").write.mode("overwrite").parquet(
+            os.path.join(self._hashes_dir, f"batch={batch_id}")
+        )
+
+    def committed_corpus(self, spark: SparkSession) -> DataFrame:
+        return spark.read.option("basePath", self._corpus_dir).parquet(
+            self._corpus_dir
+        )

@@ -1,0 +1,81 @@
+"""Streaming corpus ingest: cross-batch dedup state (streaming/ingest.py)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from stream_loader_spark.streaming.ingest import DedupIngestSink
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _write_batch(spark, src, rows):
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+
+def _run_stream(spark, src, sink, cp):
+    (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+class TestDedupIngest:
+    def test_cross_batch_dedup(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        cp = str(tmp_path / "cp")
+        sink = DedupIngestSink(str(tmp_path / "out"))
+
+        # batch 1: two unique + one in-batch dup
+        _write_batch(spark, src, [(1, "alpha"), (2, "beta"), (3, "alpha")])
+        # batch 2: one repeat of batch 1, one novel
+        _write_batch(spark, src, [(4, "beta"), (5, "gamma")])
+        _run_stream(spark, src, sink, cp)
+
+        corpus = sink.committed_corpus(spark)
+        kept = sorted(r["doc_id"] for r in corpus.collect())
+        assert kept == [1, 2, 5]  # 3 = in-batch dup, 4 = historical dup
+
+    def test_restart_continues_history(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        cp = str(tmp_path / "cp")
+        sink = DedupIngestSink(str(tmp_path / "out"))
+
+        _write_batch(spark, src, [(1, "alpha")])
+        _run_stream(spark, src, sink, cp)
+        # second run, same checkpoint: new file with one dup + one novel
+        _write_batch(spark, src, [(2, "alpha"), (3, "delta")])
+        _run_stream(spark, src, sink, cp)
+
+        kept = sorted(r["doc_id"] for r in sink.committed_corpus(spark).collect())
+        assert kept == [1, 3]
+
+    def test_batch_replay_does_not_double_count(self, spark, tmp_path):
+        """Replaying a batch (same batch id) must treat its own previous
+        write as uncommitted: same survivors, no self-dedup."""
+        sink = DedupIngestSink(str(tmp_path / "out"))
+        b = spark.createDataFrame([(1, "alpha"), (2, "beta")], DOC_SCHEMA)
+        sink(b, 7)
+        sink(b, 7)  # replay
+        kept = sorted(r["doc_id"] for r in sink.committed_corpus(spark).collect())
+        assert kept == [1, 2]
+        # exactly one hash dir, containing both hashes once
+        hashes = spark.read.parquet(
+            os.path.join(str(tmp_path / "out"), "hashes", "batch=7")
+        )
+        assert hashes.count() == 2
+
+    def test_history_excludes_only_own_batch(self, spark, tmp_path):
+        sink = DedupIngestSink(str(tmp_path / "out"))
+        sink(spark.createDataFrame([(1, "alpha")], DOC_SCHEMA), 0)
+        sink(spark.createDataFrame([(2, "alpha"), (3, "eps")], DOC_SCHEMA), 1)
+        # replay batch 1: batch 0's alpha still blocks doc 2
+        sink(spark.createDataFrame([(2, "alpha"), (3, "eps")], DOC_SCHEMA), 1)
+        kept = sorted(r["doc_id"] for r in sink.committed_corpus(spark).collect())
+        assert kept == [1, 3]
