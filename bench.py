@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "domain_oversample",
     "epoch_shuffle_order",
     "pack_sequences_spans",
+    "training_mix_order",
     "doc_length_quantiles",
     "near_dup_dedup_end_to_end",
     "near_dup_keep_best",

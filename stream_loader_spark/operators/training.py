@@ -244,3 +244,30 @@ def pack_sequences(
             / context_len
         ).alias("last_seq"),
     )
+
+
+def build_training_order(
+    documents: DataFrame,
+    seed: str,
+    context_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """The composed epoch-build pipeline: domain-mix rebalance →
+    seeded epoch shuffle → sequence packing, in one declarative plan.
+
+    Stage order is the cost order: the rebalance filter drops rows
+    INSIDE the scan before any tokenization, the kept rows are
+    tokenized once, and the packing cumsum runs per shard. Total
+    shuffles: the tiny per-domain count aggregate (broadcast back) and
+    one exchange on shard — nothing else, at any corpus size.
+    """
+    from stream_loader_spark.operators.sampling import rebalance_domains
+
+    kept = rebalance_domains(
+        documents.select(id_col, domain_col, text_col), id_col=id_col, domain_col=domain_col
+    )
+    return pack_sequences(
+        kept.select(id_col, text_col), seed, context_len, text_col, id_col
+    )

@@ -771,6 +771,45 @@ def pack_sequences_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "training_mix_order",
+    f"""WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1),
+    m AS (SELECT MIN(cnt) AS min_cnt FROM c),
+    t AS (SELECT source,
+                 CAST(GREATEST(1, FLOOR(256.0 * min_cnt / cnt)) AS INT) AS keep_thr
+          FROM c CROSS JOIN m),
+    kept AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN t USING (source)
+      WHERE {_MD5_BUCKET_SQL.format(e="CAST(d.doc_id AS VARCHAR)")} < t.keep_thr),
+    tok AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             md5('mix1' || CAST(doc_id AS VARCHAR)) AS k,
+             {_MD5_BUCKET_SQL.format(e="'mix1' || CAST(doc_id AS VARCHAR)")} AS shard
+      FROM kept),
+    s AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM tok)
+    SELECT doc_id, shard, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(FLOOR(start_tok / 512.0) AS BIGINT) AS first_seq,
+           CAST(FLOOR(GREATEST(start_tok, start_tok + n_tokens - 1) / 512.0) AS BIGINT)
+             AS last_seq
+    FROM s""",
+)
+def training_mix_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship epoch build: rebalance the domain mix, shuffle with a
+    seed, pack into context-512 sequences — one declarative plan whose
+    only corpus-sized exchange is the shard cumsum. The oracle composes
+    the same three stages in SQL."""
+    from stream_loader_spark.operators.training import build_training_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_training_order(docs, seed="mix1", context_len=512)
+
+
+@query(
     "unigram_logprob",
     """WITH tok AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
