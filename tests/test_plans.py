@@ -179,3 +179,38 @@ class TestRegistryInvariants:
         assert not set(bench.BENCH_QUERIES) - set(QUERIES)
         # ratio-skip entries must still be real queries
         assert bench.RATIO_SKIP <= set(QUERIES)
+
+
+class TestRound4PlanPins:
+    def test_q17_scans_lineitem_once(self, spark, sf_small):
+        """Round-4 rewrite: the correlated per-part average is a window
+        after the broadcast part semi-join — exactly one lineitem scan
+        (the de-correlated form Catalyst produces from the SQL text
+        scans it twice)."""
+        plan = plan_of(spark, "q17_small_quantity_revenue", sf_small)
+        scans = [
+            l
+            for l in plan.splitlines()
+            if "FileScan parquet" in l and "lineitem" in l
+        ]
+        assert len(scans) == 1, plan
+
+    def test_epoch_shuffle_exchanges_on_shard(self, spark, sf_small):
+        """The epoch order must never funnel through a single-partition
+        global sort: the window exchange hashes on shard."""
+        plan = plan_of(spark, "epoch_shuffle_order", sf_small)
+        assert "Exchange hashpartitioning(shard" in plan
+        assert "Exchange SinglePartition" not in plan
+
+    def test_training_mix_single_corpus_exchange(self, spark, sf_small):
+        """The composed epoch build's only corpus-sized exchange is the
+        shard cumsum; the rebalance side exchanges only per-domain
+        counts (tiny) and broadcasts back."""
+        plan = plan_of(spark, "training_mix_order", sf_small)
+        assert "Exchange hashpartitioning(shard" in plan
+        assert "Exchange SinglePartition" not in plan or "count" in plan
+
+    def test_approx_distinct_has_no_expand_or_join(self, spark, sf_small):
+        plan = plan_of(spark, "approx_distinct_users", sf_small)
+        assert "Expand" not in plan
+        assert "Join" not in plan
