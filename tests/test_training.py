@@ -387,3 +387,55 @@ class TestOversampleDomains:
         r1 = sorted(map(tuple, oversample_domains(df).collect()))
         r2 = sorted(map(tuple, oversample_domains(df).collect()))
         assert r1 == r2
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+class TestPackSequencesProperties:
+    @settings(max_examples=5, deadline=None)
+    @given(
+        lens=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=60),
+        seed=st.sampled_from(["pa", "pb", "pc"]),
+    )
+    def test_spans_partition_the_stream(self, spark, lens, seed):
+        """For ANY corpus (empty docs included): per shard, spans are
+        contiguous, start at 0, and sum to the shard's token total."""
+        from stream_loader_spark.operators.training import pack_sequences
+
+        rows = [(i, "t " * n) for i, n in enumerate(lens)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pack_sequences(docs, seed, context_len=7).collect()
+        assert len(out) == len(lens)
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for rows_ in by_shard.values():
+            rows_.sort(key=lambda r: (r["start_tok"], r["doc_id"]))
+            expect = 0
+            for r in rows_:
+                assert r["start_tok"] == expect
+                expect += r["n_tokens"]
+
+
+class TestOversampleProperties:
+    @settings(max_examples=5, deadline=None)
+    @given(
+        counts=st.lists(st.integers(min_value=1, max_value=50), min_size=2, max_size=5)
+    )
+    def test_every_row_replicated_at_least_base(self, spark, counts):
+        from stream_loader_spark.operators.sampling import oversample_domains
+
+        rows = []
+        nid = 0
+        for s_i, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((nid, f"s{s_i}"))
+                nid += 1
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = oversample_domains(df).groupBy("source", "doc_id").count().collect()
+        mx = max(counts)
+        by_src_count = {f"s{i}": c for i, c in enumerate(counts)}
+        for r in out:
+            base = mx // by_src_count[r["source"]]
+            assert r["count"] in (base, base + 1)
