@@ -33,7 +33,8 @@ from __future__ import annotations
 import json
 import os
 import tempfile
-from dataclasses import dataclass
+import time
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -41,6 +42,28 @@ from stream_loader_spark.model.position import StreamPosition
 from stream_loader_spark.model.range import StreamRange
 from stream_loader_spark.model.idempotence import dedup_token
 from stream_loader_spark.operators.recovery import stream_ranges
+
+
+@dataclass
+class CommitMetrics:
+    """The reference's sinker metrics (RecordBatchingSinker.scala:175-208)
+    without Micrometer: commit-duration timer + per-(topic, partition)
+    records-written counters, derived from the batch's already-computed
+    stream ranges — no extra Spark job."""
+
+    commits: int = 0
+    last_commit_ms: int = 0
+    total_commit_ms: int = 0
+    records_written: dict = field(default_factory=dict)  # "topic/partition" -> n
+
+    def observe(self, duration_ms: int, ranges: list) -> None:
+        self.commits += 1
+        self.last_commit_ms = duration_ms
+        self.total_commit_ms += duration_ms
+        for r in ranges:
+            key = f"{r.topic}/{r.partition}"
+            n = r.end.offset - r.start.offset + 1
+            self.records_written[key] = self.records_written.get(key, 0) + n
 
 
 @dataclass(frozen=True)
@@ -72,6 +95,7 @@ class ManifestFileSink:
         self.partition_by = partition_by
         self.meta_cols = meta_cols
         self.writer_options = writer_options or {}
+        self.commit_metrics = CommitMetrics()
         os.makedirs(self._manifest_dir, exist_ok=True)
 
     # -- paths ----------------------------------------------------------
@@ -140,6 +164,7 @@ class ManifestFileSink:
         if self.is_batch_committed(batch_id):
             # replayed micro-batch after restart: commit already atomic+durable
             return
+        commit_started = time.monotonic()
         ranges: list[StreamRange] = []
         persisted = self.meta_cols is not None
         if persisted:
@@ -170,6 +195,9 @@ class ManifestFileSink:
             if persisted:
                 batch_df.unpersist()
         self._commit_manifest(batch_id, ranges)
+        self.commit_metrics.observe(
+            int((time.monotonic() - commit_started) * 1000), ranges
+        )
 
     def _commit_manifest(self, batch_id: int, ranges: list[StreamRange]) -> None:
         record = {

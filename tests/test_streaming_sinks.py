@@ -960,3 +960,29 @@ class TestClickHouseStreamingEndToEnd:
             assert len(inserts) == n_first  # no new inserts
         finally:
             srv.shutdown()
+
+
+class TestCommitMetrics:
+    def test_commit_timer_and_partition_counters(self, spark, tmp_path):
+        """A7-adjacent sinker metrics (RecordBatchingSinker.scala:175-208):
+        per-(topic, partition) records written and commit durations,
+        derived from the committed ranges — replays must not double-count."""
+        from datetime import datetime, timezone
+
+        from stream_loader_spark.sinks.manifest import ManifestFileSink
+
+        sink = ManifestFileSink(str(tmp_path / "out"))
+        ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        rows = [("t", 0, o, ts) for o in range(5)] + [("t", 1, o, ts) for o in range(3)]
+        df = spark.createDataFrame(
+            rows, "topic string, partition int, offset bigint, ts timestamp"
+        )
+        sink(df, 0)
+        m = sink.commit_metrics
+        assert m.commits == 1
+        assert m.records_written == {"t/0": 5, "t/1": 3}
+        assert m.last_commit_ms >= 0 and m.total_commit_ms >= m.last_commit_ms
+
+        sink(df, 0)  # replay: committed batch is a no-op, metrics unchanged
+        assert sink.commit_metrics.commits == 1
+        assert sink.commit_metrics.records_written == {"t/0": 5, "t/1": 3}
