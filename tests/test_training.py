@@ -407,11 +407,18 @@ class TestPackSequencesProperties:
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         out = pack_sequences(docs, seed, context_len=7).collect()
         assert len(out) == len(lens)
+        import hashlib
+
+        def shuffle_key(doc_id):
+            return hashlib.md5(f"{seed}{doc_id}".encode()).hexdigest()
+
         by_shard = {}
         for r in out:
             by_shard.setdefault(r["shard"], []).append(r)
         for rows_ in by_shard.values():
-            rows_.sort(key=lambda r: (r["start_tok"], r["doc_id"]))
+            # the true epoch order is (shuffle_key, doc_id) — sorting by
+            # start_tok would mis-order zero-token docs that tie on it
+            rows_.sort(key=lambda r: (shuffle_key(r["doc_id"]), r["doc_id"]))
             expect = 0
             for r in rows_:
                 assert r["start_tok"] == expect
