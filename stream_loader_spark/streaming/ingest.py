@@ -87,3 +87,122 @@ class DedupIngestSink:
         return spark.read.option("basePath", self._corpus_dir).parquet(
             self._corpus_dir
         )
+
+
+class NearDupIngestSink:
+    """``foreachBatch`` callable: near-dup gate each batch against the
+    corpus's persisted LSH band index.
+
+    Policy per micro-batch (the practical ingest rule):
+
+    - a batch document near-dup to ANY historical document is dropped
+      (history always wins — it is already written);
+    - within the batch, near-dup clusters keep their min-id member
+      (connected components over the batch-only pairs);
+    - survivors' band rows are appended to the index under
+      ``bands/batch=<n>`` — deterministic dir + overwrite, so replays
+      are idempotent and a replay never sees its own partial append
+      as history.
+
+    Scale: the per-batch cost is the batch's own MinHash (corpus text
+    is shingled only for collision-touched ids, see
+    ``incremental_near_dup_pairs``); the index grows NUM_BANDS rows
+    (~a few hundred bytes) per kept document.
+    """
+
+    def __init__(self, out_dir: str, text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.out_dir = out_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        os.makedirs(self._bands_dir, exist_ok=True)
+
+    @property
+    def _corpus_dir(self) -> str:
+        return os.path.join(self.out_dir, "corpus")
+
+    @property
+    def _bands_dir(self) -> str:
+        return os.path.join(self.out_dir, "bands")
+
+    @property
+    def _docs_dir(self) -> str:
+        return os.path.join(self.out_dir, "docs")
+
+    def _index(self, spark: SparkSession, exclude_batch: int):
+        empty_bands = spark.createDataFrame(
+            [], f"{self.id_col} long, band int, band_hash bigint"
+        )
+        empty_docs = spark.createDataFrame(
+            [], f"{self.id_col} long, {self.text_col} string"
+        )
+        try:
+            bands = spark.read.option("basePath", self._bands_dir).parquet(
+                self._bands_dir
+            )
+            docs = spark.read.option("basePath", self._docs_dir).parquet(
+                self._docs_dir
+            )
+        except Exception:  # noqa: BLE001 — no batches yet
+            return empty_bands, empty_docs
+        if "batch" in bands.columns:
+            bands = bands.where(F.col("batch") != exclude_batch)
+            docs = docs.where(F.col("batch") != exclude_batch)
+        return (
+            bands.select(self.id_col, "band", "band_hash"),
+            docs.select(self.id_col, self.text_col),
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from stream_loader_spark.operators.dedup import (
+            band_index,
+            dedup_components,
+            incremental_near_dup_pairs,
+        )
+
+        spark = batch_df.sparkSession
+        hist_bands, hist_docs = self._index(spark, exclude_batch=batch_id)
+        batch_df = batch_df.persist()
+        pairs = incremental_near_dup_pairs(
+            batch_df, hist_docs, hist_bands, self.text_col, self.id_col
+        ).persist()
+
+        hist_hit = (
+            pairs.join(hist_docs.select(self.id_col).withColumnRenamed(self.id_col, "doc_a"), "doc_a")
+            .select(F.col("doc_b").alias(self.id_col))
+            .union(
+                pairs.join(
+                    hist_docs.select(self.id_col).withColumnRenamed(self.id_col, "doc_b"),
+                    "doc_b",
+                ).select(F.col("doc_a").alias(self.id_col))
+            )
+            .distinct()
+        )
+        remaining = batch_df.join(hist_hit, self.id_col, "left_anti")
+        # batch-only pairs among still-standing docs -> min-id per cluster
+        rem_ids = remaining.select(self.id_col)
+        batch_pairs = (
+            pairs.join(rem_ids.withColumnRenamed(self.id_col, "doc_a"), "doc_a")
+            .join(rem_ids.withColumnRenamed(self.id_col, "doc_b"), "doc_b")
+            .select("doc_a", "doc_b")
+        )
+        comps = dedup_components(remaining, batch_pairs, self.id_col)
+        losers = comps.where(F.col(self.id_col) != F.col("cluster_id")).select(self.id_col)
+        survivors = remaining.join(losers, self.id_col, "left_anti").persist()
+
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(self._corpus_dir, f"batch={batch_id}")
+        )
+        survivors.select(self.id_col, self.text_col).write.mode("overwrite").parquet(
+            os.path.join(self._docs_dir, f"batch={batch_id}")
+        )
+        band_index(survivors, self.text_col, self.id_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self._bands_dir, f"batch={batch_id}"))
+        pairs.unpersist()
+        batch_df.unpersist()
+        survivors.unpersist()
+
+    def committed_corpus(self, spark: SparkSession) -> DataFrame:
+        return spark.read.option("basePath", self._corpus_dir).parquet(
+            self._corpus_dir
+        )

@@ -79,3 +79,53 @@ class TestDedupIngest:
         sink(spark.createDataFrame([(2, "alpha"), (3, "eps")], DOC_SCHEMA), 1)
         kept = sorted(r["doc_id"] for r in sink.committed_corpus(spark).collect())
         assert kept == [1, 3]
+
+
+NEAR_A = "w1 w2 w3 w4 w5 w6 w7 w8"
+NEAR_A2 = "w1 w2 w3 w4 w5 w6 w7 zz"  # 3-gram jaccard ~0.71 with NEAR_A
+OTHER = "q1 q2 q3 q4 q5 q6 q7 q8"
+
+
+class TestNearDupIngest:
+    def test_history_wins_and_batch_clusters_keep_min_id(self, spark, tmp_path):
+        from stream_loader_spark.streaming.ingest import NearDupIngestSink
+
+        sink = NearDupIngestSink(str(tmp_path / "out"))
+        # batch 0: near-dup pair in-batch (1,2) -> keep 1; plus 5
+        b0 = spark.createDataFrame(
+            [(1, NEAR_A), (2, NEAR_A2), (5, OTHER)], DOC_SCHEMA
+        )
+        sink(b0, 0)
+        kept0 = sorted(r["doc_id"] for r in sink.committed_corpus(spark).collect())
+        assert kept0 == [1, 5]
+
+        # batch 1: 7 near-dups history's 1 -> dropped; 9 novel -> kept
+        b1 = spark.createDataFrame(
+            [(7, NEAR_A), (9, "z1 z2 z3 z4 z5 z6")], DOC_SCHEMA
+        )
+        sink(b1, 1)
+        kept = sorted(r["doc_id"] for r in sink.committed_corpus(spark).collect())
+        assert kept == [1, 5, 9]
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from stream_loader_spark.streaming.ingest import NearDupIngestSink
+
+        sink = NearDupIngestSink(str(tmp_path / "out"))
+        b0 = spark.createDataFrame([(1, NEAR_A), (5, OTHER)], DOC_SCHEMA)
+        sink(b0, 0)
+        b1 = spark.createDataFrame([(7, NEAR_A)], DOC_SCHEMA)
+        sink(b1, 1)
+        sink(b1, 1)  # replay must re-drop 7 (its own bands are not history)
+        kept = sorted(r["doc_id"] for r in sink.committed_corpus(spark).collect())
+        assert kept == [1, 5]
+
+    def test_streamed_end_to_end(self, spark, tmp_path):
+        from stream_loader_spark.streaming.ingest import NearDupIngestSink
+
+        src = str(tmp_path / "src")
+        sink = NearDupIngestSink(str(tmp_path / "out"))
+        _write_batch(spark, src, [(1, NEAR_A), (5, OTHER)])
+        _write_batch(spark, src, [(7, NEAR_A2), (9, "z1 z2 z3 z4 z5 z6")])
+        _run_stream(spark, src, sink, str(tmp_path / "cp"))
+        kept = sorted(r["doc_id"] for r in sink.committed_corpus(spark).collect())
+        assert kept == [1, 5, 9]
