@@ -74,6 +74,10 @@ ANNOTATED = {
         "counts broadcast back; replication is a narrow explode — "
         "no corpus-sized shuffle in either mixing direction"
     ),
+    "training_mix_order": (
+        "composed rebalance→shuffle→pack: the only corpus-sized "
+        "exchange is the shard cumsum"
+    ),
 }
 
 
