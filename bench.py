@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "unigram_logprob",
     "redact_pii",
+    "quality_model_scores",
     "deterministic_sample",
     "stratified_sample",
     "chunk_documents",

@@ -232,3 +232,45 @@ def with_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return documents.withColumn(
         "fingerprint", F.sha2(normalized_text(F.col(text_col)), 256)
     )
+
+
+def hashed_linear_quality(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-scored quality gate: a hashed-feature linear classifier
+    over tokens — the shape of the fasttext-style filters production
+    corpus pipelines apply after heuristic cleaning.
+
+    Every token hashes to one of 256 md5 buckets; each bucket carries a
+    deterministic integer milli-weight in [-500, 500] (a stand-in for
+    trained weights — swap in a real table via the same broadcast-map
+    shape); a document's logit is the exact integer SUM of its token
+    weights and ``keep`` is ``logit_milli > 0``. Integer arithmetic
+    end-to-end: the score is reproducible bit-for-bit on any engine and
+    any partitioning (float sums would drift with reduction order).
+
+    Scale: explode + one map-side-combinable hash aggregate — the
+    shuffle carries one (id, sum, count) row per document.
+    """
+    tok = scatter(documents).select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    h = F.md5(F.col("token"))
+    bucket = (
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint").alias("bucket")
+    )
+    weight = (F.col("bucket") * F.lit(2654435761)) % 1001 - 500
+    scored = tok.select(id_col, bucket).select(
+        id_col, weight.alias("w_milli")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("w_milli").alias("logit_milli"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "logit_milli",
+        (F.col("logit_milli") > 0).alias("keep"),
+    )

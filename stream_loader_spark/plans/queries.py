@@ -835,6 +835,31 @@ def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_model_scores",
+    """WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    b AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) AS bucket
+      FROM tok)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM((bucket * 2654435761) % 1001 - 500) AS BIGINT) AS logit_milli,
+           SUM((bucket * 2654435761) % 1001 - 500) > 0 AS keep
+    FROM b GROUP BY doc_id""",
+)
+def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier (fasttext-filter shape):
+    integer milli-weight per md5 token bucket, exact integer logit sum,
+    keep = logit > 0 — bit-reproducible on any engine or partitioning."""
+    from stream_loader_spark.operators.text import hashed_linear_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_linear_quality(docs)
+
+
+@query(
     "redact_pii",
     """SELECT doc_id,
            len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
