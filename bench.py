@@ -195,19 +195,34 @@ def main() -> None:
     ).mode("overwrite").save()
 
     # two passes per query, report the min: one-shot numbers on a busy
-    # local machine are noise-dominated; the min is the steady-state cost
+    # local machine are noise-dominated; the min is the steady-state cost.
+    # A query that raises is recorded as failed and skipped — one broken
+    # query must never zero the whole bench (round-3 lesson: a single
+    # AnalysisException crashed the run and the driver recorded rc=1).
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for _ in range(2):
         for name in BENCH_QUERIES:
+            if name in failures:
+                continue
             fn = QUERIES[name]
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — degrade, don't die
+                failures[name] = f"{type(exc).__name__}: {exc}"[:300]
+                timings.pop(name, None)
+                continue
             took = round(time.time() - t0, 3)
             if name not in timings or took < timings[name]:
                 timings[name] = took
 
     total = round(sum(timings.values()), 3)
-    duck = duckdb_timings(sf_dir, BENCH_QUERIES)
+    try:
+        duck = duckdb_timings(sf_dir, [n for n in BENCH_QUERIES if n in timings])
+    except Exception as exc:  # noqa: BLE001
+        failures["__duckdb__"] = f"{type(exc).__name__}: {exc}"[:300]
+        duck = {}
     ratios = {
         name: round(timings[name] / duck[name], 2) if duck[name] > 0 else None
         for name in duck
@@ -228,6 +243,7 @@ def main() -> None:
         "ratio_total": round(common_spark / duck_total, 2) if duck_total else None,
         "duckdb_total": duck_total,
         "ratio_skipped": sorted(RATIO_SKIP),
+        "failures": failures,
     }
     # Per-query detail goes to a file plus an early stdout line; the
     # FINAL stdout line is a compact summary that must stay well under
@@ -248,6 +264,7 @@ def main() -> None:
                 "ratio_total": detail["ratio_total"],
                 "ratio_median": detail["ratio_median"],
                 "duckdb_total": duck_total,
+                "n_failures": len(failures),
                 "detail": "BENCH_DETAIL.json",
             }
         )

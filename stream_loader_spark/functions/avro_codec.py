@@ -16,6 +16,15 @@ payload, no JVM dependency. On a cluster where the jar IS present,
 ``operators/projection.py`` keeps preferring the codegen'd `from_avro`
 path; this module is the portable fallback and the golden-test oracle.
 
+Timestamp convention: ``decode`` returns tz-AWARE UTC datetimes
+(exact integer epoch-delta arithmetic — the 9999-12-31 sentinel and
+post-2242 values decode exactly), while Spark's `from_avro` +
+``collect()`` yields tz-NAIVE session-local datetimes. When using this
+codec as the oracle against `from_avro` output, normalize first:
+``spark_dt.replace(tzinfo=timezone.utc)`` under a UTC session timezone
+(`tests/test_wire_formats.py::TestAvroLogicalTypeRoundtrip` pins both
+the arithmetic and the awareness contract).
+
 Scale note: decode cost is per-record and embarrassingly parallel —
 the stage carries no shuffle and pipelines into whatever follows.
 Arrow batches amortize the Python boundary; for a 100 TB Kafka backfill

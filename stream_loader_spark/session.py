@@ -47,6 +47,9 @@ def get_spark(
         # unix_millis/session_window/watermarks accept them; under the UTC
         # session timezone the values are identical either way
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # and the bare "timestamp" keyword must mean LTZ, so defensive
+        # cast("timestamp") calls in query code can't silently no-op
+        .config("spark.sql.timestampType", "TIMESTAMP_LTZ")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -42,8 +42,14 @@ def event_ts_col(events: DataFrame, ts_col: str = "ts") -> Column:
     truncated to microseconds here, matching DuckDB's nanos→micros read.
     The one place this conversion lives — every events consumer uses it.
     """
-    if dict(events.dtypes).get(ts_col) == "bigint":
+    dtype = dict(events.dtypes).get(ts_col)
+    if dtype == "bigint":
         return F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+    if dtype == "timestamp_ntz":
+        # Tz-less reads (Spark 4.1 NTZ inference) normalize to LTZ; the
+        # cast must name "timestamp_ltz" explicitly — plain "timestamp"
+        # re-resolves to NTZ when spark.sql.timestampType=TIMESTAMP_NTZ.
+        return F.col(ts_col).cast("timestamp_ltz")
     return F.col(ts_col)
 
 

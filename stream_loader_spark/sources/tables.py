@@ -34,11 +34,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     df = spark.read.parquet(table_path(sf_dir, name))
     # Normalize TIMESTAMP_NTZ (Spark 4.1+ inference over tz-less parquet)
-    # to TIMESTAMP: every operator and oracle compares under a UTC session
-    # timezone, where the cast is value-identical. Analysis-time only.
+    # to TIMESTAMP_LTZ: every operator and oracle compares under a UTC
+    # session timezone, where the cast is value-identical. The cast target
+    # must be spelled "timestamp_ltz" — under a session with
+    # spark.sql.timestampType=TIMESTAMP_NTZ the bare "timestamp" keyword
+    # resolves to NTZ and the cast silently no-ops, leaving unix_millis /
+    # session_window unresolvable (the round-3 driver failure mode).
     ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
     for c in ntz:
-        df = df.withColumn(c, df[c].cast("timestamp"))
+        df = df.withColumn(c, df[c].cast("timestamp_ltz"))
     return df
 
 

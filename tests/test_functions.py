@@ -239,6 +239,42 @@ class TestTimestampNtzNormalization:
             if prev is not None:
                 spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)
 
+    def test_load_table_defeats_ntz_default_timestamp_type(self, spark, sf_small):
+        """Round-3 driver failure: a caller session with
+        spark.sql.timestampType=TIMESTAMP_NTZ makes cast("timestamp")
+        resolve to NTZ (a silent no-op on an NTZ column). load_table and
+        event_ts_col must cast to the explicit "timestamp_ltz" type so
+        unix_millis/session_window resolve under ANY caller session."""
+        from stream_loader_spark.sources.kafka_view import event_ts_col
+        from stream_loader_spark.sources.tables import load_table
+
+        confs = {
+            "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+            "spark.sql.timestampType": "TIMESTAMP_NTZ",
+        }
+        prev = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            raw = spark.read.parquet(f"{sf_small}/events.parquet")
+            assert raw.schema["ts"].dataType.typeName() == "timestamp_ntz"
+            # the no-op trap the driver hit:
+            assert (
+                raw.select(F.col("ts").cast("timestamp")).schema[0].dataType.typeName()
+                == "timestamp_ntz"
+            )
+            df = load_table(spark, sf_small, "events")
+            assert df.schema["ts"].dataType.typeName() == "timestamp"
+            df.select(F.unix_millis("ts")).limit(1).collect()
+            assert (
+                raw.select(event_ts_col(raw).alias("ts")).schema[0].dataType.typeName()
+                == "timestamp"
+            )
+        finally:
+            for k, v in prev.items():
+                if v is not None:
+                    spark.conf.set(k, v)
+
     def test_ntz_cast_preserves_utc_wall_values(self, spark, sf_small):
         from stream_loader_spark.sources.tables import load_table
 
