@@ -82,9 +82,12 @@ REQUIRED_CONFS = {
     # The fixture parquet stores timestamp[us] with isAdjustedToUTC=false;
     # Spark 4.1 infers TIMESTAMP_NTZ for those, which unix_millis/
     # session_window reject. Read them as TIMESTAMP (UTC session tz makes
-    # the values identical); load_table also casts defensively in case
-    # this conf is locked by the caller.
+    # the values identical); load_table also casts defensively (to the
+    # explicit "timestamp_ltz" type) in case these confs are locked by
+    # the caller — a caller session with timestampType=TIMESTAMP_NTZ
+    # makes a bare cast("timestamp") no-op (the round-3 driver failure).
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    "spark.sql.timestampType": "TIMESTAMP_LTZ",
 }
 
 
@@ -3092,3 +3095,77 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, k=3)
+
+
+_REPEATED_SPAN_CTES = """WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents),
+    gx AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS start FROM t),
+    g AS (SELECT doc_id, CAST(start AS INT) AS start,
+                 array_to_string(toks[start:start+4], ' ') AS gram
+          FROM gx),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+    hit AS (SELECT doc_id, start, start + 4 AS fin FROM g JOIN dup USING (gram)),
+    w AS (SELECT doc_id, start, fin,
+                 MAX(fin) OVER (PARTITION BY doc_id ORDER BY start
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+          FROM hit),
+    f AS (SELECT doc_id, start, fin,
+                 CASE WHEN prev_max IS NULL OR start > prev_max + 1
+                      THEN 1 ELSE 0 END AS new_island
+          FROM w),
+    i AS (SELECT doc_id, start, fin,
+                 SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start
+                                       ROWS UNBOUNDED PRECEDING) AS island
+          FROM f),
+    spans AS (
+      SELECT doc_id, CAST(MIN(start) AS INT) AS span_start,
+             CAST(MAX(fin) AS INT) AS span_end,
+             CAST(MAX(fin) - MIN(start) + 1 AS INT) AS span_tokens
+      FROM i GROUP BY doc_id, island)"""
+
+
+@query(
+    "repeated_ngram_spans",
+    f"""{_REPEATED_SPAN_CTES}
+    SELECT doc_id, span_start, span_end, span_tokens FROM spans""",
+)
+def repeated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-style substring dedup signal: maximal token spans
+    covered by 5-grams occurring in >= 2 distinct documents. The Spark
+    side groups by md5 digest (narrow shuffle key); the oracle groups
+    by the raw gram string — identical results absent md5 collisions."""
+    from stream_loader_spark.operators.spans import repeated_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_ngram_spans(docs, n=5, min_df=2)
+
+
+@query(
+    "repeated_ngram_doc_stats",
+    f"""{_REPEATED_SPAN_CTES},
+    p AS (SELECT doc_id, CAST(SUM(span_tokens) AS INT) AS dup_tokens
+          FROM spans GROUP BY doc_id),
+    base AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT)
+               AS n_tokens
+      FROM documents)
+    SELECT b.doc_id, b.n_tokens, COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           CASE WHEN b.n_tokens > 0
+                THEN CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / b.n_tokens
+                ELSE 0.0 END AS dup_fraction
+    FROM base b LEFT JOIN p USING (doc_id)""",
+)
+def repeated_ngram_doc_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token fraction over MERGED spans (no
+    double counting from overlapping grams) — the RefinedWeb-style
+    document filter signal; every document appears, zero when clean."""
+    from stream_loader_spark.operators.spans import repeated_ngram_doc_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_ngram_doc_stats(docs, n=5, min_df=2)

@@ -499,3 +499,87 @@ class TestIvfProbePrebuilt:
         )
         probed = ivf_probe(assigned, centroids, queries, k=5).collect()
         assert sorted(map(tuple, probed)) == sorted(map(tuple, direct))
+
+
+class TestRepeatedNgramSpans:
+    """Crafted-corpus semantics for operators/spans.py (the oracle
+    verifies fixture-scale equality; these pin the span algebra)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_shared_phrase_marks_exact_span(self, spark):
+        phrase = "a b c d e"
+        docs = self._docs(
+            spark,
+            [(1, f"x1 x2 {phrase} y1 y2"), (2, f"z1 {phrase} z2 z3 z4")],
+        )
+        from stream_loader_spark.operators.spans import repeated_ngram_spans
+
+        out = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in repeated_ngram_spans(docs, n=5).collect()
+        }
+        # doc 1: phrase at tokens 3..7; doc 2: tokens 2..6
+        assert out == {(1, 3, 7, 5), (2, 2, 6, 5)}
+
+    def test_overlapping_grams_merge_into_one_island(self, spark):
+        # 6 shared tokens -> two overlapping 5-grams -> ONE merged span
+        shared = "a b c d e f"
+        docs = self._docs(spark, [(1, f"{shared} tail1"), (2, f"head2 {shared}")])
+        from stream_loader_spark.operators.spans import repeated_ngram_spans
+
+        out = {(r.doc_id, r.span_start, r.span_end) for r in
+               repeated_ngram_spans(docs, n=5).collect()}
+        assert out == {(1, 1, 6), (2, 2, 7)}
+
+    def test_disjoint_duplicates_stay_separate_spans(self, spark):
+        docs = self._docs(
+            spark,
+            [
+                (1, "a b c d e gap1 gap2 v w x y z"),
+                (2, "a b c d e other words here now too"),
+                (3, "more filler v w x y z"),
+            ],
+        )
+        from stream_loader_spark.operators.spans import repeated_ngram_spans
+
+        rows = repeated_ngram_spans(docs, n=5).collect()
+        doc1 = sorted((r.span_start, r.span_end) for r in rows if r.doc_id == 1)
+        assert doc1 == [(1, 5), (8, 12)]  # gap of 2 tokens -> two islands
+
+    def test_within_doc_repeat_alone_is_not_flagged(self, spark):
+        # the same 5-gram twice in ONE doc: distinct-doc df = 1 < min_df
+        docs = self._docs(
+            spark, [(1, "a b c d e a b c d e"), (2, "totally different text here words")]
+        )
+        from stream_loader_spark.operators.spans import repeated_ngram_spans
+
+        assert repeated_ngram_spans(docs, n=5, min_df=2).count() == 0
+
+    def test_short_and_empty_docs_are_safe(self, spark):
+        docs = self._docs(spark, [(1, "a b c"), (2, ""), (3, "   "), (4, "a b c")])
+        from stream_loader_spark.operators.spans import repeated_ngram_spans
+
+        assert repeated_ngram_spans(docs, n=5).count() == 0
+
+    def test_doc_stats_covers_every_doc_without_double_count(self, spark):
+        shared = "a b c d e f"  # overlapping grams, 6 dup tokens
+        docs = self._docs(
+            spark, [(1, f"{shared} t1 t2"), (2, f"{shared}"), (3, "clean doc text")]
+        )
+        from stream_loader_spark.operators.spans import repeated_ngram_doc_stats
+
+        rows = {r.doc_id: r for r in repeated_ngram_doc_stats(docs, n=5).collect()}
+        assert rows[1].n_tokens == 8 and rows[1].dup_tokens == 6
+        assert rows[1].dup_fraction == pytest.approx(0.75)
+        assert rows[2].dup_tokens == 6 and rows[2].dup_fraction == pytest.approx(1.0)
+        assert rows[3].dup_tokens == 0 and rows[3].dup_fraction == 0.0
+
+    def test_plan_has_semi_join_and_no_cartesian(self, spark, sf_small):
+        from stream_loader_spark.operators.spans import repeated_ngram_spans
+
+        docs = load_table(spark, sf_small, "documents")
+        plan = repeated_ngram_spans(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
+        assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
