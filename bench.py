@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "pack_sequences_spans",
     "training_mix_order",
     "doc_length_quantiles",
+    "repeated_ngram_spans",
+    "repeated_ngram_doc_stats",
+    "stats_moments_returnflag",
     "near_dup_dedup_end_to_end",
     "near_dup_keep_best",
     "incremental_near_dup",

@@ -1,0 +1,63 @@
+"""Grouped second-moment statistics (corr / covariance / stddev).
+
+Widens the §2.9 relational surface with the statistical aggregate
+family. Implemented from exact sufficient statistics rather than the
+built-in ``corr``/``stddev_samp`` aggregates, for one reason:
+cross-engine determinism. Streaming one-pass variance updates
+(Welford/Chan) accumulate float error in a partition-order-dependent
+way, so Spark's and DuckDB's built-ins differ in the low bits and the
+driver's exact-repr float hashing would flap. Instead:
+
+1. ONE hash-aggregate computes n and the exact decimal sums
+   Σx, Σy, Σx², Σy², Σxy (inputs cast to DECIMAL(18,6), squares exact
+   at scale 12) — map-side combinable, the shuffle carries six numbers
+   per group regardless of group size. Same scale story as the
+   built-ins: a single pass, constant state.
+2. The moments are then derived with an IDENTICAL double-precision
+   expression tree in Spark and in the oracle SQL — IEEE 754 ops are
+   correctly rounded, so identical inputs + identical op order =
+   bit-identical output on both engines.
+
+``tests/test_operators.py::TestGroupedMoments`` separately pins this
+operator against Spark's built-in ``corr``/``covar_pop``/``stddev``
+within 1e-9, so the built-in surface is exercised too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_moment_stats(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group (n, mean, stddev_samp of x and y, covar_pop, corr).
+
+    Deterministic to the bit across engines (see module docstring);
+    stddev/corr are NULL for groups with fewer than two rows.
+    """
+    xd = F.col(x_col).cast("decimal(18,6)")
+    yd = F.col(y_col).cast("decimal(18,6)")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    dx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.select(
+        group_col,
+        "n",
+        (F.col("sx") / nd).alias("mean_x"),
+        (F.col("sy") / nd).alias("mean_y"),
+        F.when(F.col("n") > 1, F.sqrt(dx / (nd * (nd - 1)))).alias("stddev_x"),
+        F.when(F.col("n") > 1, F.sqrt(dy / (nd * (nd - 1)))).alias("stddev_y"),
+        (num / (nd * nd)).alias("covar_pop_xy"),
+        F.when(F.col("n") > 1, num / F.sqrt(dx * dy)).alias("corr_xy"),
+    )

@@ -3169,3 +3169,60 @@ def repeated_ngram_doc_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return repeated_ngram_doc_stats(docs, n=5, min_df=2)
+
+
+@query(
+    "stats_moments_returnflag",
+    """WITH a AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                      * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                      * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                      * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CAST(CAST(sx / CAST(n AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_x,
+           CAST(CAST(sy / CAST(n AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_y,
+           CAST(CAST(CASE WHEN n > 1 THEN
+             sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) END
+             AS DECIMAL(18,6)) AS DOUBLE) AS stddev_x,
+           CAST(CAST(CASE WHEN n > 1 THEN
+             sqrt((CAST(n AS DOUBLE) * syy - sy * sy)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) END
+             AS DECIMAL(18,6)) AS DOUBLE) AS stddev_y,
+           CAST(CAST((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
+             AS covar_pop_xy,
+           CAST(CAST(CASE WHEN n > 1 THEN
+             (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                      * (CAST(n AS DOUBLE) * syy - sy * sy)) END
+             AS DECIMAL(18,6)) AS DOUBLE) AS corr_xy
+    FROM a""",
+)
+def stats_moments_returnflag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (mean/stddev/covar/corr) per
+    return flag, derived from exact decimal sufficient statistics and
+    an engine-identical double expression tree (see operators/stats.py
+    for why the built-in one-pass aggregates can't be hash-compared)."""
+    from stream_loader_spark.operators.stats import grouped_moment_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = grouped_moment_stats(li, "l_returnflag", "l_quantity", "l_extendedprice")
+    # Snap every derived double to scale-6 decimal (values <= ~1e5, so
+    # the scaled integer sits far inside 2^53 where Spark's and
+    # DuckDB's decimal->double conversions agree bit-for-bit); the raw
+    # sufficient-statistic doubles differ in the last ulp because
+    # DuckDB's hugeint->double conversion double-rounds.
+    snap = ["mean_x", "mean_y", "stddev_x", "stddev_y", "covar_pop_xy", "corr_xy"]
+    return out.select(
+        "l_returnflag",
+        "n",
+        *[F.col(c).cast("decimal(18,6)").cast("double").alias(c) for c in snap],
+    )

@@ -583,3 +583,52 @@ class TestRepeatedNgramSpans:
         plan = repeated_ngram_spans(docs)._jdf.queryExecution().executedPlan().toString()
         assert "LeftSemi" in plan
         assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+class TestGroupedMoments:
+    def test_matches_builtin_stat_aggregates(self, spark, sf_small):
+        """operators/stats.py derives moments from exact sufficient
+        statistics; Spark's built-in one-pass corr/covar_pop/stddev_samp
+        must agree to float tolerance (the built-ins are not used in the
+        oracle query because their partition-order-dependent low bits
+        can't be hash-compared across engines)."""
+        from stream_loader_spark.operators.stats import grouped_moment_stats
+
+        li = load_table(spark, sf_small, "lineitem")
+        ours = {
+            r.l_returnflag: r
+            for r in grouped_moment_stats(
+                li, "l_returnflag", "l_quantity", "l_extendedprice"
+            ).collect()
+        }
+        builtin = {
+            r.l_returnflag: r
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.corr("l_quantity", "l_extendedprice").alias("corr"),
+                F.covar_pop("l_quantity", "l_extendedprice").alias("covar"),
+                F.stddev_samp("l_quantity").alias("sx"),
+                F.stddev_samp("l_extendedprice").alias("sy"),
+                F.avg("l_quantity").alias("mx"),
+            )
+            .collect()
+        }
+        assert set(ours) == set(builtin) and len(ours) >= 2
+        for flag, b in builtin.items():
+            o = ours[flag]
+            assert o.corr_xy == pytest.approx(b.corr, abs=1e-9)
+            assert o.covar_pop_xy == pytest.approx(b.covar, rel=1e-9)
+            assert o.stddev_x == pytest.approx(b.sx, rel=1e-9)
+            assert o.stddev_y == pytest.approx(b.sy, rel=1e-9)
+            assert o.mean_x == pytest.approx(b.mx, rel=1e-12)
+
+    def test_single_row_group_yields_null_stddev_and_corr(self, spark):
+        from stream_loader_spark.operators.stats import grouped_moment_stats
+
+        df = spark.createDataFrame(
+            [(1, 2.0, 3.0), (2, 1.0, 1.0), (2, 3.0, 5.0)], "g int, x double, y double"
+        )
+        rows = {r.g: r for r in grouped_moment_stats(df, "g", "x", "y").collect()}
+        assert rows[1].stddev_x is None and rows[1].corr_xy is None
+        assert rows[1].covar_pop_xy == 0.0
+        assert rows[2].corr_xy == pytest.approx(1.0)
