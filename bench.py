@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "repeated_ngram_spans",
     "repeated_ngram_doc_stats",
     "stats_moments_returnflag",
+    "corpus_diff_status",
+    "embedding_quantization",
     "near_dup_dedup_end_to_end",
     "near_dup_keep_best",
     "incremental_near_dup",

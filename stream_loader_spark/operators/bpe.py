@@ -143,3 +143,53 @@ def bpe_segment(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
                 i += 1
         syms = out
     return syms
+
+
+def bpe_encode(
+    documents: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize a corpus with a trained merge table (the inference half
+    of BPE): (id, bpe_tokens, n_bpe_tokens) per document.
+
+    Scale shape: a single Arrow-batched pandas UDF — narrow, no
+    shuffle, linear in corpus size. The merge table is vocab-scale
+    (a few MB at 32k merges) and ships once per task in the UDF
+    closure. Within each Arrow batch, words are memoized: under a
+    Zipf distribution the distinct-word count per batch is a small
+    fraction of running text, so most words hit the cache instead of
+    replaying the merge loop. Token-for-token identical to the
+    driver-side ``bpe_segment`` (the per-word cache is keyed on the
+    full word, and merges apply in training order both places).
+    """
+    pairs = [(a, b, 0) for a, b, _ in merges]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            hit = cache.get(w)
+            if hit is None:
+                hit = cache[w] = bpe_segment(w, pairs)
+            return hit
+
+        def enc(text) -> list[str]:
+            if text is None:
+                return []
+            stripped = text.strip()
+            if not stripped:
+                return []
+            out: list[str] = []
+            for w in stripped.split():
+                out.extend(enc_word(w))
+            return out
+
+        return texts.map(enc)
+
+    return scatter(documents).select(
+        F.col(id_col),
+        encode(F.col(text_col)).alias("bpe_tokens"),
+    ).withColumn("n_bpe_tokens", F.size("bpe_tokens"))

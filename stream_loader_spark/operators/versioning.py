@@ -1,0 +1,56 @@
+"""Corpus snapshot diff — dataset versioning for training pipelines.
+
+Between two releases of a corpus, a training team needs the exact
+delta: which documents appeared, which were dropped, which changed
+content. This operator compares two snapshots by content digest and
+labels every id:
+
+    added     — id only in the new snapshot
+    removed   — id only in the old snapshot
+    changed   — id in both, sha256(text) differs
+    unchanged — id in both, identical digest
+
+Scale shape: each side reduces to (id, 32-byte digest) inside the
+scan (column-pruned projection — the full text never reaches the
+join), then ONE full-outer shuffle join on the id. With both
+snapshots laid out bucketed by id (operators/bucketing.py) the join
+is exchange-free. Changed/added rows carry the new digest so the
+output can drive an incremental re-process of exactly the delta.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, status, old_digest, new_digest) for every id in either
+    snapshot; status in {added, removed, changed, unchanged}."""
+    o = old.select(
+        F.col(id_col), F.sha2(F.col(text_col).cast("binary"), 256).alias("old_digest")
+    )
+    n = new.select(
+        F.col(id_col), F.sha2(F.col(text_col).cast("binary"), 256).alias("new_digest")
+    )
+    j = o.join(n, id_col, "full_outer")
+    return j.select(
+        id_col,
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "old_digest",
+        "new_digest",
+    )
+
+
+def diff_summary(diff: DataFrame) -> DataFrame:
+    """(status, n_docs) rollup of a ``corpus_diff`` result."""
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))

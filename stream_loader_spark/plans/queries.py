@@ -3226,3 +3226,78 @@ def stats_moments_returnflag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         *[F.col(c).cast("decimal(18,6)").cast("double").alias(c) for c in snap],
     )
+
+
+@query(
+    "corpus_diff_status",
+    """WITH old AS (
+      SELECT doc_id, sha256(text) AS old_digest
+      FROM documents WHERE doc_id % 13 <> 3),
+    new AS (
+      SELECT doc_id,
+             sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)
+               AS new_digest
+      FROM documents WHERE doc_id % 13 <> 7)
+    SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old_digest IS NULL THEN 'added'
+                WHEN new_digest IS NULL THEN 'removed'
+                WHEN old_digest <> new_digest THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           old_digest, new_digest
+    FROM old FULL OUTER JOIN new USING (doc_id)""",
+)
+def corpus_diff_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff between two deterministic snapshots of
+    the documents table (dropped ids -> added/removed, ' v2'-suffixed
+    text -> changed). Digest-only projection before the single
+    full-outer join — the text never reaches the shuffle."""
+    from stream_loader_spark.operators.versioning import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 13 != 3)
+    new = docs.where(F.col("doc_id") % 13 != 7).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
+@query(
+    "embedding_quantization",
+    """SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           CAST(list_min(embedding) AS DOUBLE) AS vmin,
+           CAST(list_max(embedding) AS DOUBLE) AS vmax,
+           (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
+             / 255.0 AS scale,
+           CAST(list_aggregate(codes, 'sum') AS BIGINT) AS q_checksum,
+           CAST(CAST(CASE WHEN len(embedding) = 0 THEN 0.0 ELSE
+             list_aggregate(list_transform(range(1, len(embedding) + 1),
+               i -> abs(CAST(embedding[i] AS DOUBLE)
+                        - (CAST(list_min(embedding) AS DOUBLE) + codes[i] *
+                           ((CAST(list_max(embedding) AS DOUBLE)
+                             - CAST(list_min(embedding) AS DOUBLE)) / 255.0)))),
+               'sum') / len(embedding) END AS DECIMAL(18,6)) AS DOUBLE) AS recon_mae
+    FROM (
+      SELECT vec_id, embedding,
+             CASE WHEN list_max(embedding) = list_min(embedding)
+                  THEN list_transform(embedding, v -> 0)
+                  ELSE list_transform(embedding,
+                    v -> CAST(round((CAST(v AS DOUBLE)
+                                     - CAST(list_min(embedding) AS DOUBLE))
+                                    / ((CAST(list_max(embedding) AS DOUBLE)
+                                        - CAST(list_min(embedding) AS DOUBLE))
+                                       / 255.0)) AS INT))
+             END AS codes
+      FROM embeddings)""",
+)
+def embedding_quantization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style min-max scalar quantization stats per embedding
+    vector: exact integer code checksum + bit-stable reconstruction
+    parameters + scale-6-snapped mean reconstruction error."""
+    from stream_loader_spark.operators.quantize import quantized_embedding_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_embedding_stats(emb)

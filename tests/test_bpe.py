@@ -84,3 +84,39 @@ class TestBpeTrain:
         docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
         with pytest.raises(ValueError):
             bpe_train(docs, num_merges=0)
+
+
+class TestBpeEncode:
+    def test_encode_matches_driver_segmentation(self, spark, sf_small):
+        from stream_loader_spark.operators.bpe import bpe_train, bpe_encode, bpe_segment
+        from stream_loader_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_small, "documents").limit(40).cache()
+        merges = bpe_train(docs, num_merges=12)
+        assert merges
+        got = {r.doc_id: r.bpe_tokens for r in bpe_encode(docs, merges).collect()}
+        for row in docs.collect():
+            expect = []
+            for w in row.text.strip().split():
+                expect.extend(bpe_segment(w, merges))
+            assert got[row.doc_id] == expect, row.doc_id
+            assert len(got[row.doc_id]) == len(expect)
+
+    def test_encode_empty_and_whitespace_docs(self, spark):
+        from stream_loader_spark.operators.bpe import bpe_encode
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "ab ab")], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in bpe_encode(docs, [("a", "b", 9)]).collect()}
+        assert rows[1].bpe_tokens == [] and rows[1].n_bpe_tokens == 0
+        assert rows[2].bpe_tokens == []
+        assert rows[3].bpe_tokens == ["ab", "</w>", "ab", "</w>"]
+
+    def test_plan_is_narrow(self, spark, sf_small):
+        from stream_loader_spark.operators.bpe import bpe_encode
+        from stream_loader_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_small, "documents")
+        plan = bpe_encode(docs, [("a", "b", 2)])._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan  # scatter round-robin only

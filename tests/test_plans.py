@@ -214,3 +214,33 @@ class TestRound4PlanPins:
         plan = plan_of(spark, "approx_distinct_users", sf_small)
         assert "Expand" not in plan
         assert "Join" not in plan
+
+
+class TestRound5PlanPins:
+    def test_corpus_diff_text_never_reaches_join(self, spark, sf_small):
+        """Both snapshots reduce to (id, digest) inside the scan-side
+        projection, so the full-outer shuffle carries 40 bytes/row, not
+        document text."""
+        plan = plan_of(spark, "corpus_diff_status", sf_small)
+        assert "FullOuter" in plan
+        # the digest projection sits below the join: no exchange row
+        # should reference the raw text column
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "text" not in line, line
+
+    def test_embedding_quantization_is_narrow(self, spark, sf_small):
+        plan = plan_of(spark, "embedding_quantization", sf_small)
+        assert "Exchange hashpartitioning" not in plan
+        assert "Join" not in plan
+
+    def test_stats_moments_single_two_phase_aggregate(self, spark, sf_small):
+        plan = plan_of(spark, "stats_moments_returnflag", sf_small)
+        assert plan.count("HashAggregate") == 2  # partial + final
+        assert "Join" not in plan
+
+    def test_repeated_ngram_spans_island_window_on_doc_id(self, spark, sf_small):
+        plan = plan_of(spark, "repeated_ngram_spans", sf_small)
+        assert "LeftSemi" in plan
+        assert "windowspecdefinition(doc_id" in plan
+        assert "Cartesian" not in plan

@@ -78,6 +78,22 @@ ANNOTATED = {
         "composed rebalance→shuffle→pack: the only corpus-sized "
         "exchange is the shard cumsum"
     ),
+    "repeated_ngram_spans": (
+        "md5-gram occurrences → two-phase distinct-doc-count aggregate "
+        "→ LEFT SEMI probe → per-doc island window (partitioned on "
+        "doc_id, high cardinality) — never an all-pairs form"
+    ),
+    "stats_moments_returnflag": (
+        "one map-side-combinable hash aggregate carries six exact "
+        "decimal sums per group; moments derived post-aggregate"
+    ),
+    "corpus_diff_status": (
+        "both snapshots reduce to (id, digest) inside the scan — the "
+        "text column never reaches the full-outer shuffle join"
+    ),
+    "embedding_quantization": (
+        "narrow per-row HOF arithmetic: no exchange anywhere in the plan"
+    ),
 }
 
 
