@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "repeated_ngram_doc_stats",
     "stats_moments_returnflag",
     "corpus_diff_status",
+    "incremental_release_delta",
     "embedding_quantization",
     "near_dup_dedup_end_to_end",
     "near_dup_keep_best",

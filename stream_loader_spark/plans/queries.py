@@ -3301,3 +3301,76 @@ def embedding_quantization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantized_embedding_stats(emb)
+
+
+@query(
+    "incremental_release_delta",
+    f"""WITH old AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 3),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 13 <> 7),
+    delta AS (
+      SELECT new.doc_id, new.text,
+             CASE WHEN old.doc_id IS NULL THEN 'added' ELSE 'changed' END AS status
+      FROM new LEFT JOIN old USING (doc_id)
+      WHERE old.doc_id IS NULL OR old.text <> new.text),
+    t AS (
+      SELECT doc_id, status, text,
+             CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKENS_SQL} END AS toks
+      FROM delta),
+    h AS (
+      SELECT doc_id, status, text, toks,
+             len(list_filter(toks, x -> list_contains([{_STOP_DE}], x))) AS hits_de,
+             len(list_filter(toks, x -> list_contains([{_STOP_EN}], x))) AS hits_en,
+             len(list_filter(toks, x -> list_contains([{_STOP_ES}], x))) AS hits_es,
+             len(list_filter(toks, x -> list_contains([{_STOP_FR}], x))) AS hits_fr
+      FROM t),
+    lid AS (
+      SELECT doc_id, status, text, toks,
+             CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                  WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                  WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                  WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM h),
+    m AS (
+      SELECT doc_id, status, pred_lang,
+             len(toks) AS token_count,
+             length(text) AS char_count,
+             len(string_split_regex(text, '[.,!?;:]')) - 1 AS punct_count,
+             len(list_filter(toks, x -> list_contains([{_STOP_EN}], x))) AS stop_hits
+      FROM lid),
+    s AS (
+      SELECT doc_id, status, pred_lang, token_count,
+             CASE WHEN token_count > 0 THEN CAST(char_count - token_count + 1 AS DOUBLE) / token_count ELSE 0.0 END AS avg_token_len,
+             CASE WHEN token_count > 0 THEN CAST(stop_hits AS DOUBLE) / token_count ELSE 0.0 END AS stopword_ratio
+      FROM m),
+    q AS (
+      SELECT doc_id, status, pred_lang, token_count,
+             LEAST(token_count / 100.0, 1.0) * 0.4
+             + LEAST(stopword_ratio * 5.0, 1.0) * 0.3
+             + CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 0.3 ELSE 0.0 END
+               AS quality_score
+      FROM s)
+    SELECT doc_id, status, pred_lang, CAST(token_count AS INT) AS token_count,
+           quality_score
+    FROM q WHERE pred_lang <> 'und' AND quality_score >= 0.45""",
+)
+def incremental_release_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus release: diff the snapshots, re-run the
+    lang-id + quality gates over ONLY added/changed documents — the
+    versioned-corpus workflow that turns a full re-clean into a
+    delta-sized job."""
+    from stream_loader_spark.operators.versioning import incremental_release
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 13 != 3)
+    new = docs.where(F.col("doc_id") % 13 != 7).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return incremental_release(old, new, min_quality=0.45)

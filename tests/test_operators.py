@@ -632,3 +632,57 @@ class TestGroupedMoments:
         assert rows[1].stddev_x is None and rows[1].corr_xy is None
         assert rows[1].covar_pop_xy == 0.0
         assert rows[2].corr_xy == pytest.approx(1.0)
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+class TestRepeatedNgramSpanProperties:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        corpus=st.lists(
+            st.lists(st.sampled_from("abc"), min_size=0, max_size=12),
+            min_size=2,
+            max_size=8,
+        ),
+        n=st.sampled_from([2, 3]),
+    )
+    def test_matches_bruteforce_reference(self, spark, corpus, n):
+        """For ANY tiny-alphabet corpus: spans equal an O(docs²)
+        pure-Python reference (gram counting, coverage marking,
+        adjacency-merged islands)."""
+        from stream_loader_spark.operators.spans import repeated_ngram_spans
+
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in repeated_ngram_spans(docs, n=n, min_df=2).collect()
+        }
+
+        # brute-force reference
+        from collections import defaultdict
+
+        gram_docs = defaultdict(set)
+        for i, toks in enumerate(corpus):
+            for s in range(len(toks) - n + 1):
+                gram_docs[tuple(toks[s : s + n])].add(i)
+        expect = set()
+        for i, toks in enumerate(corpus):
+            covered = sorted(
+                s
+                for s in range(len(toks) - n + 1)
+                if len(gram_docs[tuple(toks[s : s + n])]) >= 2
+            )
+            island: list[int] | None = None
+            for s in covered:
+                start1, end1 = s + 1, s + n  # 1-based inclusive
+                if island is not None and start1 <= island[1] + 1:
+                    island[1] = max(island[1], end1)
+                else:
+                    if island is not None:
+                        expect.add((i, island[0], island[1]))
+                    island = [start1, end1]
+            if island is not None:
+                expect.add((i, island[0], island[1]))
+        assert got == expect
