@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "corpus_diff_status",
     "incremental_release_delta",
     "embedding_quantization",
+    "quantized_topk",
     "near_dup_dedup_end_to_end",
     "near_dup_keep_best",
     "incremental_near_dup",

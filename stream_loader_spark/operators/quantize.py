@@ -66,3 +66,35 @@ def quantized_embedding_stats(
         f"aggregate(zip_with({vec_col}, codes, (v, q) -> abs(CAST(v AS DOUBLE) - (vmin + q * scale))), "
         "0D, (acc, x) -> acc + x) / n_dims END AS DECIMAL(18,6)) AS DOUBLE) AS recon_mae",
     )
+
+
+def dequantized_embeddings(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 255,
+) -> DataFrame:
+    """Reconstruct vectors from their 8-bit codes: (id, vec_col as
+    array<double>) with ``v'_i = vmin + q_i * scale``.
+
+    Composes with the similarity operators to give quantized search
+    (FAISS SQ-style): rank against reconstructions instead of raw
+    floats, trading ≤ half a quantization step of per-dimension error
+    for a 4× smaller index. Narrow per-row arithmetic, no shuffle —
+    and because round/scale arithmetic is deterministic, the whole
+    quantize→reconstruct→rank pipeline stays oracle-verifiable.
+    """
+    lv = float(levels)
+    return embeddings.selectExpr(
+        id_col,
+        f"CAST(array_min({vec_col}) AS DOUBLE) AS vmin",
+        f"(CAST(array_max({vec_col}) AS DOUBLE) - CAST(array_min({vec_col}) AS DOUBLE))"
+        f" / {lv} AS scale",
+        vec_col,
+    ).selectExpr(
+        id_col,
+        f"CASE WHEN scale = 0D THEN transform({vec_col}, v -> vmin) "
+        f"ELSE transform({vec_col}, "
+        f"v -> vmin + CAST(round((CAST(v AS DOUBLE) - vmin) / scale) AS INT) * scale) "
+        f"END AS {vec_col}",
+    )

@@ -3374,3 +3374,50 @@ def incremental_release_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return incremental_release(old, new, min_quality=0.45)
+
+
+# Dequantized-reconstruction view shared by the quantized-search oracle
+# (same min-max scalar quantization as embedding_quantization).
+_DEQUANT_CTE = """dq AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0 THEN list_transform(embedding, v -> vmin)
+                  ELSE list_transform(embedding,
+                    v -> vmin + CAST(round((CAST(v AS DOUBLE) - vmin) / scale)
+                                     AS INT) * scale)
+             END AS emb
+      FROM (
+        SELECT vec_id, embedding,
+               CAST(list_min(embedding) AS DOUBLE) AS vmin,
+               (CAST(list_max(embedding) AS DOUBLE)
+                - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+        FROM embeddings))"""
+
+
+@query(
+    "quantized_topk",
+    f"""WITH {_DEQUANT_CTE},
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM dq WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS match_id,
+             {_COSINE_SQL.format(a='e.emb', b='q.qv')} AS cosine
+      FROM dq e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, match_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, match_id) AS rnk
+      FROM scored)
+    SELECT query_id, match_id, cosine, rnk FROM ranked WHERE rnk <= 5""",
+)
+def quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized similarity search (FAISS SQ-style): exact top-5 over
+    int8 reconstructions instead of raw floats — the 4×-smaller-index
+    path; recall vs the float index is pinned in
+    tests/test_operators.py::TestQuantizedSearch."""
+    from stream_loader_spark.operators.quantize import dequantized_embeddings
+    from stream_loader_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dq = dequantized_embeddings(emb)
+    return brute_force_topk(dq, query_ids=list(range(10)), k=5).withColumnRenamed(
+        "rank", "rnk"
+    )

@@ -686,3 +686,35 @@ class TestRepeatedNgramSpanProperties:
             if island is not None:
                 expect.add((i, island[0], island[1]))
         assert got == expect
+
+
+class TestQuantizedSearch:
+    def test_quantization_roundtrip_error_bounded(self, spark, sf_small):
+        """Per-dimension reconstruction error is <= half a quantization
+        step (scale/2) by construction; the stats operator's MAE must
+        respect the same bound."""
+        from stream_loader_spark.operators.quantize import quantized_embedding_stats
+
+        emb = load_table(spark, sf_small, "embeddings")
+        rows = quantized_embedding_stats(emb).collect()
+        assert rows
+        for r in rows:
+            assert r.recon_mae <= r.scale / 2 + 1e-9, r
+
+    def test_quantized_topk_recall_vs_exact(self, spark, sf_small):
+        from stream_loader_spark.operators.quantize import dequantized_embeddings
+        from stream_loader_spark.operators.similarity import brute_force_topk
+
+        emb = load_table(spark, sf_small, "embeddings").cache()
+        qids = list(range(10))
+        exact = brute_force_topk(emb, qids, k=5).collect()
+        quant = brute_force_topk(dequantized_embeddings(emb), qids, k=5).collect()
+        truth = {}
+        for r in exact:
+            truth.setdefault(r.query_id, set()).add(r.match_id)
+        got = {}
+        for r in quant:
+            got.setdefault(r.query_id, set()).add(r.match_id)
+        hits = sum(len(truth[q] & got[q]) for q in truth)
+        total = sum(len(v) for v in truth.values())
+        assert hits / total >= 0.8, f"recall@5 {hits}/{total}"
