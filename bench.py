@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "distinct_users_daily",
     "approx_distinct_users",
     "p5_constrained_encoding",
+    "p1_quarantine_routing",
     "f6_csv_lines",
     "a6_commit_stats",
     # relational

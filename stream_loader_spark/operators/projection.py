@@ -116,3 +116,45 @@ def protobuf_formatted_records(
 
     parsed = from_protobuf(F.col(value_col), message_name, descFilePath=descriptor_file)
     return records.withColumn("_parsed", parsed).select("*", "_parsed.*").drop("_parsed")
+
+
+def formatted_records_split(
+    records: DataFrame,
+    schema: str,
+    value_col: str = "props",
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """P1 with a dead-letter path: (good, quarantined) DataFrames.
+
+    ``formatted_records`` follows the reference's permissive contract
+    (unparseable payloads yield NULL fields) — but a loader feeding a
+    warehouse usually wants corrupt bytes ROUTED, not silently nulled.
+    Spark 4's permissive ``from_json`` returns a struct of null FIELDS
+    for malformed input (never a null struct), so mere null-checking
+    cannot distinguish corrupt payloads from valid JSON missing a key;
+    the detector is the engine's own ``columnNameOfCorruptRecord``
+    channel, which captures the raw text of exactly the rows Jackson
+    rejected.
+
+    ``good`` carries the parsed columns (NULL payloads parse to NULL
+    fields and stay good — absence is not corruption); ``quarantined``
+    keeps the original record shape for a replayable dead-letter sink.
+    Both sides are lazy projections of ONE parse pass: under
+    ``foreachBatch`` the two writes share the scan, and at 100 TB the
+    split adds no shuffle — it is two filters over the same stage.
+    """
+    full_schema = f"{schema}, {corrupt_col} STRING"
+    parsed = records.withColumn(
+        "_parsed",
+        F.from_json(
+            F.col(value_col), full_schema, {"columnNameOfCorruptRecord": corrupt_col}
+        ),
+    )
+    is_bad = F.col(f"_parsed.{corrupt_col}").isNotNull()
+    good = (
+        parsed.where(~is_bad | F.col(value_col).isNull())
+        .select("*", "_parsed.*")
+        .drop("_parsed", corrupt_col)
+    )
+    quarantined = parsed.where(is_bad).drop("_parsed")
+    return good, quarantined

@@ -3421,3 +3421,50 @@ def quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(dq, query_ids=list(range(10)), k=5).withColumnRenamed(
         "rank", "rnk"
     )
+
+
+@query(
+    "p1_quarantine_routing",
+    f"""{_KAFKA_CTE},
+    c AS (
+      SELECT topic,
+             CASE WHEN "offset" % 17 = 0 THEN '{{' || props ELSE props END AS p
+      FROM kafka),
+    g AS (
+      SELECT topic, COUNT(*) AS n_good,
+             CAST(SUM(CAST(json_extract(p, '$.k') AS INT)) AS BIGINT) AS k_sum
+      FROM c WHERE json_valid(p) GROUP BY topic),
+    b AS (
+      SELECT topic, COUNT(*) AS n_quarantined
+      FROM c WHERE NOT json_valid(p) GROUP BY topic)
+    SELECT topic,
+           COALESCE(n_good, 0) AS n_good,
+           COALESCE(k_sum, 0) AS k_sum,
+           COALESCE(n_quarantined, 0) AS n_quarantined
+    FROM g FULL OUTER JOIN b USING (topic)""",
+)
+def p1_quarantine_routing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 dead-letter split: corrupt payloads (every 17th offset gets a
+    '{' prepended) route to quarantine instead of becoming silent
+    all-NULL rows; good rows prove they parsed by summing the payload
+    field. One parse pass, two filtered projections."""
+    from stream_loader_spark.operators.projection import formatted_records_split
+
+    rec = _events(spark, sf_dir)
+    c = rec.withColumn(
+        "props",
+        F.when(
+            F.col("offset") % 17 == 0, F.concat(F.lit("{"), F.col("props"))
+        ).otherwise(F.col("props")),
+    )
+    good, bad = formatted_records_split(c, "k INT")
+    g = good.groupBy("topic").agg(
+        F.count(F.lit(1)).alias("n_good"), F.sum("k").alias("k_sum")
+    )
+    b = bad.groupBy("topic").agg(F.count(F.lit(1)).alias("n_quarantined"))
+    return g.join(b, "topic", "full_outer").select(
+        "topic",
+        F.coalesce("n_good", F.lit(0)).alias("n_good"),
+        F.coalesce("k_sum", F.lit(0)).alias("k_sum"),
+        F.coalesce("n_quarantined", F.lit(0)).alias("n_quarantined"),
+    )

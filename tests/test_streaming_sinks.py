@@ -986,3 +986,46 @@ class TestCommitMetrics:
         sink(df, 0)  # replay: committed batch is a no-op, metrics unchanged
         assert sink.commit_metrics.commits == 1
         assert sink.commit_metrics.records_written == {"t/0": 5, "t/1": 3}
+
+
+class TestQuarantineRouting:
+    def test_foreachbatch_routes_corrupt_payloads(self, spark, stream_env):
+        """Dead-letter pattern: one parse pass per micro-batch, good
+        rows to the typed sink, corrupt payloads (with their original
+        record shape) to the quarantine dir for replay."""
+        from stream_loader_spark.operators.projection import formatted_records_split
+
+        good_dir = stream_env["out"] + "_good"
+        bad_dir = stream_env["out"] + "_bad"
+
+        def route(batch, batch_id):
+            corrupted = batch.withColumn(
+                "props",
+                F.when(
+                    F.col("offset") % 17 == 0,
+                    F.concat(F.lit("{"), F.col("props")),
+                ).otherwise(F.col("props")),
+            )
+            good, bad = formatted_records_split(corrupted, "k INT")
+            good.write.mode("append").parquet(good_dir)
+            bad.write.mode("append").parquet(bad_dir)
+
+        (
+            StreamPipeline(spark)
+            .from_file_stream(os.path.join(stream_env["src"], "*"), STREAM_SCHEMA)
+            .sink(route, stream_env["checkpoint"])
+            .run_available()
+        )
+
+        good = spark.read.parquet(good_dir)
+        bad = spark.read.parquet(bad_dir)
+        n = stream_env["base_count"]
+        n_bad = bad.count()
+        assert good.count() + n_bad == n
+        assert n_bad > 0
+        # quarantine keeps the raw record shape for replay
+        assert set(bad.columns) == {"topic", "partition", "offset", "ts", "value", "props"}
+        assert bad.where(~(F.col("offset") % 17 == 0)).count() == 0
+        # good rows actually parsed: the payload field is typed + non-null
+        assert dict(good.dtypes)["k"] == "int"
+        assert good.where(F.col("k").isNull()).count() == 0
