@@ -69,3 +69,18 @@ def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def read_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet dataset whose schema grew over time (the loader
+    kept appending batches while upstream added payload columns —
+    reference formatters get this from Avro schema evolution; on the
+    parquet side it is footer-schema merging). ``mergeSchema`` unions
+    all file schemas; files predating a column yield NULLs for it.
+
+    Scale note: merging reads every file footer at planning time —
+    fine for a sink's batch dirs, not for millions of files; pair with
+    ``operators/layout.py::compact_small_files`` to keep file counts
+    bounded.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -80,3 +80,38 @@ class TestClusterByRange:
             cluster_by_range(events, str(tmp_path / "x"), [], 2)
         with pytest.raises(ValueError):
             cluster_by_range(events, str(tmp_path / "x"), ["user_id"], 0)
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_unions_generations(self, spark, tmp_path):
+        """A sink's output dir where later batches carry a new payload
+        column: merged read exposes the union schema, NULL-filling the
+        old generation (the parquet-side analogue of the reference's
+        Avro schema evolution)."""
+        from stream_loader_spark.sources.tables import read_evolving
+
+        dest = str(tmp_path / "data")
+        spark.createDataFrame([(1, "x")], "id long, a string").write.parquet(
+            dest + "/batch=0"
+        )
+        spark.createDataFrame(
+            [(2, "y", 7)], "id long, a string, b int"
+        ).write.parquet(dest + "/batch=1")
+
+        df = read_evolving(spark, dest)
+        assert set(df.columns) == {"id", "a", "b", "batch"}
+        rows = {r.id: r for r in df.collect()}
+        assert rows[1].b is None and rows[2].b == 7
+
+    def test_plain_read_would_hide_the_new_column(self, spark, tmp_path):
+        dest = str(tmp_path / "data")
+        spark.createDataFrame([(1, "x")], "id long, a string").write.parquet(
+            dest + "/batch=0"
+        )
+        spark.createDataFrame(
+            [(2, "y", 7)], "id long, a string, b int"
+        ).write.parquet(dest + "/batch=1")
+        # without merging, whichever footer Spark samples wins — the
+        # evolving read is the contract, this pins why it exists
+        plain = spark.read.parquet(dest)
+        assert set(plain.columns) <= {"id", "a", "b", "batch"}

@@ -718,3 +718,36 @@ class TestQuantizedSearch:
         hits = sum(len(truth[q] & got[q]) for q in truth)
         total = sum(len(v) for v in truth.values())
         assert hits / total >= 0.8, f"recall@5 {hits}/{total}"
+
+
+class TestCorpusDiff:
+    def test_all_four_statuses(self, spark):
+        from stream_loader_spark.operators.versioning import corpus_diff, diff_summary
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "C!"), (4, "d")], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in corpus_diff(old, new).collect()}
+        assert rows[1].status == "removed" and rows[1].new_digest is None
+        assert rows[2].status == "unchanged"
+        assert rows[3].status == "changed"
+        assert rows[3].old_digest != rows[3].new_digest
+        assert rows[4].status == "added" and rows[4].old_digest is None
+        summary = {r.status: r.n_docs for r in diff_summary(corpus_diff(old, new)).collect()}
+        assert summary == {"removed": 1, "unchanged": 1, "changed": 1, "added": 1}
+
+    def test_incremental_release_processes_only_delta(self, spark):
+        from stream_loader_spark.operators.versioning import incremental_release
+
+        text = "the quick brown fox is in the garden and it is very quiet today"
+        old = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(1, text), (2, text + " extra"), (3, text)], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in incremental_release(old, new, min_quality=0.0).collect()}
+        assert set(rows) == {2, 3}  # unchanged doc 1 is never re-processed
+        assert rows[2].status == "changed" and rows[3].status == "added"
+        assert rows[3].pred_lang == "en"
