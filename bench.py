@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "incremental_release_delta",
     "embedding_quantization",
     "quantized_topk",
+    "cluster_label_purity",
     "near_dup_dedup_end_to_end",
     "near_dup_keep_best",
     "incremental_near_dup",

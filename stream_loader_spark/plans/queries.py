@@ -3468,3 +3468,55 @@ def p1_quarantine_routing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("k_sum", F.lit(0)).alias("k_sum"),
         F.coalesce("n_quarantined", F.lit(0)).alias("n_quarantined"),
     )
+
+
+@query(
+    "cluster_label_purity",
+    f"""WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id, label, centroid_id AS cluster_id FROM (
+        SELECT e.vec_id, e.label, ct.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COSINE_SQL.format(a='e.embedding', b='ct.cv')} DESC,
+                          ct.centroid_id) AS arnk
+        FROM embeddings e CROSS JOIN cent ct) WHERE arnk = 1),
+    lab AS (
+      SELECT cluster_id, label, COUNT(*) AS n_label
+      FROM assigned GROUP BY cluster_id, label),
+    best AS (
+      SELECT cluster_id, label AS majority_label, n_label FROM (
+        SELECT cluster_id, label, n_label,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                 ORDER BY n_label DESC, label) AS lrnk
+        FROM lab) WHERE lrnk = 1),
+    tot AS (
+      SELECT cluster_id, COUNT(*) AS n_vectors FROM assigned GROUP BY cluster_id)
+    SELECT t.cluster_id, t.n_vectors, b.majority_label,
+           CAST(b.n_label AS DOUBLE) / t.n_vectors AS purity
+    FROM tot t JOIN best b USING (cluster_id)""",
+)
+def cluster_label_purity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster composition audit (the curation view behind
+    cluster-balanced data mixing): assign every vector to its nearest
+    seed centroid, then per cluster report size, majority label, and
+    purity. Assignment is a broadcast argmax — one corpus pass."""
+    from stream_loader_spark.operators.similarity import assign_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = assign_clusters(emb, num_centroids=16).select("vec_id", "cluster_id")
+    withlab = assigned.join(emb.select("vec_id", "label"), "vec_id")
+    lab = withlab.groupBy("cluster_id", "label").agg(F.count(F.lit(1)).alias("n_label"))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_label"), F.asc("label"))
+    best = (
+        lab.withColumn("lrnk", F.row_number().over(w))
+        .where(F.col("lrnk") == 1)
+        .select("cluster_id", F.col("label").alias("majority_label"), "n_label")
+    )
+    tot = withlab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return tot.join(best, "cluster_id").select(
+        "cluster_id",
+        "n_vectors",
+        "majority_label",
+        (F.col("n_label").cast("double") / F.col("n_vectors")).alias("purity"),
+    )
