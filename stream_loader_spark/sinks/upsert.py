@@ -1,0 +1,157 @@
+"""Exactly-once key-value upsert sink (CDC / SCD-type-1 merge).
+
+The reference's storages append batches; warehouse loaders frequently
+need the MERGE form instead — each record carries a key and the sink
+keeps only the latest row per key. This sink provides that on plain
+parquet with the repo's manifest discipline (sinks/manifest.py crash
+matrix), structured so a batch rewrites only the state it touches:
+
+- State is hash-bucketed by key. A batch reduces to its latest-per-key
+  rows, finds the (few) buckets those keys hash into, merges ONLY
+  those buckets, and writes them in ONE job to
+  ``versions/v=<batch_id>/_bucket=<b>/``. Untouched buckets keep their
+  old version — at 100 TB a batch touching 1% of the key space
+  rewrites 1% of the snapshot, not all of it (the pruning Delta/Hudi
+  get from file stats; here it is deterministic by layout).
+- One atomic manifest (temp + rename, driver-side) maps bucket → the
+  version directory holding its current rows and records committed
+  batch ids. Readers union exactly the manifest-named directories; a
+  crash between data and manifest leaves invisible files that the
+  deterministic replay overwrites. Data files are NEVER renamed —
+  object-store safe, same as the manifest file sink.
+- Replays are no-ops: the batch id is already in the manifest.
+
+Within-batch ties (same key twice in one batch) resolve by the caller-
+supplied ``order_col`` via ``max_by`` over a struct — one map-side-
+combinable aggregate, no window. ``order_col`` must not be a key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class UpsertSink:
+    def __init__(
+        self,
+        path: str,
+        key_cols: list[str],
+        order_col: str,
+        num_buckets: int = 16,
+    ) -> None:
+        if not key_cols:
+            raise ValueError("key_cols must be non-empty")
+        self.path = path
+        self.key_cols = list(key_cols)
+        if order_col in self.key_cols:
+            raise ValueError("order_col must not be a key column")
+        self.order_col = order_col
+        self.num_buckets = num_buckets
+
+    # -- manifest -------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def _read_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {"versions": {}, "batches": []}
+
+    def _write_manifest(self, manifest: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic on POSIX
+
+    def _bucket_dir(self, bucket: int, version: int) -> str:
+        return os.path.join(
+            self.path, "versions", f"v={version}", f"_bucket={bucket}"
+        )
+
+    def _bucket_col(self) -> F.Column:
+        return F.pmod(F.hash(*self.key_cols), F.lit(self.num_buckets))
+
+    def is_batch_committed(self, batch_id: int) -> bool:
+        return batch_id in self._read_manifest()["batches"]
+
+    def bucket_versions(self) -> dict[int, int]:
+        """bucket → committed version (test/inspection surface)."""
+        return {int(b): v for b, v in self._read_manifest()["versions"].items()}
+
+    # -- write path -----------------------------------------------------
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.write_batch(batch_df, batch_id)
+
+    def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        manifest = self._read_manifest()
+        if batch_id in manifest["batches"]:
+            return  # replay of a committed batch: no-op
+        spark = batch_df.sparkSession
+        data_cols = batch_df.columns
+
+        # latest row per key WITHIN the batch: one hash aggregate
+        others = [c for c in data_cols if c not in self.key_cols]
+        latest = (
+            batch_df.groupBy(*self.key_cols)
+            .agg(F.max_by(F.struct(*others), F.col(self.order_col)).alias("_row"))
+            .select(*self.key_cols, "_row.*")
+            .withColumn("_bucket", self._bucket_col())
+            .persist()
+        )
+        try:
+            touched = sorted(
+                r["_bucket"] for r in latest.select("_bucket").distinct().collect()
+            )
+            if not touched:
+                manifest["batches"].append(batch_id)
+                self._write_manifest(manifest)
+                return
+
+            old_dirs = [
+                self._bucket_dir(b, manifest["versions"][str(b)])
+                for b in touched
+                if str(b) in manifest["versions"]
+            ]
+            merged = latest
+            if old_dirs:
+                old = spark.read.parquet(*old_dirs)
+                keep = old.join(
+                    latest.select(*self.key_cols), self.key_cols, "left_anti"
+                ).withColumn("_bucket", self._bucket_col())
+                merged = keep.select(*data_cols, "_bucket").unionByName(
+                    latest.select(*data_cols, "_bucket")
+                )
+            # ONE job writes every touched bucket under the new version;
+            # the deterministic path makes a crashed replay overwrite it
+            (
+                merged.write.partitionBy("_bucket")
+                .mode("overwrite")
+                .parquet(os.path.join(self.path, "versions", f"v={batch_id}"))
+            )
+        finally:
+            latest.unpersist()
+
+        for bucket in touched:
+            manifest["versions"][str(bucket)] = batch_id
+        manifest["batches"].append(batch_id)
+        self._write_manifest(manifest)
+
+    # -- read path ------------------------------------------------------
+    def current_state(self, spark: SparkSession) -> DataFrame:
+        """The committed key-value snapshot (manifest versions only)."""
+        manifest = self._read_manifest()
+        dirs = [
+            self._bucket_dir(int(b), v) for b, v in manifest["versions"].items()
+        ]
+        if not dirs:
+            raise ValueError(f"no committed state under {self.path}")
+        return spark.read.parquet(*dirs)
