@@ -61,9 +61,11 @@ class UpsertSink:
     def _read_manifest(self) -> dict:
         try:
             with open(self._manifest_path) as fh:
-                return json.load(fh)
+                m = json.load(fh)
+                m.setdefault("history", {})
+                return m
         except FileNotFoundError:
-            return {"versions": {}, "batches": []}
+            return {"versions": {}, "batches": [], "history": {}}
 
     def _write_manifest(self, manifest: dict) -> None:
         os.makedirs(self.path, exist_ok=True)
@@ -143,15 +145,71 @@ class UpsertSink:
         for bucket in touched:
             manifest["versions"][str(bucket)] = batch_id
         manifest["batches"].append(batch_id)
+        # per-batch snapshot of the bucket→version map: time-travel reads
+        manifest["history"][str(batch_id)] = dict(manifest["versions"])
         self._write_manifest(manifest)
 
     # -- read path ------------------------------------------------------
-    def current_state(self, spark: SparkSession) -> DataFrame:
-        """The committed key-value snapshot (manifest versions only)."""
+    def current_state(
+        self, spark: SparkSession, as_of_batch: int | None = None
+    ) -> DataFrame:
+        """The committed key-value snapshot. ``as_of_batch`` reads the
+        state as of an earlier committed batch (the manifest keeps one
+        bucket→version snapshot per batch; ``vacuum`` prunes them)."""
         manifest = self._read_manifest()
-        dirs = [
-            self._bucket_dir(int(b), v) for b, v in manifest["versions"].items()
-        ]
+        if as_of_batch is None:
+            versions = manifest["versions"]
+        else:
+            versions = manifest["history"].get(str(as_of_batch))
+            if versions is None:
+                raise ValueError(
+                    f"no retained snapshot for batch {as_of_batch} "
+                    f"(committed: {sorted(int(b) for b in manifest['history'])})"
+                )
+        dirs = [self._bucket_dir(int(b), v) for b, v in versions.items()]
         if not dirs:
             raise ValueError(f"no committed state under {self.path}")
         return spark.read.parquet(*dirs)
+
+    # -- maintenance ----------------------------------------------------
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Drop version directories unreachable from the last
+        ``keep_last`` batch snapshots (and the current map), pruning
+        older history entries — the retention knob that bounds storage
+        at a multiple of live state instead of all-versions-ever.
+        Returns the removed directory paths."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        manifest = self._read_manifest()
+        kept_batches = sorted(int(b) for b in manifest["history"])[-keep_last:]
+        live: set[tuple[int, int]] = set()
+        for b in kept_batches:
+            for bucket, v in manifest["history"][str(b)].items():
+                live.add((int(bucket), v))
+        for bucket, v in manifest["versions"].items():
+            live.add((int(bucket), v))
+
+        # commit the pruned history FIRST: a crash mid-delete then
+        # leaves only orphan directories (re-collected by the next
+        # vacuum), never a retained snapshot pointing at deleted files
+        manifest["history"] = {
+            str(b): manifest["history"][str(b)] for b in kept_batches
+        }
+        self._write_manifest(manifest)
+
+        removed = []
+        root = os.path.join(self.path, "versions")
+        if os.path.isdir(root):
+            for vdir in os.listdir(root):
+                version = int(vdir.split("=", 1)[1])
+                for bdir in os.listdir(os.path.join(root, vdir)):
+                    if not bdir.startswith("_bucket="):
+                        continue
+                    bucket = int(bdir.split("=", 1)[1])
+                    if (bucket, version) not in live:
+                        target = os.path.join(root, vdir, bdir)
+                        shutil.rmtree(target)
+                        removed.append(target)
+        return removed

@@ -1135,3 +1135,49 @@ class TestUpsertSink:
         assert set(after) == set(before)
         for key, off in after.items():
             assert off == before[key] + 1_000_000  # phase-2 offsets win
+
+
+class TestUpsertTimeTravel:
+    def _sink(self, tmp_path):
+        from stream_loader_spark.sinks.upsert import UpsertSink
+
+        return UpsertSink(str(tmp_path / "state"), ["k"], "ver", num_buckets=4)
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, val string, ver long")
+
+    def test_as_of_reads_each_committed_snapshot(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        sink.write_batch(self._df(spark, [(1, "a", 1), (2, "b", 1)]), 0)
+        sink.write_batch(self._df(spark, [(2, "B", 2)]), 1)
+        sink.write_batch(self._df(spark, [(1, "A", 3), (3, "c", 3)]), 2)
+
+        def state(as_of=None):
+            return {
+                r.k: r.val for r in sink.current_state(spark, as_of_batch=as_of).collect()
+            }
+
+        assert state(0) == {1: "a", 2: "b"}
+        assert state(1) == {1: "a", 2: "B"}
+        assert state(2) == {1: "A", 2: "B", 3: "c"}
+        assert state() == state(2)
+        with pytest.raises(ValueError, match="no retained snapshot"):
+            sink.current_state(spark, as_of_batch=99)
+
+    def test_vacuum_prunes_old_versions_but_keeps_window(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        # key 1 rewritten every batch -> its bucket has 3 versions on disk
+        sink.write_batch(self._df(spark, [(1, "a", 1)]), 0)
+        sink.write_batch(self._df(spark, [(1, "b", 2)]), 1)
+        sink.write_batch(self._df(spark, [(1, "c", 3)]), 2)
+
+        removed = sink.vacuum(keep_last=2)
+        assert removed  # batch-0 version of key 1's bucket is gone
+        # retained window still time-travels
+        assert {r.val for r in sink.current_state(spark, as_of_batch=1).collect()} == {"b"}
+        assert {r.val for r in sink.current_state(spark).collect()} == {"c"}
+        # pruned snapshot is a clean error, not a missing-file crash
+        with pytest.raises(ValueError, match="no retained snapshot"):
+            sink.current_state(spark, as_of_batch=0)
+        # idempotent: nothing left to collect
+        assert sink.vacuum(keep_last=2) == []
