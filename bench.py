@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "embedding_quantization",
     "quantized_topk",
     "cluster_label_purity",
+    "semantic_dedup_keep_best",
     "near_dup_dedup_end_to_end",
     "near_dup_keep_best",
     "incremental_near_dup",

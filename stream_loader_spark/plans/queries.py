@@ -3520,3 +3520,73 @@ def cluster_label_purity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "majority_label",
         (F.col("n_label").cast("double") / F.col("n_vectors")).alias("purity"),
     )
+
+
+@query(
+    "semantic_dedup_keep_best",
+    f"""WITH RECURSIVE {_sign_lsh_ctes()},
+    good AS (
+      SELECT vec_a AS doc_a, vec_b AS doc_b FROM lcand
+      WHERE {_COSINE_SQL.format(a='ea', b='eb')} >= 0.35),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM good
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM good),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+    lbl AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+      GROUP BY d.doc_id),
+    t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKENS_SQL} END AS toks,
+             text
+      FROM documents),
+    m AS (
+      SELECT doc_id, len(toks) AS token_count, length(text) AS char_count,
+             len(string_split_regex(text, '[.,!?;:]')) - 1 AS punct_count,
+             len(list_filter(toks, x -> list_contains([{_STOP_EN}], x))) AS stop_hits
+      FROM t),
+    s AS (
+      SELECT doc_id, token_count,
+             CASE WHEN token_count > 0 THEN CAST(char_count - token_count + 1 AS DOUBLE) / token_count ELSE 0.0 END AS avg_token_len,
+             CASE WHEN token_count > 0 THEN CAST(stop_hits AS DOUBLE) / token_count ELSE 0.0 END AS stopword_ratio
+      FROM m),
+    q AS (
+      SELECT doc_id,
+             LEAST(token_count / 100.0, 1.0) * 0.4
+             + LEAST(stopword_ratio * 5.0, 1.0) * 0.3
+             + CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 0.3 ELSE 0.0 END
+               AS quality_score
+      FROM s),
+    ranked AS (
+      SELECT l.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                ORDER BY q.quality_score DESC, l.doc_id) AS rn
+      FROM lbl l JOIN q USING (doc_id))
+    SELECT d.doc_id, d.lang, q.quality_score
+    FROM documents d JOIN q USING (doc_id)
+    WHERE d.doc_id IN (SELECT doc_id FROM ranked WHERE rn = 1)""",
+)
+def semantic_dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: embedding near-dup pairs (banded
+    sign-LSH, exact cosine verify) cluster documents via their aligned
+    embeddings; the highest-quality member of each semantic cluster
+    survives. Text never participates in pair-finding — the similarity
+    signal is entirely the embedding space."""
+    from stream_loader_spark.operators.dedup import dedup_keep_best_in_cluster
+    from stream_loader_spark.operators.similarity import cosine_near_dup_pairs
+    from stream_loader_spark.operators.text import with_text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(
+        emb, threshold=0.35, num_planes=8, num_bands=4, dim=64
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    scored = with_text_stats(docs).select("doc_id", "lang", "quality_score")
+    kept = dedup_keep_best_in_cluster(scored, pairs, quality_col="quality_score")
+    return kept.select("doc_id", "lang", "quality_score")
