@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "repeated_ngram_spans",
     "repeated_ngram_doc_stats",
     "stats_moments_returnflag",
+    "stream_anomaly_stats",
     "corpus_diff_status",
     "incremental_release_delta",
     "embedding_quantization",

@@ -61,3 +61,57 @@ def grouped_moment_stats(
         (num / (nd * nd)).alias("covar_pop_xy"),
         F.when(F.col("n") > 1, num / F.sqrt(dx * dy)).alias("corr_xy"),
     )
+
+
+def stream_anomaly_stats(
+    records: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group value-distribution monitor: z-score outlier counts.
+
+    The loader-side quality gauge (is a topic suddenly emitting
+    garbage values?): per group, mean/stddev from the same exact
+    decimal sufficient sums as ``grouped_moment_stats``, broadcast
+    back onto the stream, and every record scored
+    ``z = (value - mean) / stddev``. Two aggregate passes and one
+    broadcast join — group stats are group-count-sized, so the
+    corpus-side join is map-side at any scale.
+
+    Returns (group, n_events, n_outliers, max_abs_z) with
+    ``max_abs_z`` snapped to scale-6 decimal (cross-engine float
+    convention); degenerate groups (n < 2 or zero variance) report
+    zero outliers.
+    """
+    vd = F.col(value_col).cast("decimal(18,6)")
+    stats = records.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vd).cast("double").alias("sx"),
+        F.sum(vd * vd).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    dx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    stats = stats.select(
+        group_col,
+        "n",
+        (F.col("sx") / nd).alias("_mean"),
+        F.when(F.col("n") > 1, F.sqrt(dx / (nd * (nd - 1)))).alias("_std"),
+    )
+    scored = records.join(F.broadcast(stats), group_col).withColumn(
+        "_z",
+        F.when(
+            F.col("_std").isNotNull() & (F.col("_std") > 0),
+            (F.col(value_col).cast("double") - F.col("_mean")) / F.col("_std"),
+        ),
+    )
+    return scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.abs(F.col("_z")) > z_threshold, 1).otherwise(0)
+        ).alias("n_outliers"),
+        F.coalesce(F.max(F.abs(F.col("_z"))), F.lit(0.0))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("max_abs_z"),
+    )

@@ -3590,3 +3590,43 @@ def semantic_dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = with_text_stats(docs).select("doc_id", "lang", "quality_score")
     kept = dedup_keep_best_in_cluster(scored, pairs, quality_col="quality_score")
     return kept.select("doc_id", "lang", "quality_score")
+
+
+@query(
+    "stream_anomaly_stats",
+    f"""{_KAFKA_CTE},
+    a AS (
+      SELECT topic,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(19,6))
+                      * CAST(value AS DECIMAL(19,6))) AS DOUBLE) AS sxx
+      FROM kafka GROUP BY topic),
+    st AS (
+      SELECT topic, n,
+             sx / CAST(n AS DOUBLE) AS m,
+             CASE WHEN n > 1 THEN
+               sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) END AS sd
+      FROM a),
+    z AS (
+      SELECT k.topic,
+             CASE WHEN st.sd IS NOT NULL AND st.sd > 0
+                  THEN (CAST(k.value AS DOUBLE) - st.m) / st.sd END AS zv
+      FROM kafka k JOIN st USING (topic))
+    SELECT topic,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN abs(zv) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(CAST(COALESCE(MAX(abs(zv)), 0.0) AS DECIMAL(18,6)) AS DOUBLE)
+             AS max_abs_z
+    FROM z GROUP BY topic""",
+)
+def stream_anomaly_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-topic z-score outlier monitor over the Kafka-shaped stream —
+    the loader-side data-quality gauge (exact-moment statistics
+    broadcast back onto the record stream)."""
+    from stream_loader_spark.operators.stats import stream_anomaly_stats
+
+    rec = _events(spark, sf_dir)
+    return stream_anomaly_stats(rec, "topic", "value")

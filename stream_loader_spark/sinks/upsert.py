@@ -171,6 +171,65 @@ class UpsertSink:
             raise ValueError(f"no committed state under {self.path}")
         return spark.read.parquet(*dirs)
 
+    def change_feed(self, spark: SparkSession, batch_id: int) -> DataFrame:
+        """CDC view of one committed batch: every key it wrote, labeled
+        ``insert`` (key absent before) or ``update`` (with the previous
+        row's columns as ``_old_<col>``). Reads ONLY the batch's own
+        version directories plus the touched buckets' prior versions —
+        delta-sized, never a snapshot scan. Downstream consumers get a
+        replayable changelog without the sink writing a second copy of
+        anything."""
+        manifest = self._read_manifest()
+        snap = manifest["history"].get(str(batch_id))
+        if snap is None:
+            raise ValueError(
+                f"no retained snapshot for batch {batch_id} "
+                f"(committed: {sorted(int(b) for b in manifest['history'])})"
+            )
+        new_dirs = [
+            self._bucket_dir(int(b), v) for b, v in snap.items() if v == batch_id
+        ]
+        if not new_dirs:
+            raise ValueError(f"batch {batch_id} wrote no buckets")
+        new = spark.read.parquet(*new_dirs)
+
+        batches = sorted(int(b) for b in manifest["history"])
+        prior = [b for b in batches if b < batch_id]
+        old_dirs = []
+        if prior:
+            prev_snap = manifest["history"][str(prior[-1])]
+            touched = {b for b, v in snap.items() if v == batch_id}
+            old_dirs = [
+                self._bucket_dir(int(b), v)
+                for b, v in prev_snap.items()
+                if b in touched
+            ]
+        value_cols = [c for c in new.columns if c not in self.key_cols]
+        if not old_dirs:
+            return new.select(
+                F.lit("insert").alias("_change"), *new.columns
+            )
+        old = spark.read.parquet(*old_dirs)
+        existed = old.select(
+            *self.key_cols,
+            F.lit(True).alias("_existed"),
+            *[F.col(c).alias(f"_old_{c}") for c in value_cols],
+        )
+        joined = new.join(existed, self.key_cols, "left_outer")
+        # the version dirs hold full merged buckets, so carried-over
+        # rows appear identical on both sides — null-safe inequality on
+        # any value column separates real writes from carry-over
+        differs = F.lit(False)
+        for c in value_cols:
+            differs = differs | ~F.col(c).eqNullSafe(F.col(f"_old_{c}"))
+        return joined.where(F.col("_existed").isNull() | differs).select(
+            F.when(F.col("_existed").isNull(), "insert")
+            .otherwise("update")
+            .alias("_change"),
+            *new.columns,
+            *[f"_old_{c}" for c in value_cols],
+        )
+
     # -- maintenance ----------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Drop version directories unreachable from the last

@@ -751,3 +751,24 @@ class TestCorpusDiff:
         assert set(rows) == {2, 3}  # unchanged doc 1 is never re-processed
         assert rows[2].status == "changed" and rows[3].status == "added"
         assert rows[3].pred_lang == "en"
+
+
+class TestStreamAnomalies:
+    def test_crafted_outlier_is_flagged(self, spark):
+        from stream_loader_spark.operators.stats import stream_anomaly_stats
+
+        rows = [("t", float(v)) for v in [10, 11, 9, 10, 12, 8, 10, 11, 9, 10]]
+        rows.append(("t", 1000.0))  # blatant outlier
+        rows += [("quiet", 5.0), ("quiet", 5.0)]  # zero variance group
+        df = spark.createDataFrame(rows, "topic string, value double")
+        out = {r.topic: r for r in stream_anomaly_stats(df, "topic", "value").collect()}
+        assert out["t"].n_outliers == 1 and out["t"].n_events == 11
+        assert out["t"].max_abs_z > 3
+        assert out["quiet"].n_outliers == 0 and out["quiet"].max_abs_z == 0.0
+
+    def test_single_row_group_degenerates_cleanly(self, spark):
+        from stream_loader_spark.operators.stats import stream_anomaly_stats
+
+        df = spark.createDataFrame([("solo", 42.0)], "topic string, value double")
+        [row] = stream_anomaly_stats(df, "topic", "value").collect()
+        assert (row.n_events, row.n_outliers, row.max_abs_z) == (1, 0, 0.0)

@@ -1181,3 +1181,39 @@ class TestUpsertTimeTravel:
             sink.current_state(spark, as_of_batch=0)
         # idempotent: nothing left to collect
         assert sink.vacuum(keep_last=2) == []
+
+
+class TestUpsertChangeFeed:
+    def _sink(self, tmp_path):
+        from stream_loader_spark.sinks.upsert import UpsertSink
+
+        return UpsertSink(str(tmp_path / "state"), ["k"], "ver", num_buckets=4)
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, val string, ver long")
+
+    def test_first_batch_is_all_inserts(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        sink.write_batch(self._df(spark, [(1, "a", 1), (2, "b", 1)]), 0)
+        feed = sink.change_feed(spark, 0).collect()
+        assert {(r._change, r.k) for r in feed} == {("insert", 1), ("insert", 2)}
+
+    def test_updates_carry_old_values_and_skip_carryover(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        # keys 1..8 spread over all 4 buckets so batch 1's buckets also
+        # contain carried-over rows that must NOT appear in the feed
+        sink.write_batch(
+            self._df(spark, [(k, f"v{k}", 1) for k in range(1, 9)]), 0
+        )
+        sink.write_batch(self._df(spark, [(3, "V3", 2), (99, "new", 2)]), 1)
+        feed = {r.k: r for r in sink.change_feed(spark, 1).collect()}
+        assert set(feed) == {3, 99}
+        assert feed[3]._change == "update"
+        assert (feed[3]._old_val, feed[3].val) == ("v3", "V3")
+        assert feed[99]._change == "insert" and feed[99]._old_val is None
+
+    def test_unretained_batch_raises(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        sink.write_batch(self._df(spark, [(1, "a", 1)]), 0)
+        with pytest.raises(ValueError, match="no retained snapshot"):
+            sink.change_feed(spark, 5)
