@@ -139,9 +139,11 @@ def formatted_records_split(
     ``good`` carries the parsed columns (NULL payloads parse to NULL
     fields and stay good — absence is not corruption); ``quarantined``
     keeps the original record shape for a replayable dead-letter sink.
-    Both sides are lazy projections of ONE parse pass: under
-    ``foreachBatch`` the two writes share the scan, and at 100 TB the
-    split adds no shuffle — it is two filters over the same stage.
+    Both sides are lazy filters over one parse expression and add no
+    shuffle — but they are two separate ACTIONS when written to two
+    sinks, so a ``foreachBatch`` router should ``persist()`` the
+    micro-batch first to pay the source scan once (see
+    tests/test_streaming_sinks.py::TestQuarantineRouting).
     """
     full_schema = f"{schema}, {corrupt_col} STRING"
     parsed = records.withColumn(

@@ -999,16 +999,21 @@ class TestQuarantineRouting:
         bad_dir = stream_env["out"] + "_bad"
 
         def route(batch, batch_id):
+            # two sinks = two actions: persist so the source scan +
+            # parse run once per micro-batch, not once per sink
             corrupted = batch.withColumn(
                 "props",
                 F.when(
                     F.col("offset") % 17 == 0,
                     F.concat(F.lit("{"), F.col("props")),
                 ).otherwise(F.col("props")),
-            )
-            good, bad = formatted_records_split(corrupted, "k INT")
-            good.write.mode("append").parquet(good_dir)
-            bad.write.mode("append").parquet(bad_dir)
+            ).persist()
+            try:
+                good, bad = formatted_records_split(corrupted, "k INT")
+                good.write.mode("append").parquet(good_dir)
+                bad.write.mode("append").parquet(bad_dir)
+            finally:
+                corrupted.unpersist()
 
         (
             StreamPipeline(spark)

@@ -94,6 +94,30 @@ ANNOTATED = {
     "embedding_quantization": (
         "narrow per-row HOF arithmetic: no exchange anywhere in the plan"
     ),
+    "quantized_topk": (
+        "dequantize is a narrow reconstruction stage feeding the same "
+        "broadcast + windowed top-k as the float index"
+    ),
+    "incremental_release_delta": (
+        "digest-only diff join finds the delta; lang/quality gates run "
+        "over added/changed docs only"
+    ),
+    "semantic_dedup_keep_best": (
+        "sign-LSH banded candidates → components → one max_by per "
+        "cluster + left-semi; text never enters pair-finding"
+    ),
+    "stream_anomaly_stats": (
+        "group stats broadcast back onto the stream — corpus side "
+        "stays map-side; two aggregates, one broadcast join"
+    ),
+    "p1_quarantine_routing": (
+        "one from_json expression, two filtered aggregation branches "
+        "(routing splitter verified separately under foreachBatch)"
+    ),
+    "cluster_label_purity": (
+        "broadcast argmax assignment; label rollups are "
+        "cluster-count-sized aggregates"
+    ),
 }
 
 
