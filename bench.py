@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "repeated_ngram_doc_stats",
     "stats_moments_returnflag",
     "stream_anomaly_stats",
+    "funnel_stages",
+    "retention_cohorts",
     "corpus_diff_status",
     "incremental_release_delta",
     "embedding_quantization",

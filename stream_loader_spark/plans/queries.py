@@ -3630,3 +3630,92 @@ def stream_anomaly_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rec = _events(spark, sf_dir)
     return stream_anomaly_stats(rec, "topic", "value")
+
+
+@query(
+    "funnel_stages",
+    f"""{_KAFKA_CTE},
+    firsts AS (
+      SELECT CAST("offset" % 150 AS BIGINT) AS uid,
+             MIN(CASE WHEN topic = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN topic = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN topic = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN topic = 'purchase' THEN ts END) AS t_purchase
+      FROM kafka GROUP BY 1),
+    staged AS (
+      SELECT uid,
+             CASE
+               WHEN t_signup IS NULL THEN 0
+               WHEN t_view IS NULL OR t_view <= t_signup THEN 1
+               WHEN t_click IS NULL OR t_click <= t_view THEN 2
+               WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 3
+               ELSE 4 END AS stage
+      FROM firsts)
+    SELECT stage, COUNT(*) AS n_users
+    FROM staged GROUP BY stage""",
+)
+def funnel_stages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → view → click → purchase by
+    FIRST occurrence): one conditional-min aggregate per user, then a
+    stage bucket — two map-side-combinable aggregations, no joins, no
+    windows. The uid is offset-derived so the funnel has non-trivial
+    drop-off on the fixture."""
+    rec = _events(spark, sf_dir)
+    e = rec.withColumn("uid", (F.col("offset") % 150).cast("bigint"))
+    firsts = e.groupBy("uid").agg(
+        *[
+            F.min(F.when(F.col("topic") == t, F.col("ts"))).alias(f"t_{t}")
+            for t in ("signup", "view", "click", "purchase")
+        ]
+    )
+    stage = (
+        F.when(F.col("t_signup").isNull(), 0)
+        .when(F.col("t_view").isNull() | (F.col("t_view") <= F.col("t_signup")), 1)
+        .when(F.col("t_click").isNull() | (F.col("t_click") <= F.col("t_view")), 2)
+        .when(
+            F.col("t_purchase").isNull() | (F.col("t_purchase") <= F.col("t_click")), 3
+        )
+        .otherwise(4)
+    )
+    return (
+        firsts.withColumn("stage", stage)
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "retention_cohorts",
+    f"""{_KAFKA_CTE},
+    e AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS uid,
+                 CAST(ts AS DATE) AS dt
+          FROM kafka),
+    cohort AS (SELECT uid, MIN(dt) AS cohort_dt FROM e GROUP BY uid),
+    activity AS (
+      SELECT c.cohort_dt, CAST(e.dt - c.cohort_dt AS INT) AS day_offset,
+             e.uid
+      FROM e JOIN cohort c USING (uid))
+    SELECT cohort_dt, day_offset,
+           COUNT(DISTINCT uid) AS n_active
+    FROM activity WHERE day_offset <= 7 GROUP BY 1, 2""",
+)
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-active date,
+    distinct-active counts per day offset (first week); the user
+    identity is the payload's k field. The cohort dimension is
+    user-count-sized and broadcasts back onto the event stream; two
+    aggregates, one broadcast join."""
+    rec = _events(spark, sf_dir)
+    e = rec.select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("uid"),
+        F.to_date("ts").alias("dt"),
+    )
+    cohort = e.groupBy("uid").agg(F.min("dt").alias("cohort_dt"))
+    activity = e.join(F.broadcast(cohort), "uid").select(
+        "cohort_dt", F.datediff("dt", "cohort_dt").alias("day_offset"), "uid"
+    )
+    return (
+        activity.where(F.col("day_offset") <= 7)
+        .groupBy("cohort_dt", "day_offset")
+        .agg(F.count_distinct("uid").alias("n_active"))
+    )
