@@ -244,3 +244,20 @@ class TestRound5PlanPins:
         assert "LeftSemi" in plan
         assert "windowspecdefinition(doc_id" in plan
         assert "Cartesian" not in plan
+
+
+class TestAnalyticsPlanPins:
+    def test_funnel_has_no_joins_or_windows(self, spark, sf_small):
+        plan = plan_of(spark, "funnel_stages", sf_small)
+        assert "Join" not in plan and "Window" not in plan
+        assert plan.count("HashAggregate") == 4  # two two-phase aggregates
+
+    def test_retention_broadcasts_cohort_dim(self, spark, sf_small):
+        plan = plan_of(spark, "retention_cohorts", sf_small)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_anomaly_broadcasts_stats(self, spark, sf_small):
+        plan = plan_of(spark, "stream_anomaly_stats", sf_small)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
