@@ -130,20 +130,16 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "multimodal_features",
     "multimodal_frames",
+    "clean_corpus_pipeline",
 ]
 
 
-# Oracles whose DuckDB form is quadratic-verify (shingle-list
-# intersections over ~1M candidate pairs) and exceeds a bench budget at
-# sf0.1 — their SPARK timings still run; only the ratio is omitted.
-RATIO_SKIP = {
-    "ngram_jaccard_pairs",
-    "incremental_near_dup",
-    "minhash_lsh_pairs",
-    "near_dup_dedup_end_to_end",
-    "near_dup_keep_best",
-    "clean_corpus_pipeline",
-}
+# Round 5: empty. The LSH-family oracles were rewritten from the
+# quadratic DISTINCT-candidates + per-pair list-intersect form (127 s+
+# at sf0.1) to a count-aggregated exact-Jaccard self-join (~1 s, same
+# rows bit-for-bit) — see plans/queries.py::_jaccard_pairs_ctes — so
+# every benched query now carries a DuckDB denominator.
+RATIO_SKIP: set[str] = set()
 
 
 def duckdb_timings(sf_dir: str, names: list[str]) -> dict[str, float]:

@@ -56,10 +56,15 @@ def grouped_moment_stats(
         "n",
         (F.col("sx") / nd).alias("mean_x"),
         (F.col("sy") / nd).alias("mean_y"),
-        F.when(F.col("n") > 1, F.sqrt(dx / (nd * (nd - 1)))).alias("stddev_x"),
-        F.when(F.col("n") > 1, F.sqrt(dy / (nd * (nd - 1)))).alias("stddev_y"),
+        # dx/dy > 0 guards: for zero- or near-constant groups the
+        # double-precision moment can be 0 or round slightly negative —
+        # sqrt then yields inf/NaN with engine-dependent repr. NULL for
+        # degenerate groups is deterministic on every engine (oracle SQL
+        # carries the identical CASE guards).
+        F.when((F.col("n") > 1) & (dx > 0), F.sqrt(dx / (nd * (nd - 1)))).alias("stddev_x"),
+        F.when((F.col("n") > 1) & (dy > 0), F.sqrt(dy / (nd * (nd - 1)))).alias("stddev_y"),
         (num / (nd * nd)).alias("covar_pop_xy"),
-        F.when(F.col("n") > 1, num / F.sqrt(dx * dy)).alias("corr_xy"),
+        F.when((F.col("n") > 1) & (dx > 0) & (dy > 0), num / F.sqrt(dx * dy)).alias("corr_xy"),
     )
 
 

@@ -169,24 +169,33 @@ def unigram_logprob(
     toks = scatter(documents).select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
-    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # Tokenize ONCE: collapse to per-(doc, token) counts first. Both the
+    # vocabulary aggregate and the scoring join then consume the same
+    # shuffle output (ReusedExchange), instead of each branch re-running
+    # the tokenize+explode pipeline from the scan. The map-side partial
+    # aggregate also shrinks the shuffle by the within-doc Zipf factor.
+    dtc = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tc"))
+    freq = dtc.groupBy("token").agg(F.sum("tc").alias("c"))
     if broadcast_vocab:
         freq = F.broadcast(freq)
     total = freq.agg(F.sum("c").alias("n"))
     scored = (
-        toks.join(freq, "token")
+        dtc.join(freq, "token")
         .crossJoin(F.broadcast(total))
         .select(
             id_col,
+            "tc",
             F.round(F.log(F.col("c").cast("double") / F.col("n")), 6)
             .cast("decimal(18,6)")
             .alias("lp"),
         )
     )
+    # lp·tc in exact decimal == summing lp once per occurrence
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("tc").alias("n_tokens"),
         (
-            F.sum("lp").cast("decimal(38,6)").cast("double") / F.count(F.lit(1))
+            F.sum(F.col("lp") * F.col("tc")).cast("decimal(38,6)").cast("double")
+            / F.sum("tc")
         ).alias("mean_logprob"),
     )
 

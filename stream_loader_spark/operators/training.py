@@ -164,9 +164,10 @@ def tfidf_top_terms(
     df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if broadcast_vocab:
         df_counts = F.broadcast(df_counts)
-    n_docs = documents.where(F.size(tokens_col(F.col(text_col))) > 0).agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs")
-    )
+    # docs-with-tokens count comes from the persisted tf relation (a doc
+    # appears there iff it produced >= 1 token) — NOT from re-scanning
+    # and re-tokenizing the full text a third time
+    n_docs = tf.agg(F.count_distinct(F.col(id_col)).cast("double").alias("n_docs"))
     scored = (
         tf.join(df_counts, "token")
         .crossJoin(F.broadcast(n_docs))  # scalar joined lazily, no driver count

@@ -932,12 +932,20 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                              i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
              ELSE [array_to_string(toks, ' ')] END AS shingles
       FROM t),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""",
+    ex AS MATERIALIZED (
+      SELECT doc_id, lang, unnest(shingles) AS shingle, len(shingles) AS nsh FROM d),
+    -- count-aggregated exact Jaccard (see _jaccard_pairs_ctes): a
+    -- same-lang pair sharing no shingle has jaccard 0 < 0.5, so the
+    -- shared-shingle join loses nothing vs the all-pairs lang block
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter,
+             ANY_VALUE(a.nsh) AS na, ANY_VALUE(b.nsh) AS nb
+      FROM ex a JOIN ex b
+        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(ninter AS DOUBLE) / (na + nb - ninter) AS jaccard
+    FROM inter
+    WHERE CAST(ninter AS DOUBLE) / (na + nb - ninter) >= 0.5""",
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs, blocked by language."""
@@ -965,31 +973,37 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jaccard_pairs_ctes(src: str = "documents", threshold: float = 0.5) -> str:
     """CTE chain ending in ``good(doc_a, doc_b, jaccard)`` — word-3-gram
     Jaccard pairs ≥ threshold, candidates blocked on a shared shingle
-    (lossless: jaccard > 0 requires a common shingle)."""
+    (lossless: jaccard > 0 requires a common shingle).
+
+    Jaccard comes from count aggregation over the shingle self-join —
+    |A∩B| = COUNT(*) per (doc_a, doc_b), |A∪B| = nsh_a + nsh_b − |A∩B|
+    (shingle lists are distinct per doc). Integer inputs to one double
+    division, bit-identical to the list_intersect/list_concat form, but
+    with NO per-candidate list materialization: the earlier
+    DISTINCT-candidates + list-verify form re-touched both full shingle
+    lists per candidate pair and took 127 s at sf0.1 where this
+    aggregate runs in ~1 s (same 256 rows)."""
     return f"""jt AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM {src}),
-    jd AS MATERIALIZED (
+    jd AS (
       SELECT doc_id,
              CASE WHEN len(toks) >= 3 THEN
                list_distinct(list_transform(range(1, len(toks) - 1),
                              i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
              ELSE [array_to_string(toks, ' ')] END AS shingles
       FROM jt),
-    jex AS (SELECT doc_id, unnest(shingles) AS shingle FROM jd),
-    -- jd is referenced three times (jex + two verify joins); without
-    -- materialization the shingle build would inline into each
-    jcand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM jex a JOIN jex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    jex AS MATERIALIZED (
+      SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS nsh FROM jd),
+    jinter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter,
+             ANY_VALUE(a.nsh) AS na, ANY_VALUE(b.nsh) AS nb
+      FROM jex a JOIN jex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
     good AS (
-      SELECT c.doc_a, c.doc_b,
-             CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
-               / len(list_distinct(list_concat(da.shingles, db.shingles))) AS jaccard
-      FROM jcand c
-      JOIN jd da ON da.doc_id = c.doc_a
-      JOIN jd db ON db.doc_id = c.doc_b
-      WHERE CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
-              / len(list_distinct(list_concat(da.shingles, db.shingles))) >= {threshold})"""
+      SELECT doc_a, doc_b,
+             CAST(ninter AS DOUBLE) / (na + nb - ninter) AS jaccard
+      FROM jinter
+      WHERE CAST(ninter AS DOUBLE) / (na + nb - ninter) >= {threshold})"""
 
 
 def _simhash_sig_ctes(src: str = "documents") -> str:
@@ -1896,7 +1910,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _rev_col()
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)"))
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(p, p.p_partkey == li.l_partkey)
         .agg(
             (
                 F.sum(promo).cast("decimal(38,6)").cast("double")
@@ -1919,7 +1933,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(F.col("p_size").isin(1, 5, 9, 13))
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(p, p.p_partkey == li.l_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1972,7 +1986,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides (exercises CNF conversion / partial pushdown)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    j = li.join(p, p.p_partkey == li.l_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(1, 15))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 20) & F.col("l_quantity").between(10, 25))
@@ -2223,7 +2237,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_brand") == "Brand#5")
         .select("p_partkey")
     )
-    q = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+    q = li.join(parts, li.l_partkey == parts.p_partkey)
     w = Window.partitionBy("l_partkey")
     thresh = (
         F.lit(0.2)
@@ -2785,15 +2799,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.s_nationkey == n.n_nationkey,
     ).select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
     offers = (
-        li.join(F.broadcast(eur.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        li.join(eur.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("l_extendedprice").cast("double").alias("offer"))
     )
     best = offers.groupBy(F.col("l_partkey").alias("bk")).agg(F.min("offer").alias("best_offer"))
     return (
         offers.join(best, (offers.l_partkey == F.col("bk")) & (F.col("offer") == F.col("best_offer")))
-        .join(F.broadcast(p), p.p_partkey == offers.l_partkey)
-        .join(F.broadcast(eur), eur.s_suppkey == offers.l_suppkey)
+        .join(p, p.p_partkey == offers.l_partkey)
+        .join(eur, eur.s_suppkey == offers.l_suppkey)
         .select("p_partkey", "s_name", "supp_nation", "offer")
     )
 
@@ -2838,7 +2852,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1.join(F.broadcast(r), F.col("rk1") == r.r_regionkey)), F.col("k1") == c.c_nationkey)
         .join(s, s.s_suppkey == li.l_suppkey)
         .join(F.broadcast(n2), F.col("k2") == s.s_nationkey)
-        .join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(p, p.p_partkey == li.l_partkey)
     )
     national = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
         F.lit(0).cast("decimal(18,6)")
@@ -2883,7 +2897,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, o.o_orderkey == li.l_orderkey)
         .join(s, s.s_suppkey == li.l_suppkey)
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
-        .join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(p, p.p_partkey == li.l_partkey)
         .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(F.sum(profit_el).cast("decimal(38,6)").cast("double").alias("profit"))
     )
@@ -2908,7 +2922,7 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
     movers = (
-        li.join(F.broadcast(promo), promo.p_partkey == li.l_partkey, "left_semi")
+        li.join(promo, promo.p_partkey == li.l_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"))
         .where(F.col("qty") > 50)
@@ -3188,18 +3202,19 @@ def repeated_ngram_doc_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, n,
            CAST(CAST(sx / CAST(n AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_x,
            CAST(CAST(sy / CAST(n AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_y,
-           CAST(CAST(CASE WHEN n > 1 THEN
+           CAST(CAST(CASE WHEN n > 1 AND (CAST(n AS DOUBLE) * sxx - sx * sx) > 0 THEN
              sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) END
              AS DECIMAL(18,6)) AS DOUBLE) AS stddev_x,
-           CAST(CAST(CASE WHEN n > 1 THEN
+           CAST(CAST(CASE WHEN n > 1 AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0 THEN
              sqrt((CAST(n AS DOUBLE) * syy - sy * sy)
                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) END
              AS DECIMAL(18,6)) AS DOUBLE) AS stddev_y,
            CAST(CAST((CAST(n AS DOUBLE) * sxy - sx * sy)
              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
              AS covar_pop_xy,
-           CAST(CAST(CASE WHEN n > 1 THEN
+           CAST(CAST(CASE WHEN n > 1 AND (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+                          AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0 THEN
              (CAST(n AS DOUBLE) * sxy - sx * sy)
                / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
                       * (CAST(n AS DOUBLE) * syy - sy * sy)) END
@@ -3433,10 +3448,10 @@ def quantized_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
       SELECT topic, COUNT(*) AS n_good,
              CAST(SUM(CAST(json_extract(p, '$.k') AS INT)) AS BIGINT) AS k_sum
-      FROM c WHERE json_valid(p) GROUP BY topic),
+      FROM c WHERE COALESCE(json_valid(p), TRUE) GROUP BY topic),
     b AS (
       SELECT topic, COUNT(*) AS n_quarantined
-      FROM c WHERE NOT json_valid(p) GROUP BY topic)
+      FROM c WHERE json_valid(p) = false GROUP BY topic)
     SELECT topic,
            COALESCE(n_good, 0) AS n_good,
            COALESCE(k_sum, 0) AS k_sum,
@@ -3702,16 +3717,21 @@ def funnel_stages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention cohort matrix: users grouped by first-active date,
     distinct-active counts per day offset (first week); the user
-    identity is the payload's k field. The cohort dimension is
-    user-count-sized and broadcasts back onto the event stream; two
-    aggregates, one broadcast join."""
+    identity is the payload's k field. Cohorting is a window MIN over
+    uid — ONE scan, one uid-keyed shuffle, no join. The cohort relation
+    is user-count-sized, so any broadcast of it (the naive two-scan
+    plan) would OOM executors at 100 TB; the window form shuffles the
+    same key the join would and halves the input reads."""
     rec = _events(spark, sf_dir)
     e = rec.select(
         F.get_json_object("props", "$.k").cast("bigint").alias("uid"),
         F.to_date("ts").alias("dt"),
     )
-    cohort = e.groupBy("uid").agg(F.min("dt").alias("cohort_dt"))
-    activity = e.join(F.broadcast(cohort), "uid").select(
+    activity = e.select(
+        F.min("dt").over(Window.partitionBy("uid")).alias("cohort_dt"),
+        "uid",
+        "dt",
+    ).select(
         "cohort_dt", F.datediff("dt", "cohort_dt").alias("day_offset"), "uid"
     )
     return (

@@ -63,11 +63,33 @@ class UpsertSink:
             with open(self._manifest_path) as fh:
                 m = json.load(fh)
                 m.setdefault("history", {})
+                self._check_config(m)
                 return m
         except FileNotFoundError:
             return {"versions": {}, "batches": [], "history": {}}
 
+    def _config(self) -> dict:
+        return {
+            "num_buckets": self.num_buckets,
+            "key_cols": self.key_cols,
+            "order_col": self.order_col,
+        }
+
+    def _check_config(self, manifest: dict) -> None:
+        """Refuse to reopen state under a different layout: _bucket_col
+        hashes under THIS sink's num_buckets/key_cols, while the
+        manifest's version map reflects the layout that wrote it — a
+        mismatch would silently merge the wrong bucket directories and
+        duplicate keys. Config is pinned on first write."""
+        stored = manifest.get("config")
+        if stored is not None and stored != self._config():
+            raise ValueError(
+                f"upsert sink config mismatch at {self.path}: "
+                f"manifest pinned {stored}, sink configured {self._config()}"
+            )
+
     def _write_manifest(self, manifest: dict) -> None:
+        manifest.setdefault("config", self._config())
         os.makedirs(self.path, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
         with os.fdopen(fd, "w") as fh:
@@ -206,8 +228,18 @@ class UpsertSink:
             ]
         value_cols = [c for c in new.columns if c not in self.key_cols]
         if not old_dirs:
+            # Schema-stable with the update branch: NULL-typed _old_
+            # columns so consumers can unionByName feeds across batches.
+            # Caveat (documented contract): on the OLDEST retained batch
+            # after vacuum pruned earlier history, prior state is gone,
+            # so pre-existing keys degrade to 'insert' with NULL olds.
             return new.select(
-                F.lit("insert").alias("_change"), *new.columns
+                F.lit("insert").alias("_change"),
+                *new.columns,
+                *[
+                    F.lit(None).cast(new.schema[c].dataType).alias(f"_old_{c}")
+                    for c in value_cols
+                ],
             )
         old = spark.read.parquet(*old_dirs)
         existed = old.select(

@@ -8,6 +8,7 @@ scale-factor directory (TESTDATA.md).
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -29,9 +30,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Per-session memo of fixture DataFrames. spark.read.parquet costs a
+# driver-side file listing + footer schema read (~0.1s) EVERY call; the
+# fixture tables are immutable, so the logical plan is reusable across
+# the hundreds of load_table calls a bench/correctness sweep makes.
+# Keyed weakly by session so a stopped session's entries die with it.
+_TABLE_MEMO: WeakKeyDictionary = WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    per_session = _TABLE_MEMO.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    if key in per_session:
+        return per_session[key]
     df = spark.read.parquet(table_path(sf_dir, name))
     # Normalize TIMESTAMP_NTZ (Spark 4.1+ inference over tz-less parquet)
     # to TIMESTAMP_LTZ: every operator and oracle compares under a UTC
@@ -43,6 +56,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
     for c in ntz:
         df = df.withColumn(c, df[c].cast("timestamp_ltz"))
+    per_session[key] = df
     return df
 
 
@@ -56,9 +70,19 @@ def scatter(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= min_partitions:
-        return df
-    return df.repartition(min_partitions)
+    memo = _SCATTER_MEMO.setdefault(df, {})
+    if min_partitions not in memo:
+        # df.rdd compiles the physical plan (a ~0.1s driver round-trip);
+        # memoized per input frame so repeated operator calls over the
+        # (memoized) fixture tables pay it once
+        if df.rdd.getNumPartitions() >= min_partitions:
+            memo[min_partitions] = df
+        else:
+            memo[min_partitions] = df.repartition(min_partitions)
+    return memo[min_partitions]
+
+
+_SCATTER_MEMO: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
