@@ -192,6 +192,15 @@ def main() -> None:
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(split),
             "spark.sql.files.openCostInBytes": str(min(split, 1 << 20)),
+            # shuffles at this SF are a few MB: target post-shuffle
+            # partitions at 8 MB so small stages run 1-2 tasks while the
+            # larger sorts keep multi-way parallelism (the production
+            # default of 64 MB is sized for real file splits)
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+            # fewer, larger Arrow batches through the mapInPandas
+            # operators: the per-batch Python call overhead dominates at
+            # fixture scale (payloads here are small binaries)
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
         },
     )
 
@@ -203,14 +212,15 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # two passes per query, report the min: one-shot numbers on a busy
-    # local machine are noise-dominated; the min is the steady-state cost.
+    # three passes per query, report the min: one-shot numbers on a busy
+    # local machine are noise-dominated; the min is the steady-state cost
+    # (pass 1 additionally absorbs per-plan codegen compilation).
     # A query that raises is recorded as failed and skipped — one broken
     # query must never zero the whole bench (round-3 lesson: a single
     # AnalysisException crashed the run and the driver recorded rc=1).
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in BENCH_QUERIES:
             if name in failures:
                 continue

@@ -58,6 +58,15 @@ def clean_corpus(documents: DataFrame, config: CorpusCleanConfig = CorpusCleanCo
     if config.min_quality > 0:
         df = df.where(F.col("quality_score") >= config.min_quality)
 
+    # The filtered+scored base is consumed four times downstream (exact
+    # digest aggregate, its semi-join left side, LSH shingling, the
+    # representative join). Persist it once instead of re-running the
+    # scan + lang-id + stats lineage per consumer; at cluster scale the
+    # same role is played by checkpointing the cleaned base to storage
+    # between stages (the multi-pass shape is inherent to the pipeline,
+    # not to this persist).
+    df = df.persist()
+
     # exact dedup: keep the representative row per content digest
     keep_exact = exact_dedup(df, text_col, id_col).select(
         F.col("keep_id").alias(id_col)

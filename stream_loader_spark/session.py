@@ -32,6 +32,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce to the advisory partition size rather than padding
+        # out to default parallelism: tiny reduce stages collapse to a
+        # task or two (less scheduling overhead), while large shuffles
+        # still fan out to size/advisory partitions — the efficient
+        # setting at any scale, per the AQE docs
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # pinned explicitly: the engine's cast/overflow contract (e.g.
         # checked_decimal's 'error' policy) assumes ANSI semantics and

@@ -204,7 +204,12 @@ class ClickHouseHttpStorage:
             "SELECT _topic AS topic, _partition AS partition, "
             "max(_offset) + 1 AS next_offset, "
             "toUnixTimestamp64Milli(max(_watermark)) AS watermark_ms "
-            f"FROM {self.table} GROUP BY _topic, _partition FORMAT JSON"
+            f"FROM {self.table} "
+            # same null guard as the reference query: rows loaded by
+            # other writers (no in-row metadata) must not produce a
+            # bogus NULL-keyed position group
+            "WHERE isNotNull(_topic) AND isNotNull(_partition) "
+            "GROUP BY _topic, _partition FORMAT JSON"
         )
         text = self.client(self.url, {"query": query}, b"", {})
         out: dict[tuple[str, int], StreamPosition] = {}

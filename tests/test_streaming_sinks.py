@@ -611,6 +611,23 @@ class TestClickHouseHttpStorage:
             "topic string, partition int, offset bigint, value double, ts timestamp",
         )
 
+    def test_recovery_query_text_is_golden(self, ch_server):
+        """Pins the exact A1 recovery SQL issued over HTTP — the Spark
+        rendering of ClickHouseFileStorage.scala:38-47 (same MAX+1 /
+        MAX(watermark) aggregate, same isNotNull guard; aliases,
+        toUnixTimestamp64Milli and FORMAT JSON are the HTTP-protocol
+        additions). A drift here silently changes crash recovery."""
+        storage = self._storage(ch_server["url"])
+        storage.committed_positions()
+        assert ch_server["requests"][-1]["query"] == (
+            "SELECT _topic AS topic, _partition AS partition, "
+            "max(_offset) + 1 AS next_offset, "
+            "toUnixTimestamp64Milli(max(_watermark)) AS watermark_ms "
+            "FROM db.events "
+            "WHERE isNotNull(_topic) AND isNotNull(_partition) "
+            "GROUP BY _topic, _partition FORMAT JSON"
+        )
+
     def test_insert_posts_tokened_rowbinary_blocks(self, spark, ch_server):
         storage = self._storage(ch_server["url"])
         storage(self._batch(spark), 0)
