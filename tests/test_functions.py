@@ -179,6 +179,73 @@ class TestMetricsListener:
             spark.streams.removeListener(listener)
 
 
+class TestKafkaSourceMetricsBridge:
+    """util/KafkaMetricsReporter.scala parity: every source-level fact
+    Spark exposes lands in the registry as a gauge under the
+    reference's unique-name-with-tag-keys convention, and removal
+    re-registers 0.0 (Prometheus can't unregister)."""
+
+    class _Src:
+        def __init__(self):
+            self.numInputRows = 42
+            self.inputRowsPerSecond = 21.5
+            self.metrics = {
+                "minOffsetsBehindLatest": "0",
+                "maxOffsetsBehindLatest": "7",
+                "avgOffsetsBehindLatest": "3.5",
+            }
+            self.endOffset = '{"t": {"0": 100, "1": 50}}'
+            self.latestOffset = '{"t": {"0": 107, "1": 50}}'
+
+    class _Progress:
+        def __init__(self, sources):
+            self.sources = sources
+
+    class _Event:
+        def __init__(self, progress):
+            self.progress = progress
+
+    def test_kafka_progress_bridges_to_gauges(self):
+        from stream_loader_spark.streaming.metrics import (
+            KafkaSourceMetricsBridge,
+            MetricsRegistry,
+        )
+
+        bridge = KafkaSourceMetricsBridge(MetricsRegistry())
+        bridge.onQueryProgress(self._Event(self._Progress([self._Src()])))
+        snap = bridge.registry.snapshot()
+        assert snap["kafka.source.records-consumed"] == 42
+        assert snap["kafka.source.records-consumed-rate"] == 21.5
+        assert snap["kafka.source.maxOffsetsBehindLatest"] == 7.0
+        # per-partition end offsets + lag (latest − end), tagged
+        assert snap["kafka.source.end-offset.by.partition.topic{partition=0,topic=t}"] == 100
+        assert snap["kafka.source.records-lag.by.partition.topic{partition=0,topic=t}"] == 7
+        assert snap["kafka.source.records-lag.by.partition.topic{partition=1,topic=t}"] == 0
+
+    def test_non_kafka_source_degrades_gracefully(self):
+        """File-stream progress (logOffset JSON, no metrics map) must not
+        crash or emit bogus per-partition gauges."""
+        from stream_loader_spark.streaming.metrics import KafkaSourceMetricsBridge
+
+        src = self._Src()
+        src.metrics = None
+        src.endOffset = '{"logOffset": 3}'
+        src.latestOffset = None
+        bridge = KafkaSourceMetricsBridge()
+        bridge.onQueryProgress(self._Event(self._Progress([src])))
+        snap = bridge.registry.snapshot()
+        assert snap["kafka.source.records-consumed"] == 42
+        assert not any("by.partition.topic" in k for k in snap)
+
+    def test_registry_removal_pins_zero(self):
+        from stream_loader_spark.streaming.metrics import MetricsRegistry
+
+        reg = MetricsRegistry()
+        reg.set_gauge("g", 5.0, {"topic": "t"})
+        reg.remove_gauge("g", {"topic": "t"})
+        assert reg.snapshot() == {"g{topic=t}": 0.0}
+
+
 class TestTruncatePropertyBased:
     def test_truncation_properties_bulk(self, spark):
         """Hypothesis-style property check, batched through one Spark job:
