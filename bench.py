@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "multimodal_features",
     "multimodal_frames",
     "clean_corpus_pipeline",
+    "zorder_layout_orders",
 ]
 
 

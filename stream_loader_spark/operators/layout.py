@@ -30,7 +30,7 @@ from __future__ import annotations
 import math
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_TARGET_FILE_BYTES = 512 * 1024 * 1024
@@ -124,3 +124,121 @@ def file_key_ranges(dest: str, column: str) -> list[tuple]:
             if lo is not None:
                 out.append((lo, hi))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional (Z-order) clustering
+# ---------------------------------------------------------------------------
+#
+# ``cluster_by_range`` above prunes on ONE key; scans that filter on any
+# of several columns need MULTI-dimensional clustering (Delta's OPTIMIZE
+# ZORDER / Iceberg's sort-order rewrite). ``zorder_value`` maps each row
+# to a Morton code: every clustering column is bucketed to ``2**bits``
+# equi-width integer buckets between the column's exact min/max and the
+# bucket bits are interleaved into one BIGINT. All arithmetic is exact
+# integer ops (floor division, shifts), so an independent SQL engine
+# reproduces the value bit-for-bit — the checked-query contract
+# (plans/queries.py::zorder_layout_orders).
+#
+# Scale design: the bounds aggregate is one tiny job (2 numbers per
+# column) broadcast back as a scalar join — never collected to the
+# driver inside the plan. ``repartitionByRange`` samples the Z-value to
+# pick balanced boundaries (the same range-exchange machinery
+# ``cluster_by_range`` uses); the sort is within-partition only — no
+# global sort barrier. Production systems bucket by sampled QUANTILES
+# of each column instead of exact min/max (equi-depth beats equi-width
+# under skew); equi-width is used here because it is exactly
+# reproducible by the SQL oracle — swap ``_bucket_expr`` for an
+# approx-percentile lookup to get the equi-depth variant, the
+# interleave and writer are unchanged.
+
+DEFAULT_ZORDER_BITS = 8
+
+
+def _as_bigint(col: Column) -> Column:
+    """Clustering dimensions must be exact integers on every engine:
+    dates/timestamps go through epoch DAYS (integer on both Spark and
+    ANSI SQL engines; epoch seconds of a timestamp are float-typed in
+    some engines)."""
+    return col.cast("bigint")
+
+
+def _bucket_expr(col: Column, mn: Column, mx: Column, n_buckets: int) -> Column:
+    """Equi-width bucket in [0, n_buckets): FLOOR((x-mn)*n / (mx-mn+1)).
+
+    For integer x in [mn, mx] the quotient is < n, so the bucket never
+    reaches n; single-value domains (mx == mn) land everything in 0.
+    ``/`` on integers is true (double) division in both Spark and
+    DuckDB — exact while the numerator stays under 2**53 — and FLOOR
+    (not a bigint cast) converts it: Spark's cast truncates but
+    DuckDB's cast ROUNDS, so a cast here would flap between engines.
+    """
+    span = mx - mn + F.lit(1)
+    return F.floor((col - mn) * F.lit(n_buckets) / span)
+
+
+def zorder_value(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = DEFAULT_ZORDER_BITS,
+    out_col: str = "zvalue",
+) -> DataFrame:
+    """Add a Morton (Z-order) code over ``cols`` as ``out_col``.
+
+    Column i's bucket bit b lands at interleaved position
+    ``b * len(cols) + i`` — the standard bit-interleave, expressed as a
+    sum of shifted bits so it compiles to pure integer expressions
+    (whole-stage codegen; no UDF). ``bits * len(cols)`` must fit a
+    signed 64-bit value.
+    """
+    if not cols:
+        raise ValueError("zorder_value needs at least one column")
+    if bits * len(cols) > 62:
+        raise ValueError(
+            f"{bits} bits x {len(cols)} columns exceeds the 62-bit Z-value budget"
+        )
+    n_buckets = 1 << bits
+    bounds = df.agg(
+        *[F.min(_as_bigint(F.col(c))).alias(f"_mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(_as_bigint(F.col(c))).alias(f"_mx_{i}") for i, c in enumerate(cols)],
+    )
+    # scalar broadcast join: bounds is ONE row regardless of input size
+    with_bounds = df.crossJoin(F.broadcast(bounds))
+    z = F.lit(0).cast("bigint")
+    for i, c in enumerate(cols):
+        bucket = _bucket_expr(
+            _as_bigint(F.col(c)), F.col(f"_mn_{i}"), F.col(f"_mx_{i}"), n_buckets
+        )
+        for b in range(bits):
+            bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1))
+            z = z + bit * F.lit(1 << (b * len(cols) + i)).cast("bigint")
+    return with_bounds.withColumn(out_col, z).drop(
+        *[f"_mn_{i}" for i in range(len(cols))],
+        *[f"_mx_{i}" for i in range(len(cols))],
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = DEFAULT_ZORDER_BITS,
+    n_files: int = 16,
+) -> None:
+    """OPTIMIZE ZORDER-style rewrite: cluster ``df`` into ``n_files``
+    range-disjoint Z-value runs and write parquet.
+
+    Files carry disjoint Z-ranges (range exchange) and are sorted
+    inside (within-partition sort, no global barrier), so every file's
+    parquet min/max stats cover a tight region of every clustering
+    column — the property that makes multi-column filter pruning work.
+    The Z-value itself is persisted so maintenance jobs can detect
+    clustering drift without recomputing bounds.
+    """
+    zdf = zorder_value(df, cols, bits)
+    (
+        zdf.repartitionByRange(n_files, "zvalue")
+        .sortWithinPartitions("zvalue")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

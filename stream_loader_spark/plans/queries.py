@@ -3739,3 +3739,68 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_dt", "day_offset")
         .agg(F.count_distinct("uid").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-layout optimization (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+_ZORDER_BITS = 8
+
+
+def _zorder_sql(bucket_exprs: list[str], bits: int) -> str:
+    """The Morton interleave as portable SQL over pre-named bucket
+    expressions — the byte-identical mirror of ``zorder_value``'s
+    column tree (sum of shifted bits; >> and & are plain integer ops
+    in every engine)."""
+    terms = []
+    for i, b in enumerate(bucket_exprs):
+        for bit in range(bits):
+            terms.append(f"(({b} >> {bit}) & 1) * {1 << (bit * len(bucket_exprs) + i)}")
+    return " + ".join(terms)
+
+
+_ZO_B0 = "CAST(FLOOR((o_custkey - mn0) * 256.0 / (mx0 - mn0 + 1)) AS BIGINT)"
+_ZO_B1 = "CAST(FLOOR((day_no - mn1) * 256.0 / (mx1 - mn1 + 1)) AS BIGINT)"
+
+
+@query(
+    "zorder_layout_orders",
+    f"""WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_no
+      FROM orders),
+    bounds AS (
+      SELECT MIN(o_custkey) AS mn0, MAX(o_custkey) AS mx0,
+             MIN(day_no) AS mn1, MAX(day_no) AS mx1 FROM o),
+    buck AS (
+      SELECT o_orderkey, {_ZO_B0} AS b0, {_ZO_B1} AS b1
+      FROM o CROSS JOIN bounds)
+    SELECT o_orderkey,
+           {_zorder_sql(['b0', 'b1'], _ZORDER_BITS)} AS zvalue,
+           ({_zorder_sql(['b0', 'b1'], _ZORDER_BITS)}) // 4096 AS zfile
+    FROM buck""",
+)
+def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER planning pass: every order mapped to its Morton
+    code over (customer, order day) and its target file (top 4 Z-bits →
+    16 range-disjoint files). This is the metadata half of
+    ``operators/layout.py::write_zordered`` — the rewrite that makes
+    min/max file stats prune on BOTH clustering columns; checked here
+    because the Z-arithmetic (equi-width buckets from exact bounds +
+    bit interleave, all integer ops) must be bit-identical on any
+    engine. One scan + a 1-row bounds aggregate broadcast back; no
+    shuffle until the (not-checked) range exchange that lays files out."""
+    from stream_loader_spark.operators.layout import zorder_value
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_date(F.to_date("o_orderdate")).alias("day_no"),
+    )
+    z = zorder_value(o, ["o_custkey", "day_no"], bits=_ZORDER_BITS)
+    return z.select(
+        "o_orderkey",
+        "zvalue",
+        F.shiftright("zvalue", 12).alias("zfile"),
+    )

@@ -772,3 +772,96 @@ class TestStreamAnomalies:
         df = spark.createDataFrame([("solo", 42.0)], "topic string, value double")
         [row] = stream_anomaly_stats(df, "topic", "value").collect()
         assert (row.n_events, row.n_outliers, row.max_abs_z) == (1, 0, 0.0)
+
+
+class TestZOrderLayout:
+    """operators/layout.py: Morton coding + clustered write."""
+
+    def test_zvalue_matches_python_reference(self, spark):
+        from stream_loader_spark.operators.layout import zorder_value
+
+        rows = [(i, x, y) for i, (x, y) in enumerate(
+            (x, y) for x in range(0, 64, 7) for y in range(100, 400, 31)
+        )]
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        got = {
+            r["id"]: r["zvalue"]
+            for r in zorder_value(df, ["x", "y"], bits=8).collect()
+        }
+
+        xs = [x for _, x, _ in rows]
+        ys = [y for _, _, y in rows]
+        mnx, mxx, mny, mxy = min(xs), max(xs), min(ys), max(ys)
+
+        def bucket(v, mn, mx):
+            return (v - mn) * 256 // (mx - mn + 1)
+
+        def morton(bx, by):
+            z = 0
+            for b in range(8):
+                z |= ((bx >> b) & 1) << (2 * b)
+                z |= ((by >> b) & 1) << (2 * b + 1)
+            return z
+
+        for i, x, y in rows:
+            assert got[i] == morton(bucket(x, mnx, mxx), bucket(y, mny, mxy))
+
+    def test_zvalue_locality(self, spark):
+        """Neighbors in both dimensions get nearby Z-values: the max
+        Z-distance of a one-bucket step is bounded, so range-disjoint
+        files cover small hyper-rectangles (the pruning property)."""
+        from stream_loader_spark.operators.layout import zorder_value
+
+        n = 16
+        df = spark.createDataFrame(
+            [(x * n + y, x, y) for x in range(n) for y in range(n)],
+            "id long, x long, y long",
+        )
+        z = {
+            (r["x"], r["y"]): r["zvalue"]
+            for r in zorder_value(df, ["x", "y"], bits=4).collect()
+        }
+        # full 4-bit grid: the Morton code is a bijection onto 0..255
+        assert sorted(z.values()) == list(range(n * n))
+
+    def test_write_zordered_files_are_range_disjoint(self, spark, tmp_path):
+        import os
+
+        from stream_loader_spark.operators.layout import write_zordered
+
+        df = spark.range(5000).select(
+            F.col("id"),
+            (F.col("id") * 37 % 1000).alias("x"),
+            (F.col("id") * 91 % 365).alias("y"),
+        )
+        out = str(tmp_path / "zo")
+        write_zordered(df, out, ["x", "y"], bits=8, n_files=8)
+
+        files = [
+            os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+        ]
+        assert len(files) > 1
+        spans = []
+        total = 0
+        for f in files:
+            pdf = spark.read.parquet(f).agg(
+                F.min("zvalue"), F.max("zvalue"), F.count(F.lit(1))
+            ).collect()[0]
+            if pdf[2]:
+                spans.append((pdf[0], pdf[1]))
+                total += pdf[2]
+        assert total == 5000
+        spans.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            # range exchange: identical boundary values may straddle,
+            # anything beyond that means the files are not clustered
+            assert hi1 <= lo2
+
+    def test_rejects_overflowing_bit_budget(self, spark):
+        import pytest
+
+        from stream_loader_spark.operators.layout import zorder_value
+
+        df = spark.range(1).select(F.col("id").alias("a"), F.col("id").alias("b"))
+        with pytest.raises(ValueError):
+            zorder_value(df, ["a", "b"], bits=32)
