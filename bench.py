@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "multimodal_frames",
     "clean_corpus_pipeline",
     "zorder_layout_orders",
+    "incremental_agg_totals",
 ]
 
 

@@ -3804,3 +3804,43 @@ def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zvalue",
         F.shiftright("zvalue", 12).alias("zfile"),
     )
+
+
+@query(
+    "incremental_agg_totals",
+    """SELECT event_type, CAST(ts AS DATE) AS dt,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY 1, 2""",
+)
+def incremental_agg_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance (operators/matview.py): per
+    (event_type, day) totals built INCREMENTALLY — the input split
+    into two disjoint slices, each reduced to mergeable state, the
+    states folded, then finalized — checked against the oracle's
+    single full-table aggregation. Equality holds because every state
+    column is a commutative monoid (count/decimal-sum/min/max), which
+    is exactly the property that makes delta refreshes correct at any
+    batch boundary; a float sum would already disagree here."""
+    from stream_loader_spark.operators.matview import (
+        aggregate_state,
+        finalize_aggregates,
+        merge_aggregate_states,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("dt"), "value", "event_id"
+    )
+    slices = [
+        aggregate_state(
+            ev.where(F.pmod("event_id", F.lit(2)) == i),
+            ["event_type", "dt"],
+            ["value"],
+        )
+        for i in (0, 1)
+    ]
+    merged = merge_aggregate_states(slices, ["event_type", "dt"])
+    return finalize_aggregates(merged, ["event_type", "dt"])

@@ -865,3 +865,84 @@ class TestZOrderLayout:
         df = spark.range(1).select(F.col("id").alias("a"), F.col("id").alias("b"))
         with pytest.raises(ValueError):
             zorder_value(df, ["a", "b"], bits=32)
+
+
+class TestIncrementalAggregates:
+    """operators/matview.py: mergeable per-key aggregate state."""
+
+    def _events(self, spark, n=400):
+        return spark.range(n).select(
+            (F.col("id") % 7).alias("k"),
+            (F.col("id") * 13 % 97).cast("double").alias("value"),
+            F.col("id"),
+        )
+
+    def test_split_independence(self, spark):
+        """state(A ∪ B ∪ C) == merge(state(A), state(B), state(C)) for
+        an arbitrary 3-way split — the monoid law delta refresh rests on."""
+        from stream_loader_spark.operators.matview import (
+            aggregate_state,
+            finalize_aggregates,
+            merge_aggregate_states,
+        )
+
+        ev = self._events(spark)
+        whole = finalize_aggregates(
+            aggregate_state(ev, ["k"], ["value"]), ["k"]
+        )
+        parts = [
+            aggregate_state(ev.where(F.pmod("id", F.lit(3)) == i), ["k"], ["value"])
+            for i in range(3)
+        ]
+        merged = finalize_aggregates(
+            merge_aggregate_states(parts, ["k"]), ["k"]
+        )
+        assert sorted(map(tuple, whole.collect())) == sorted(
+            map(tuple, merged.collect())
+        )
+
+    def test_merge_keeps_state_schema(self, spark):
+        """Merged state must be re-mergeable: Spark widens decimal sums,
+        so an uncast merge would drift the schema round over round."""
+        from stream_loader_spark.operators.matview import (
+            aggregate_state,
+            merge_aggregate_states,
+        )
+
+        ev = self._events(spark)
+        s1 = aggregate_state(ev, ["k"], ["value"])
+        m1 = merge_aggregate_states([s1, s1], ["k"])
+        m2 = merge_aggregate_states([m1, s1], ["k"])
+
+        def shape(df):
+            # nullability is not part of the contract (count() is
+            # non-null, sum-of-counts nullable; both are always set)
+            return [(f.name, f.dataType) for f in df.schema.fields]
+
+        assert shape(m1) == shape(s1) == shape(m2)
+
+    def test_upsert_persistence_round_trip(self, spark, tmp_path):
+        """The storage composition: state persisted through UpsertSink
+        between refreshes, folded with the next delta after reload —
+        the crash-safe incremental-refresh loop."""
+        from stream_loader_spark.operators.matview import (
+            aggregate_state,
+            finalize_aggregates,
+            merge_aggregate_states,
+        )
+        from stream_loader_spark.sinks.upsert import UpsertSink
+
+        ev = self._events(spark)
+        sink = UpsertSink(str(tmp_path / "mv"), key_cols=["k"], order_col="n")
+
+        first = aggregate_state(ev.where(F.col("id") < 250), ["k"], ["value"])
+        sink.write_batch(first, batch_id=0)
+
+        prior = sink.current_state(spark).drop("_bucket")
+        delta = aggregate_state(ev.where(F.col("id") >= 250), ["k"], ["value"])
+        merged = merge_aggregate_states([prior, delta], ["k"])
+        sink.write_batch(merged, batch_id=1)
+
+        got = finalize_aggregates(sink.current_state(spark).drop("_bucket"), ["k"])
+        want = finalize_aggregates(aggregate_state(ev, ["k"], ["value"]), ["k"])
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
