@@ -214,26 +214,29 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # three passes per query, report the min: one-shot numbers on a busy
-    # local machine are noise-dominated; the min is the steady-state cost
-    # (pass 1 additionally absorbs per-plan codegen compilation).
+    # three CONSECUTIVE passes per query, report the min: one-shot
+    # numbers on a busy local machine are noise-dominated; the min is
+    # the steady-state cost (pass 1 absorbs per-plan codegen
+    # compilation). Consecutive beats three full sweeps: with 100+
+    # distinct plans a sweep evicts each query's generated classes and
+    # shuffle locality before its next pass, inflating mins by up to
+    # 5x (measured: multimodal_features 2.67s sweep-min vs 0.50s
+    # consecutive-min — pure measurement pollution, same plan).
     # A query that raises is recorded as failed and skipped — one broken
     # query must never zero the whole bench (round-3 lesson: a single
     # AnalysisException crashed the run and the driver recorded rc=1).
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for _ in range(3):
-        for name in BENCH_QUERIES:
-            if name in failures:
-                continue
-            fn = QUERIES[name]
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        for _ in range(3):
             t0 = time.time()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001 — degrade, don't die
                 failures[name] = f"{type(exc).__name__}: {exc}"[:300]
                 timings.pop(name, None)
-                continue
+                break
             took = round(time.time() - t0, 3)
             if name not in timings or took < timings[name]:
                 timings[name] = took

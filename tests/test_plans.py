@@ -272,3 +272,24 @@ class TestAnalyticsPlanPins:
         plan = plan_of(spark, "stream_anomaly_stats", sf_small)
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_zorder_is_pure_codegen_over_one_scalar_broadcast(self, spark, sf_small):
+        """The Morton code compiles to integer expressions on the scan;
+        the only exchanges are the 1-row bounds aggregate and its
+        broadcast — the corpus side never hash-shuffles and no Python
+        UDF appears anywhere."""
+        plan = plan_of(spark, "zorder_layout_orders", sf_small)
+        assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar cross join
+        assert "hashpartitioning" not in plan
+        assert "Python" not in plan
+        assert "Exchange SinglePartition" in plan  # the bounds aggregate
+
+    def test_incremental_agg_merge_reuses_slice_partitioning(self, spark, sf_small):
+        """The state merge aggregates directly over the Union of the
+        already-hash-partitioned slices: exactly two exchanges (one per
+        slice), none for the merge — the fold is state-sized."""
+        plan = plan_of(spark, "incremental_agg_totals", sf_small)
+        assert "Union" in plan
+        assert plan.count("Exchange hashpartitioning") == 2
+        # 3 two-phase aggregates: one per slice + the merge fold
+        assert plan.count("HashAggregate") == 6

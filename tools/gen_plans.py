@@ -118,6 +118,16 @@ ANNOTATED = {
         "broadcast argmax assignment; label rollups are "
         "cluster-count-sized aggregates"
     ),
+    "zorder_layout_orders": (
+        "1-row bounds aggregate broadcast back as a scalar join; the "
+        "Morton interleave is pure integer codegen on the scan — no "
+        "UDF, no corpus-sized exchange before the range layout"
+    ),
+    "incremental_agg_totals": (
+        "two sliced partial-state aggregates union into ONE state-sized "
+        "merge aggregate; exact decimal sums make the fold "
+        "batch-split-independent"
+    ),
 }
 
 
