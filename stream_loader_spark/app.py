@@ -1,0 +1,195 @@
+"""Config-driven loader assembly — the reference's application entry.
+
+The reference wires loaders from typed HOCON configs
+(stream-loader-tests/src/main/resources/common.conf +
+application-{s3,hdfs,clickhouse,vertica,iceberg}.conf: kafka consumer
+properties + topic, batch size/commit triggers, storage-specific
+blocks). This module is that surface for the Spark engine: a plain
+dict (JSON-friendly — HOCON's role in the JVM ecosystem) assembles a
+``StreamPipeline`` plus sink, so a deployment is data, not code:
+
+    app = build_app(spark, {
+        "source": {"type": "file", "path": "/in", "schema": REC_SCHEMA},
+        "format": {"type": "json", "schema": "k BIGINT, v STRING"},
+        "watermark": {"column": "ts", "delay": "10 minutes"},
+        "partition": {"column": "ts"},
+        "sink": {"type": "manifest", "path": "/out",
+                 "partition-by": "dt"},
+        "checkpoint": "/chk",
+    })
+    app.pipeline.run_available()      # or .start() for continuous
+
+Config keys mirror the reference's block names (kafka consumer
+properties pass through verbatim, as the reference passes them to the
+KafkaConsumer). Validation is strict: unknown keys raise with the
+allowed set — the safety the reference gets from typed config classes,
+which a stringly dict would otherwise silently lose.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from stream_loader_spark.streaming.pipeline import StreamPipeline
+
+_TOP_KEYS = {"source", "kafka", "format", "watermark", "partition", "dedup", "sink", "checkpoint", "trigger"}
+_SOURCE_KEYS = {"type", "path", "schema", "format", "options"}
+_KAFKA_KEYS = {"bootstrap-servers", "topic", "topic-pattern", "consumer", "default-offsets"}
+_FORMAT_KEYS = {"type", "schema", "value-column", "mode"}
+_WATERMARK_KEYS = {"column", "delay", "valid-diff"}
+_PARTITION_KEYS = {"column", "out"}
+_SINK_KEYS = {"type", "path", "partition-by", "url", "table", "key-columns", "order-column", "num-buckets"}
+
+
+def _check_keys(block: dict, allowed: set[str], where: str) -> None:
+    unknown = set(block) - allowed
+    if unknown:
+        raise ValueError(
+            f"unknown {where} config keys {sorted(unknown)}; allowed: {sorted(allowed)}"
+        )
+
+
+@dataclass
+class LoaderApp:
+    """An assembled loader: the pipeline plus the sink it commits to
+    (exposed so operators/recovery can interrogate committed
+    positions, mirroring how the reference hands the storage to both
+    the loader and the recovery path)."""
+
+    pipeline: StreamPipeline
+    sink: Callable[[DataFrame, int], None]
+
+
+def _build_sink(spark: SparkSession, cfg: dict):
+    _check_keys(cfg, _SINK_KEYS, "sink")
+    kind = cfg.get("type")
+    if kind == "manifest":
+        from stream_loader_spark.sinks.manifest import ManifestFileSink
+
+        return ManifestFileSink(cfg["path"], partition_by=cfg.get("partition-by"))  # str col name
+    if kind == "offsets":
+        from stream_loader_spark.sinks.offsets import InRowOffsetsSink
+
+        return InRowOffsetsSink(cfg["path"])
+    if kind == "upsert":
+        from stream_loader_spark.sinks.upsert import UpsertSink
+
+        return UpsertSink(
+            cfg["path"],
+            key_cols=list(cfg["key-columns"]),
+            order_col=cfg["order-column"],
+            num_buckets=int(cfg.get("num-buckets", 16)),
+        )
+    raise ValueError(f"unknown sink type {kind!r}; allowed: manifest, offsets, upsert")
+
+
+def _validate(config: dict) -> None:
+    """Whole-config validation BEFORE any assembly: a typo in the last
+    block must fail before the first block touches storage (the
+    reference's typed config classes fail at parse time the same
+    way)."""
+    _check_keys(config, _TOP_KEYS, "top-level")
+    if ("source" in config) == ("kafka" in config):
+        raise ValueError("exactly one of 'source' (file/test) or 'kafka' is required")
+    if "sink" not in config or "checkpoint" not in config:
+        raise ValueError("'sink' and 'checkpoint' are required")
+    if "kafka" in config:
+        _check_keys(config["kafka"], _KAFKA_KEYS, "kafka")
+    else:
+        _check_keys(config["source"], _SOURCE_KEYS, "source")
+        if config["source"].get("type", "file") != "file":
+            raise ValueError(
+                f"unknown source type {config['source'].get('type')!r}; allowed: file"
+            )
+    for block, allowed in (
+        ("format", _FORMAT_KEYS),
+        ("watermark", _WATERMARK_KEYS),
+        ("partition", _PARTITION_KEYS),
+        ("sink", _SINK_KEYS),
+    ):
+        if block in config:
+            _check_keys(config[block], allowed, block)
+    if "format" in config and config["format"].get("type", "json") not in (
+        "json",
+        "avro",
+        "protobuf",
+    ):
+        raise ValueError(
+            f"unknown format type {config['format'].get('type')!r}; "
+            "allowed: json, avro, protobuf"
+        )
+    if config["sink"].get("type") not in ("manifest", "offsets", "upsert"):
+        raise ValueError(
+            f"unknown sink type {config['sink'].get('type')!r}; "
+            "allowed: manifest, offsets, upsert"
+        )
+
+
+def build_app(spark: SparkSession, config: dict) -> LoaderApp:
+    """Assemble a loader from config. Transform order is fixed
+    (format → watermark → partition → dedup), matching the reference's
+    formatter → watermark tracking → partitioner → batcher order."""
+    _validate(config)
+
+    pipe = StreamPipeline(spark)
+
+    if "kafka" in config:
+        k = config["kafka"]
+        pipe.from_kafka(
+            k["bootstrap-servers"],
+            subscribe=k.get("topic"),
+            subscribe_pattern=k.get("topic-pattern"),
+            default_offsets=k.get("default-offsets", "earliest"),
+            # consumer properties pass through verbatim, prefixed the
+            # way Spark's Kafka source expects (the reference passes
+            # its consumer block straight to the KafkaConsumer)
+            **{f"kafka.{p}": v for p, v in (k.get("consumer") or {}).items()},
+        )
+    else:
+        s = config["source"]
+        pipe.from_file_stream(
+            s["path"], s["schema"], fmt=s.get("format", "parquet"), **(s.get("options") or {})
+        )
+
+    if "format" in config:
+        f = config["format"]
+        kind = f.get("type", "json")
+        if kind == "json":
+            pipe.format_records(f["schema"], value_col=f.get("value-column", "props"))
+        elif kind == "avro":
+            pipe.format_avro(
+                f["schema"], value_col=f.get("value-column", "value"), mode=f.get("mode", "PERMISSIVE")
+            )
+        else:
+            pipe.format_protobuf(f["schema"], value_col=f.get("value-column", "value"))
+
+    if "watermark" in config:
+        w = config["watermark"]
+        kwargs = {}
+        if "valid-diff" in w:
+            kwargs["valid_diff"] = w["valid-diff"]
+        pipe.clamp_watermark(w.get("column", "ts"), delay=w.get("delay", "10 minutes"), **kwargs)
+
+    if "partition" in config:
+        p = config["partition"]
+        pipe.partition_by_date(p.get("column", "ts"), out_col=p.get("out", "dt"))
+
+    if "dedup" in config:
+        pipe.dedup_within_watermark(*config["dedup"]["keys"])
+
+    sink = _build_sink(spark, config["sink"])
+    pipe.sink(sink, config["checkpoint"])
+    if "trigger" in config:
+        pipe.trigger(**config["trigger"])
+    return LoaderApp(pipeline=pipe, sink=sink)
+
+
+def load_app(spark: SparkSession, config_path: str) -> LoaderApp:
+    """Assemble from a JSON config file (the deployment artifact)."""
+    import json
+
+    with open(config_path) as fh:
+        return build_app(spark, json.load(fh))

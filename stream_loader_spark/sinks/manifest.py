@@ -283,7 +283,34 @@ class ManifestFileSink:
         dirs = [b.data_dir for b in self.committed_batches() if os.path.exists(b.data_dir)]
         if not dirs:
             raise ValueError("no committed batches")
-        return self._build_reader(spark).load(dirs)
+        return self._load_dirs(spark, dirs)
+
+    def _load_dirs(self, spark: SparkSession, dirs: list[str]) -> DataFrame:
+        """Union of per-dir loads. Each dir is read as its OWN root:
+        a single multi-root load breaks under ``partition_by`` —
+        Spark's partition discovery sees the batch=N/compact=N dir
+        names themselves as (conflicting) partition columns
+        (CONFLICTING_DIRECTORY_STRUCTURES). Per-root loads keep the
+        in-dir date partitions inferred, ``allowMissingColumns``
+        carries schema evolution across batches, and empty batch dirs
+        (a committed batch whose write produced no files) are skipped
+        instead of failing schema inference. Plan size is O(#live
+        dirs) — bounded by ``compact_data``."""
+        dfs = [
+            self._build_reader(spark).load(d)
+            for d in dirs
+            if any(
+                not f.startswith(("_", "."))
+                for _root, _sub, files in os.walk(d)
+                for f in files
+            )
+        ]
+        if not dfs:
+            raise ValueError("no committed data files")
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        return out
 
     def _build_reader(self, spark: SparkSession):
         """Reader mirroring the writer's options: mergeSchema for parquet
@@ -316,8 +343,8 @@ class ManifestFileSink:
         # same reader as committed_data: without mergeSchema, compacting
         # batches with evolved schemas would silently drop later-added
         # columns — irreversibly once vacuum() deletes the originals
-        df = self._build_reader(spark).load(
-            [b.data_dir for b in live if os.path.exists(b.data_dir)]
+        df = self._load_dirs(
+            spark, [b.data_dir for b in live if os.path.exists(b.data_dir)]
         )
         self._build_writer(df).save(target)
 
