@@ -1239,3 +1239,77 @@ class TestUpsertChangeFeed:
         sink.write_batch(self._df(spark, [(1, "a", 1)]), 0)
         with pytest.raises(ValueError, match="no retained snapshot"):
             sink.change_feed(spark, 5)
+
+
+class TestIncrementalAggSink:
+    """sinks/matview.py: continuous aggregation with delta-sized work."""
+
+    SCHEMA = "k bigint, value double, ts timestamp"
+
+    def _rows(self, spark, lo, hi):
+        from datetime import datetime
+
+        return spark.createDataFrame(
+            [(i % 5, float(i * 7 % 13), datetime(2024, 1, 1)) for i in range(lo, hi)],
+            self.SCHEMA,
+        )
+
+    def test_streamed_view_equals_full_aggregate(self, spark, tmp_path):
+        from stream_loader_spark.operators.matview import (
+            aggregate_state,
+            finalize_aggregates,
+        )
+        from stream_loader_spark.sinks.matview import IncrementalAggSink
+        from stream_loader_spark.streaming.pipeline import StreamPipeline
+
+        src = str(tmp_path / "src")
+        self._rows(spark, 0, 40).coalesce(1).write.mode("append").parquet(src)
+        sink = IncrementalAggSink(str(tmp_path / "mv"), ["k"], ["value"])
+        pipe = (
+            StreamPipeline(spark)
+            .from_file_stream(src, self.SCHEMA, maxFilesPerTrigger=1)
+            .sink(sink, str(tmp_path / "chk"))
+        )
+        pipe.run_available()
+        self._rows(spark, 40, 100).coalesce(1).write.mode("append").parquet(src)
+        pipe.run_available()
+
+        got = sorted(map(tuple, sink.current_view(spark).collect()))
+        want = sorted(
+            map(
+                tuple,
+                finalize_aggregates(
+                    aggregate_state(self._rows(spark, 0, 100), ["k"], ["value"]), ["k"]
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    def test_replay_is_noop(self, spark, tmp_path):
+        from stream_loader_spark.sinks.matview import IncrementalAggSink
+
+        sink = IncrementalAggSink(str(tmp_path / "mv"), ["k"], ["value"])
+        batch = self._rows(spark, 0, 30)
+        sink.write_batch(batch, 0)
+        once = sorted(map(tuple, sink.current_view(spark).collect()))
+        sink.write_batch(batch, 0)  # at-least-once redelivery
+        assert sorted(map(tuple, sink.current_view(spark).collect())) == once
+
+    def test_batch_touches_only_its_buckets(self, spark, tmp_path):
+        """Delta-sized maintenance: a batch over a single key must leave
+        every other bucket's committed version untouched."""
+        from pyspark.sql import functions as F
+        from stream_loader_spark.sinks.matview import IncrementalAggSink
+
+        sink = IncrementalAggSink(str(tmp_path / "mv"), ["k"], ["value"], num_buckets=8)
+        sink.write_batch(self._rows(spark, 0, 40), 0)
+        before = sink.upsert.bucket_versions()
+
+        one_key = self._rows(spark, 0, 10).where(F.col("k") == 3)
+        sink.write_batch(one_key, 1)
+        after = sink.upsert.bucket_versions()
+
+        changed = {b for b in after if after[b] != before.get(b)}
+        assert len(changed) == 1  # exactly the bucket key 3 hashes into
+        n3 = sink.current_view(spark).where(F.col("k") == 3).select("n").first()[0]
+        assert n3 == 8 + 2  # 8 rows of k=3 in batch 0, 2 in batch 1
