@@ -293,3 +293,23 @@ class TestAnalyticsPlanPins:
         assert plan.count("Exchange hashpartitioning") == 2
         # 3 two-phase aggregates: one per slice + the merge fold
         assert plan.count("HashAggregate") == 6
+
+
+class TestScaleAuditCensus:
+    def test_no_cartesian_or_row_udf_anywhere(self, spark, sf_small):
+        """tools/scale_audit.py invariant over EVERY declared query:
+        no CartesianProduct, no row-at-a-time Python UDF — the two
+        plan shapes that disqualify a query at 100 TB regardless of
+        how fast it runs at fixture scale."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from tools.scale_audit import audit_one, plan_text
+        from stream_loader_spark.plans.queries import QUERIES
+
+        flagged = {}
+        for name in QUERIES:
+            flags = audit_one(plan_text(spark, name, sf_small))["flags"]
+            if flags:
+                flagged[name] = flags
+        assert flagged == {}
