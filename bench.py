@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "clean_corpus_pipeline",
     "zorder_layout_orders",
     "incremental_agg_totals",
+    "data_quality_report",
 ]
 
 

@@ -3844,3 +3844,52 @@ def incremental_agg_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     merged = merge_aggregate_states(slices, ["event_type", "dt"])
     return finalize_aggregates(merged, ["event_type", "dt"])
+
+
+@query(
+    "data_quality_report",
+    """WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        SUM(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END) AS v_id,
+        SUM(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END) AS v_text,
+        SUM(CASE WHEN lang IS NULL OR lang IN ('en','de','fr','es') THEN 0 ELSE 1 END) AS v_lang,
+        SUM(CASE WHEN n_chars IS NULL OR (n_chars >= 0 AND n_chars <= 500) THEN 0 ELSE 1 END) AS v_len,
+        SUM(CASE WHEN source IS NULL OR regexp_matches(source, 'src[0-9]+') THEN 0 ELSE 1 END) AS v_src,
+        SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS v_consistent
+      FROM documents)
+    SELECT chk AS "check", n_rows, CAST(v AS BIGINT) AS n_violations,
+           CAST(n_rows - v AS DOUBLE) / CAST(n_rows AS DOUBLE) AS pass_rate
+    FROM agg, LATERAL (VALUES
+      ('doc_id_not_null', v_id), ('text_not_null', v_text),
+      ('lang_known', v_lang), ('n_chars_in_range', v_len),
+      ('source_format', v_src), ('n_chars_consistent', v_consistent)) AS t(chk, v)""",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation report over the documents corpus: six declared
+    checks (null guards, value domain, range, format regex, and a
+    cross-column consistency invariant), each a conditional SUM inside
+    ONE hash aggregate — a single corpus pass regardless of how many
+    expectations a deployment declares. NULL predicate results count
+    as violations (an unevaluable check must not silently pass). The
+    'lang_known' and 'n_chars_in_range' checks fail on real fixture
+    rows (zh docs; long docs), so the report is exercised non-trivially."""
+    from stream_loader_spark.operators.quality import (
+        in_range,
+        matches,
+        not_null,
+        one_of,
+        quality_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_report(
+        docs,
+        {
+            "doc_id_not_null": not_null("doc_id"),
+            "text_not_null": not_null("text"),
+            "lang_known": one_of("lang", ["en", "de", "fr", "es"]),
+            "n_chars_in_range": in_range("n_chars", 0, 500),
+            "source_format": matches("source", "src[0-9]+"),
+            "n_chars_consistent": F.col("n_chars") == F.length("text"),
+        },
+    )
