@@ -41,6 +41,7 @@ _KAFKA_KEYS = {"bootstrap-servers", "topic", "topic-pattern", "consumer", "defau
 _FORMAT_KEYS = {"type", "schema", "value-column", "mode"}
 _WATERMARK_KEYS = {"column", "delay", "valid-diff"}
 _PARTITION_KEYS = {"column", "out"}
+_DEDUP_KEYS = {"keys"}
 _SINK_KEYS = {"type", "path", "partition-by", "url", "table", "key-columns", "order-column", "num-buckets"}
 
 
@@ -108,10 +109,13 @@ def _validate(config: dict) -> None:
         ("format", _FORMAT_KEYS),
         ("watermark", _WATERMARK_KEYS),
         ("partition", _PARTITION_KEYS),
+        ("dedup", _DEDUP_KEYS),
         ("sink", _SINK_KEYS),
     ):
         if block in config:
             _check_keys(config[block], allowed, block)
+    if "dedup" in config and not config["dedup"].get("keys"):
+        raise ValueError("dedup block requires a non-empty 'keys' list")
     if "format" in config and config["format"].get("type", "json") not in (
         "json",
         "avro",

@@ -50,6 +50,17 @@ def one_of(col: str, values: list) -> Column:
     return c.isNull() | c.isin(values)
 
 
+def _check_names(expectations: dict[str, Column]) -> None:
+    """Check names reach a selectExpr string (stack literals), so they
+    are restricted to identifier characters — a quote in a name must
+    fail loudly, not splice into the expression."""
+    import re
+
+    bad = [n for n in expectations if not re.fullmatch(r"[A-Za-z0-9_.-]+", n)]
+    if bad:
+        raise ValueError(f"expectation names must be identifier-like, got {bad}")
+
+
 def quality_report(df: DataFrame, expectations: dict[str, Column]) -> DataFrame:
     """One row per expectation: (check, n_rows, n_violations, pass_rate).
 
@@ -59,6 +70,7 @@ def quality_report(df: DataFrame, expectations: dict[str, Column]) -> DataFrame:
     """
     if not expectations:
         raise ValueError("no expectations declared")
+    _check_names(expectations)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name, pred in expectations.items():
         aggs.append(

@@ -96,3 +96,25 @@ class TestBuildApp:
         app.pipeline.run_available()
         state = app.sink.current_state(spark)
         assert state.count() == 20  # one row per key, latest wins
+
+
+class TestConfigHardening:
+    def test_dedup_block_validated(self, spark, tmp_path):
+        cfg = {
+            "source": {"type": "file", "path": str(tmp_path / "s"), "schema": REC_SCHEMA},
+            "dedup": {"kyes": ["k"]},
+            "sink": {"type": "manifest", "path": str(tmp_path / "o")},
+            "checkpoint": str(tmp_path / "c"),
+        }
+        with pytest.raises(ValueError, match="kyes"):
+            build_app(spark, cfg)
+        cfg["dedup"] = {"keys": []}
+        with pytest.raises(ValueError, match="non-empty"):
+            build_app(spark, cfg)
+
+    def test_quality_names_are_identifier_checked(self, spark):
+        from stream_loader_spark.operators.quality import not_null, quality_report
+
+        df = spark.range(3).select(F.col("id"))
+        with pytest.raises(ValueError, match="identifier-like"):
+            quality_report(df, {"bad' name": not_null("id")})
