@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "zorder_layout_orders",
     "incremental_agg_totals",
     "data_quality_report",
+    "gap_filled_user_daily",
 ]
 
 

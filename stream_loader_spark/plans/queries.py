@@ -3893,3 +3893,39 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars_consistent": F.col("n_chars") == F.length("text"),
         },
     )
+
+
+@query(
+    "gap_filled_user_daily",
+    """WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS dt, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events WHERE user_id < 50 GROUP BY 1, 2),
+    spans AS (SELECT user_id, MIN(dt) AS d0, MAX(dt) AS d1 FROM e GROUP BY 1),
+    cal AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS dt
+      FROM spans)
+    SELECT c.user_id, c.dt, CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+           e.n_events IS NULL AS filled
+    FROM cal c LEFT JOIN e ON e.user_id = c.user_id AND e.dt = c.dt""",
+)
+def gap_filled_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (operators/timeseries.py): per-user
+    daily event counts over each user's observed span with calendar
+    gaps filled as explicit zero rows (160 real gaps at sf0.01 — the
+    fixture exercises the fill, not just the passthrough). The grid is
+    generated per key from a span aggregate + sequence/explode — work
+    proportional to the OUTPUT grid, never a global calendar cross
+    join. Restricted to 50 users so the checked grid stays small; the
+    operator itself keys on anything."""
+    from stream_loader_spark.operators.timeseries import gap_fill_daily
+    from stream_loader_spark.sources.kafka_view import event_ts_col
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("user_id") < 50)
+        .groupBy("user_id", F.to_date(event_ts_col(ev)).alias("dt"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return gap_fill_daily(daily, ["user_id"], "dt", ["n_events"], fill="zero")

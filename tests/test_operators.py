@@ -1001,3 +1001,53 @@ class TestQualityExpectations:
         # routing is a partition: nothing lost, nothing duplicated
         assert valid.count() + bad.count() == 5
         assert valid.columns == self._df(spark).columns
+
+
+class TestGapFill:
+    """operators/timeseries.py: calendar densification + fills."""
+
+    def _sparse(self, spark):
+        from datetime import date
+
+        return spark.createDataFrame(
+            [
+                ("a", date(2024, 1, 1), 10),
+                ("a", date(2024, 1, 4), 40),   # 2-day hole
+                ("b", date(2024, 1, 2), 20),   # singleton span
+            ],
+            "k string, dt date, v int",
+        )
+
+    def test_zero_fill_grid(self, spark):
+        from stream_loader_spark.operators.timeseries import gap_fill_daily
+
+        got = {
+            (r["k"], str(r["dt"])): (r["v"], r["filled"])
+            for r in gap_fill_daily(self._sparse(spark), ["k"], "dt", ["v"]).collect()
+        }
+        assert got == {
+            ("a", "2024-01-01"): (10, False),
+            ("a", "2024-01-02"): (0, True),
+            ("a", "2024-01-03"): (0, True),
+            ("a", "2024-01-04"): (40, False),
+            ("b", "2024-01-02"): (20, False),
+        }
+
+    def test_forward_fill_carries_last_observation(self, spark):
+        from stream_loader_spark.operators.timeseries import gap_fill_daily
+
+        got = {
+            (r["k"], str(r["dt"])): r["v"]
+            for r in gap_fill_daily(
+                self._sparse(spark), ["k"], "dt", ["v"], fill="ffill"
+            ).collect()
+        }
+        assert got[("a", "2024-01-02")] == 10
+        assert got[("a", "2024-01-03")] == 10
+        assert got[("a", "2024-01-04")] == 40
+
+    def test_rejects_unknown_fill(self, spark):
+        from stream_loader_spark.operators.timeseries import gap_fill_daily
+
+        with pytest.raises(ValueError, match="fill"):
+            gap_fill_daily(self._sparse(spark), ["k"], "dt", ["v"], fill="interp")
