@@ -135,6 +135,9 @@ BENCH_QUERIES = [
     "incremental_agg_totals",
     "data_quality_report",
     "gap_filled_user_daily",
+    "hll_union_daily_users",
+    "theta_retention_overlap",
+    "kll_merged_median",
 ]
 
 

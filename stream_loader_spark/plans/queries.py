@@ -3929,3 +3929,158 @@ def gap_filled_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     return gap_fill_daily(daily, ["user_id"], "dt", ["n_events"], fill="zero")
+
+
+@query(
+    "hll_union_daily_users",
+    f"""{_KAFKA_CTE}
+    SELECT topic,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_sketches,
+           CAST(COUNT(DISTINCT value) AS BIGINT) AS distinct_exact,
+           COUNT(DISTINCT value) >= 0 AS within_tolerance
+    FROM kafka GROUP BY topic""",
+)
+def hll_union_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct sketches (operators/sketches.py): one HLL
+    sketch per (topic, day) — the stored layer — unioned per topic and
+    estimated, next to the exact count. The checked bit is the
+    within-tolerance contract (|union-estimate − exact|/exact ≤ 0.05;
+    lg_k=14 ≈ 0.8% rsd); the oracle derives constant TRUE from exact
+    counts, so a red row means the merged sketch drifted outside its
+    advertised error. This is the arbitrary-date-range distinct-count
+    pattern at 100 TB: rollups merge kilobyte sketches, never re-scan
+    the corpus."""
+    from stream_loader_spark.operators.sketches import (
+        daily_hll_sketches,
+        hll_union_estimate,
+    )
+
+    rec = _events(spark, sf_dir)
+    daily = daily_hll_sketches(
+        rec,
+        "topic",
+        F.to_date("ts").alias("dt"),
+        # sketch input must be int/string/binary; the string cast is
+        # injective on distinct doubles, so the distinct count is the same
+        F.col("value").cast("string"),
+    )
+    union = hll_union_estimate(daily, "topic")
+    exact = rec.groupBy("topic").agg(
+        F.count_distinct("value").alias("distinct_exact")
+    )
+    return union.join(exact, "topic").select(
+        "topic",
+        F.col("n_sketches").cast("bigint").alias("n_sketches"),
+        "distinct_exact",
+        (
+            F.abs(F.col("distinct_approx") - F.col("distinct_exact"))
+            / F.col("distinct_exact")
+            <= 0.05
+        ).alias("within_tolerance"),
+    )
+
+
+@query(
+    "theta_retention_overlap",
+    f"""{_KAFKA_CTE},
+    e AS (SELECT topic, value, CAST(ts AS DATE) AS dt FROM kafka),
+    m AS (SELECT topic, MIN(dt) + CAST((MAX(dt) - MIN(dt)) // 2 AS INTEGER) AS mid
+          FROM e GROUP BY 1),
+    f AS (SELECT e.topic, e.value,
+                 MAX(e.dt <= m.mid) AS ia, MAX(e.dt > m.mid) AS ib
+          FROM e JOIN m USING (topic) GROUP BY 1, 2)
+    SELECT topic,
+           CAST(SUM(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT) AS overlap_exact,
+           TRUE AS within_tolerance
+    FROM f GROUP BY topic""",
+)
+def theta_retention_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: distinct users active in BOTH halves
+    of each topic's date span (retention overlap) — two sketch
+    aggregates over one scan and one intersection per topic, instead
+    of shuffling every (user, period) pair. The per-topic midpoint is
+    a topic-count-sized relation broadcast back. Checked via the
+    within-tolerance contract against the exact both-sides count
+    (tolerance 0.05; zero-overlap topics require approx 0)."""
+    from stream_loader_spark.operators.sketches import theta_period_overlap
+
+    rec = _events(spark, sf_dir)
+    e = rec.select("topic", "value", F.to_date("ts").alias("dt"))
+    mid = e.groupBy("topic").agg(
+        F.date_add(
+            F.min("dt"), F.floor(F.datediff(F.max("dt"), F.min("dt")) / 2).cast("int")
+        ).alias("mid")
+    )
+    em = e.join(F.broadcast(mid), "topic")
+    approx = theta_period_overlap(em, "topic", F.col("dt"), "value", F.col("mid"))
+    flags = em.groupBy("topic", "value").agg(
+        F.max(F.col("dt") <= F.col("mid")).alias("ia"),
+        F.max(F.col("dt") > F.col("mid")).alias("ib"),
+    )
+    exact = flags.groupBy("topic").agg(
+        F.sum(F.when(F.col("ia") & F.col("ib"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("overlap_exact")
+    )
+    return approx.join(exact, "topic").select(
+        "topic",
+        "overlap_exact",
+        F.when(
+            F.col("overlap_exact") == 0, F.col("overlap_approx") == 0
+        )
+        .otherwise(
+            F.abs(F.col("overlap_approx") - F.col("overlap_exact"))
+            / F.col("overlap_exact")
+            <= 0.05
+        )
+        .alias("within_tolerance"),
+    )
+
+
+@query(
+    "kll_merged_median",
+    f"""{_KAFKA_CTE}
+    SELECT topic, CAST(COUNT(value) AS BIGINT) AS n_values,
+           TRUE AS within_tolerance
+    FROM kafka GROUP BY topic""",
+)
+def kll_merged_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles (operators/sketches.py): daily KLL(double)
+    sketches per topic, merged, median read from the merged sketch.
+    Checked facts: the merged sketch's tracked stream length equals
+    the exact value count (KLL tracks n exactly — an integrity bit,
+    not an estimate), and the sketch median's TRUE rank — counted
+    exactly against the raw values on the same scan — lies within the
+    sketch's advertised rank-error band around 0.5 (k=200 ⇒ ±1.65%;
+    checked at ±0.15 for cross-day merge headroom). The oracle derives
+    constant TRUE, so a red row means the merged sketch broke its
+    rank guarantee."""
+    from stream_loader_spark.operators.sketches import (
+        daily_kll_sketches,
+        kll_merged_quantiles,
+    )
+
+    rec = _events(spark, sf_dir)
+    daily = daily_kll_sketches(rec, "topic", F.to_date("ts").alias("dt"), "value")
+    q = kll_merged_quantiles(daily, "topic", [0.5])
+    ranks = (
+        rec.join(F.broadcast(q.select("topic", "q50")), "topic")
+        .groupBy("topic")
+        .agg(
+            (
+                F.sum(F.when(F.col("value") <= F.col("q50"), 1).otherwise(0))
+                .cast("double")
+                / F.count("value").cast("double")
+            ).alias("rank_of_median")
+        )
+    )
+    return (
+        q.join(ranks, "topic")
+        .select(
+            "topic",
+            F.col("n_values").cast("bigint").alias("n_values"),
+            (
+                (F.col("rank_of_median") >= 0.35) & (F.col("rank_of_median") <= 0.65)
+            ).alias("within_tolerance"),
+        )
+    )

@@ -1051,3 +1051,67 @@ class TestGapFill:
 
         with pytest.raises(ValueError, match="fill"):
             gap_fill_daily(self._sparse(spark), ["k"], "dt", ["v"], fill="interp")
+
+
+class TestMergeableSketches:
+    """operators/sketches.py: the split-invariance that makes sketch
+    layers correct — any partition of the input merges to the same
+    answer — plus theta set algebra on known ground truth."""
+
+    def test_hll_union_is_split_invariant(self, spark):
+        from stream_loader_spark.operators.sketches import (
+            daily_hll_sketches,
+            hll_union_estimate,
+        )
+
+        df = spark.range(20_000).select(
+            F.lit("t").alias("k"),
+            (F.col("id") % 37).alias("d"),          # 37-way "daily" split
+            (F.col("id") % 5_000).cast("string").alias("v"),
+        )
+        est = hll_union_estimate(
+            daily_hll_sketches(df, "k", F.col("d"), "v"), "k"
+        ).collect()[0]
+        assert est["n_sketches"] == 37
+        assert abs(est["distinct_approx"] - 5_000) / 5_000 <= 0.05
+        # a different split of the SAME data stays within tolerance too
+        # (HLL union is duplicate-insensitive but not bit-identical
+        # across splits: sparse→dense representation transitions shift
+        # the low bits — the guarantee is the error bound, not equality)
+        est2 = hll_union_estimate(
+            daily_hll_sketches(df, "k", (F.col("d") % 3).alias("d"), "v"), "k"
+        ).collect()[0]
+        assert abs(est2["distinct_approx"] - 5_000) / 5_000 <= 0.05
+
+    def test_theta_overlap_ground_truth(self, spark):
+        from stream_loader_spark.operators.sketches import theta_period_overlap
+
+        # period A holds ids 0..999 (d=0), period B holds 500..1499 (d=1):
+        # true overlap 500
+        a = spark.range(0, 1000).select(
+            F.lit("t").alias("k"), F.lit(0).alias("d"), F.col("id").alias("v")
+        )
+        b = spark.range(500, 1500).select(
+            F.lit("t").alias("k"), F.lit(1).alias("d"), F.col("id").alias("v")
+        )
+        got = theta_period_overlap(
+            a.unionAll(b), "k", F.col("d"), "v", F.lit(0)
+        ).collect()[0]
+        assert abs(got["overlap_approx"] - 500) / 500 <= 0.05
+
+    def test_kll_merge_tracks_exact_n_and_sane_median(self, spark):
+        from stream_loader_spark.operators.sketches import (
+            daily_kll_sketches,
+            kll_merged_quantiles,
+        )
+
+        df = spark.range(10_000).select(
+            F.lit("t").alias("k"),
+            (F.col("id") % 11).alias("d"),
+            F.col("id").cast("double").alias("v"),
+        )
+        got = kll_merged_quantiles(
+            daily_kll_sketches(df, "k", F.col("d"), "v"), "k", [0.5]
+        ).collect()[0]
+        assert got["n_values"] == 10_000  # stream length is EXACT in KLL
+        assert abs(got["q50"] - 5_000) <= 10_000 * 0.05
