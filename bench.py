@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "hll_union_daily_users",
     "theta_retention_overlap",
     "kll_merged_median",
+    "props_variant_rollup",
 ]
 
 

@@ -4084,3 +4084,37 @@ def kll_merged_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_tolerance"),
         )
     )
+
+
+@query(
+    "props_variant_rollup",
+    f"""{_KAFKA_CTE}
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM("offset") AS BIGINT) AS sum_offsets
+    FROM kafka
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1""",
+)
+def props_variant_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through Spark 4's VARIANT type:
+    ``parse_json`` once into an open-schema variant column, typed
+    extraction via ``variant_get`` path queries, then a normal rollup.
+    This is the P1-adjacent path for payloads whose schema is NOT
+    declared up front (from_json needs one; variant defers typing to
+    the read site) — the right shape for loaders that land
+    heterogeneous JSON and let consumers impose structure later.
+    Oracle uses plain json_extract: the values must agree regardless
+    of which engine-side JSON representation is used."""
+    rec = _events(spark, sf_dir)
+    v = rec.select(
+        "offset", F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k")
+    )
+    return (
+        v.where(F.col("k").isNotNull())
+        .groupBy(F.pmod("k", F.lit(10)).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("offset").cast("bigint").alias("sum_offsets"),
+        )
+    )
