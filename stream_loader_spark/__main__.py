@@ -1,0 +1,57 @@
+"""CLI entry: run a configured loader.
+
+    python -m stream_loader_spark --config app.json [--drain] [--cpus N]
+
+The deployment shape: config file in, running loader out — the
+equivalent of the reference's ``StreamLoader`` main class launched
+with an application-*.conf (stream-loader-tests common.conf wiring).
+``--drain`` processes everything currently available and exits
+(backfills, tests); without it the query runs continuously until
+interrupted. Exit code 0 on a clean drain/stop, 1 on failure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="stream_loader_spark", description="Run a configured stream loader."
+    )
+    parser.add_argument("--config", required=True, help="JSON config path (see app.py)")
+    parser.add_argument(
+        "--drain",
+        action="store_true",
+        help="process available input then exit (availableNow trigger)",
+    )
+    parser.add_argument(
+        "--drain-timeout", type=int, default=300, help="drain timeout in seconds"
+    )
+    parser.add_argument("--app-name", default="stream_loader_spark")
+    args = parser.parse_args(argv)
+
+    from stream_loader_spark.app import load_app
+    from stream_loader_spark.session import get_spark
+
+    spark = get_spark(args.app_name)
+    try:
+        app = load_app(spark, args.config)
+    except (OSError, ValueError) as exc:
+        print(f"config error: {exc}", file=sys.stderr)
+        return 1
+
+    if args.drain:
+        app.pipeline.run_available(timeout_sec=args.drain_timeout)
+        return 0
+    query = app.pipeline.start()
+    try:
+        query.awaitTermination()
+    except KeyboardInterrupt:
+        query.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

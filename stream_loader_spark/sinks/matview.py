@@ -92,3 +92,114 @@ class IncrementalAggSink:
         """The finalized aggregate table (sums as DOUBLE, avg derived)."""
         state = self.upsert.current_state(spark).drop("_bucket", _VERSION_COL)
         return finalize_aggregates(state, self.keys)
+
+
+class SketchViewSink:
+    """Continuous daily-sketch maintenance: the streaming producer of
+    the ``operators/sketches.py`` stored layer.
+
+    Per batch: the batch's rows reduce to one HLL sketch per
+    (key, day); prior sketches are read back for the touched
+    (key, day) cells only and folded in with the scalar two-sketch
+    ``hll_union`` (per-cell, no re-aggregation of history); merged
+    rows ride the upsert bucket rewrite + batch ledger. Replays
+    short-circuit before any sketching, so a redelivered batch never
+    double-inserts values — harmless for HLL (duplicate-insensitive)
+    but the ledger also keeps ``n_rows`` exact.
+
+    ``range_estimate`` answers the arbitrary-date-range distinct
+    question from the stored layer alone (sketch-count-sized merge).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        key_col: str,
+        date_col: str,
+        value_col: str,
+        lg_k: int = 14,
+        num_buckets: int = 16,
+    ) -> None:
+        self.key_col = key_col
+        self.date_col = date_col
+        self.value_col = value_col
+        self.lg_k = lg_k
+        self.upsert = UpsertSink(
+            path,
+            key_cols=[key_col, date_col],
+            order_col=_VERSION_COL,
+            num_buckets=num_buckets,
+        )
+
+    def is_batch_committed(self, batch_id: int) -> bool:
+        return self.upsert.is_batch_committed(batch_id)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.write_batch(batch_df, batch_id)
+
+    def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from stream_loader_spark.operators.sketches import daily_hll_sketches
+
+        if self.upsert.is_batch_committed(batch_id):
+            return
+        spark = batch_df.sparkSession
+        keys = [self.key_col, self.date_col]
+        delta = daily_hll_sketches(
+            batch_df, self.key_col, F.col(self.date_col), self.value_col, self.lg_k
+        ).persist()
+        try:
+            try:
+                prior = self.upsert.current_state(spark).drop("_bucket", _VERSION_COL)
+                touched = prior.join(delta.select(*keys), keys, "left_semi").select(
+                    *keys,
+                    F.col("sketch").alias("_prior_sketch"),
+                    F.col("n_rows").alias("_prior_n"),
+                )
+                merged = delta.join(touched, keys, "left").select(
+                    *keys,
+                    F.when(
+                        F.col("_prior_sketch").isNull(), F.col("sketch")
+                    )
+                    .otherwise(F.hll_union("sketch", "_prior_sketch"))
+                    .alias("sketch"),
+                    (
+                        F.col("n_rows") + F.coalesce(F.col("_prior_n"), F.lit(0))
+                    ).alias("n_rows"),
+                )
+            except ValueError:
+                merged = delta
+            self.upsert.write_batch(
+                merged.withColumn(_VERSION_COL, F.lit(batch_id)), batch_id
+            )
+        finally:
+            delta.unpersist()
+
+    def daily_estimates(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        state = self.upsert.current_state(spark).drop("_bucket", _VERSION_COL)
+        return state.select(
+            self.key_col,
+            self.date_col,
+            "n_rows",
+            F.hll_sketch_estimate("sketch").alias("distinct_approx"),
+        )
+
+    def range_estimate(self, spark: SparkSession, d0, d1) -> DataFrame:
+        """Distinct estimate per key over [d0, d1] — merges only the
+        stored sketch rows in range, never the raw stream."""
+        from pyspark.sql import functions as F
+
+        state = self.upsert.current_state(spark).drop("_bucket", _VERSION_COL)
+        d = F.col(self.date_col)
+        return (
+            state.where((d >= d0) & (d <= d1))
+            .groupBy(self.key_col)
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                    "distinct_approx"
+                )
+            )
+        )

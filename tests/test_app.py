@@ -118,3 +118,35 @@ class TestConfigHardening:
         df = spark.range(3).select(F.col("id"))
         with pytest.raises(ValueError, match="identifier-like"):
             quality_report(df, {"bad' name": not_null("id")})
+
+
+class TestCliEntry:
+    def test_drain_via_main(self, spark, tmp_path):
+        """python -m stream_loader_spark --config ... --drain, in-process
+        (the running session is reused via getOrCreate)."""
+        from stream_loader_spark.__main__ import main
+        from stream_loader_spark.sinks.manifest import ManifestFileSink
+
+        _write_source(spark, str(tmp_path / "src"))
+        cfg = {
+            "source": {"type": "file", "path": str(tmp_path / "src"), "schema": REC_SCHEMA},
+            "format": {"type": "json", "schema": "k BIGINT, v STRING"},
+            "sink": {"type": "manifest", "path": str(tmp_path / "out")},
+            "checkpoint": str(tmp_path / "chk"),
+        }
+        cfg_path = str(tmp_path / "app.json")
+        with open(cfg_path, "w") as fh:
+            json.dump(cfg, fh)
+
+        assert main(["--config", cfg_path, "--drain"]) == 0
+        sink = ManifestFileSink(str(tmp_path / "out"))
+        assert sink.committed_data(spark).count() == 20
+
+    def test_bad_config_is_exit_code_1(self, tmp_path, capsys):
+        from stream_loader_spark.__main__ import main
+
+        bad = str(tmp_path / "bad.json")
+        with open(bad, "w") as fh:
+            fh.write('{"sink": {"type": "nope"}}')
+        assert main(["--config", bad, "--drain"]) == 1
+        assert "config error" in capsys.readouterr().err

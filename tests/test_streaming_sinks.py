@@ -1313,3 +1313,59 @@ class TestIncrementalAggSink:
         assert len(changed) == 1  # exactly the bucket key 3 hashes into
         n3 = sink.current_view(spark).where(F.col("k") == 3).select("n").first()[0]
         assert n3 == 8 + 2  # 8 rows of k=3 in batch 0, 2 in batch 1
+
+
+class TestSketchViewSink:
+    """sinks/matview.py::SketchViewSink — streaming daily-sketch layer."""
+
+    SCHEMA = "topic string, dt date, uid string"
+
+    def _batch(self, spark, lo, hi, day):
+        from datetime import date
+
+        return spark.createDataFrame(
+            [("t", date(2024, 1, day), str(i)) for i in range(lo, hi)], self.SCHEMA
+        )
+
+    def test_cross_batch_union_and_range_rollup(self, spark, tmp_path):
+        from datetime import date
+
+        from stream_loader_spark.sinks.matview import SketchViewSink
+
+        sink = SketchViewSink(str(tmp_path / "sk"), "topic", "dt", "uid")
+        sink.write_batch(self._batch(spark, 0, 300, day=1), 0)
+        # day 1 gets MORE values in a later batch (overlapping 200-299),
+        # day 2 is new
+        sink.write_batch(
+            self._batch(spark, 200, 500, day=1).unionAll(
+                self._batch(spark, 0, 100, day=2)
+            ),
+            1,
+        )
+
+        daily = {
+            (r["topic"], str(r["dt"])): (r["n_rows"], r["distinct_approx"])
+            for r in sink.daily_estimates(spark).collect()
+        }
+        n1, approx1 = daily[("t", "2024-01-01")]
+        assert n1 == 600  # 300 + 300 rows observed
+        assert abs(approx1 - 500) / 500 <= 0.05  # distinct 0..499 after union
+        n2, approx2 = daily[("t", "2024-01-02")]
+        assert n2 == 100 and abs(approx2 - 100) / 100 <= 0.05
+
+        # range rollup across both days: distinct is still 500 (day-2
+        # uids are a subset of day-1's) — union, not sum
+        rng = sink.range_estimate(
+            spark, date(2024, 1, 1), date(2024, 1, 2)
+        ).collect()[0]
+        assert abs(rng["distinct_approx"] - 500) / 500 <= 0.05
+
+    def test_replay_keeps_counts_exact(self, spark, tmp_path):
+        from stream_loader_spark.sinks.matview import SketchViewSink
+
+        sink = SketchViewSink(str(tmp_path / "sk"), "topic", "dt", "uid")
+        b = self._batch(spark, 0, 100, day=1)
+        sink.write_batch(b, 0)
+        sink.write_batch(b, 0)  # redelivery
+        row = sink.daily_estimates(spark).collect()[0]
+        assert row["n_rows"] == 100  # ledger short-circuits before sketching

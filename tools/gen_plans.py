@@ -128,6 +128,23 @@ ANNOTATED = {
         "merge aggregate; exact decimal sums make the fold "
         "batch-split-independent"
     ),
+    "data_quality_report": (
+        "every declared check is a conditional SUM in ONE hash "
+        "aggregate; the unpivot generates over a single wide row"
+    ),
+    "gap_filled_user_daily": (
+        "per-key span aggregate → sequence/explode calendar → grid "
+        "equi-join; work proportional to the output grid, no global "
+        "calendar cross join"
+    ),
+    "hll_union_daily_users": (
+        "daily HLL sketch aggregate + sketch-count-sized union rollup; "
+        "exact companion shares the scan"
+    ),
+    "theta_retention_overlap": (
+        "two theta aggregates over one scan + per-key intersection — "
+        "no per-user both-period self-join"
+    ),
 }
 
 
