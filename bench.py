@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "theta_retention_overlap",
     "kll_merged_median",
     "props_variant_rollup",
+    "weighted_sample_docs",
 ]
 
 

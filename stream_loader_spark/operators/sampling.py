@@ -142,3 +142,50 @@ def oversample_domains(
             "copy_index"
         ),
     )
+
+
+def weighted_priority(id_col: Column, weight_col: Column, salt: str = "") -> Column:
+    """A-ES (Efraimidis–Spirakis) priority: -ln(u) / w with u drawn
+    deterministically from the id's md5 — smaller is better; the
+    top-k rows by this priority are a weighted sample WITHOUT
+    replacement where inclusion probability tracks the weight.
+
+    u = (first 8 md5 nibbles + 1) / 2^32 ∈ (0, 1] is a pure function
+    of (salt, id), so the sample is reproducible across reruns,
+    engines, and partitionings — same stance as ``sample_bucket``.
+    The priority is rounded to 9 decimals (the repo's cross-engine
+    float convention: ln differs in the last ulp between libms) and
+    consumers MUST tie-break on the id.
+    """
+    h = F.md5(F.concat(F.lit(salt), id_col.cast("string")))
+    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(1 << 32)
+    )
+    return F.round(-F.log(u) / weight_col.cast("double"), 9)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    weight_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """k-row weighted sample without replacement (A-ES): rank by the
+    deterministic priority, keep the k smallest.
+
+    Weights must be strictly positive (zero/negative weights raise at
+    plan level via a loud filter contract: such rows are EXCLUDED and
+    a production caller should pre-filter). The global top-k is a
+    TakeOrderedAndProject at any scale — per-partition heaps of k then
+    a k-sized merge on the driver, never a full sort.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pri = weighted_priority(F.col(id_col), F.col(weight_col), salt)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("priority", pri)
+        .orderBy("priority", id_col)
+        .limit(k)
+    )

@@ -4118,3 +4118,36 @@ def props_variant_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("offset").cast("bigint").alias("sum_offsets"),
         )
     )
+
+
+@query(
+    "weighted_sample_docs",
+    """WITH p AS (
+      SELECT doc_id, n_chars,
+             ROUND(-ln(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456
+                     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216
+                     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576
+                     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536
+                     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096
+                     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256
+                     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1) * 1 + 1.0)
+                       / 4294967296.0)
+                   / CAST(n_chars AS DOUBLE), 9) AS priority
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars, priority
+    FROM p ORDER BY priority, doc_id LIMIT 50""",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (A-ES): 50 documents drawn
+    with inclusion probability tracking length (n_chars as the
+    weight) — the deterministic form of the weighted mixture draws
+    training pipelines use for source blending. Priority is a pure
+    function of the doc id (md5-derived uniform), so the sample is
+    identical across engines/reruns; the top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, k-sized driver merge —
+    never a global sort)."""
+    from stream_loader_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, 50, "doc_id", "n_chars")

@@ -446,3 +446,52 @@ class TestOversampleProperties:
         for r in out:
             base = mx // by_src_count[r["source"]]
             assert r["count"] in (base, base + 1)
+
+
+class TestWeightedSample:
+    """A-ES weighted sampling (operators/sampling.py::weighted_sample)."""
+
+    def test_weight_proportional_inclusion(self, spark):
+        """Heavy rows must be sampled far more often than light rows:
+        across 40 independent salts, rows with weight 100 should beat
+        weight-1 rows by roughly their weight ratio."""
+        from stream_loader_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, 100 if i < 50 else 1) for i in range(500)], "id long, w int"
+        ).cache()
+        heavy_hits = light_hits = 0
+        for s in range(40):
+            got = weighted_sample(df, 25, "id", "w", salt=f"s{s}").collect()
+            heavy_hits += sum(1 for r in got if r["id"] < 50)
+            light_hits += sum(1 for r in got if r["id"] >= 50)
+        assert heavy_hits > light_hits * 3  # 50x weight, 9x pop. disadvantage
+
+    def test_deterministic_and_partition_independent(self, spark):
+        from stream_loader_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame([(i, i + 1) for i in range(300)], "id long, w int")
+        a = [r["id"] for r in weighted_sample(df, 20, "id", "w").collect()]
+        b = [r["id"] for r in weighted_sample(df.repartition(13), 20, "id", "w").collect()]
+        assert a == b
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from stream_loader_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 0), (3, -1), (4, 5)], "id long, w int"
+        )
+        got = sorted(r["id"] for r in weighted_sample(df, 10, "id", "w").collect())
+        assert got == [1, 4]
+
+    def test_topk_plan_is_heap_not_global_sort(self, spark):
+        import contextlib
+        import io
+
+        from stream_loader_spark.operators.sampling import weighted_sample
+
+        df = spark.range(1000).select(F.col("id"), (F.col("id") % 7 + 1).alias("w"))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            weighted_sample(df, 10, "id", "w").explain()
+        assert "TakeOrderedAndProject" in buf.getvalue()
