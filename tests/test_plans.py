@@ -6,6 +6,7 @@ import io
 import contextlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from stream_loader_spark.plans.queries import QUERIES
 
@@ -313,3 +314,76 @@ class TestScaleAuditCensus:
             if flags:
                 flagged[name] = flags
         assert flagged == {}
+
+
+class TestRuntimePruning:
+    """Engine-side scale features exercised and pinned: Spark prunes
+    at RUNTIME what static pushdown can't see — partition pruning from
+    a join's dim side (DPP) and row-level bloom filters pushed into
+    the fact scan. At 100 TB these decide whether a selective
+    dim-join reads 1% or 100% of the fact table."""
+
+    def test_dynamic_partition_pruning_from_dim_filter(self, spark, sf_small, tmp_path):
+        import contextlib
+        import io
+
+        from stream_loader_spark.sources.tables import load_table
+
+        ev = load_table(spark, sf_small, "events")
+        (
+            ev.select("event_id", "event_type", F.to_date("ts").alias("dt"))
+            .write.partitionBy("dt")
+            .mode("overwrite")
+            .parquet(str(tmp_path / "fact"))
+        )
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        dim = spark.createDataFrame(
+            [(f"2024-01-0{i}", 1) for i in range(1, 4)], "dt_s string, flag int"
+        ).select(F.col("dt_s").cast("date").alias("dt"), "flag")
+        j = fact.join(dim.where(F.col("flag") == 1), "dt").groupBy("event_type").count()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain()
+        assert "dynamicpruning" in buf.getvalue().lower()
+
+    def test_runtime_bloom_filter_reaches_fact_side(self, spark, sf_medium):
+        import contextlib
+        import io
+
+        from stream_loader_spark.sources.tables import load_table
+
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.optimizer.runtime.bloomFilter.enabled",
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "spark.sql.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+            # local fixtures are far below the 10GB production default;
+            # production keeps the threshold so small scans skip the filter
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+            )
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            li = load_table(spark, sf_medium, "lineitem")
+            orders = load_table(spark, sf_medium, "orders").where(
+                F.col("o_totalprice") > 400000
+            )
+            j = (
+                li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("o_orderpriority")
+                .count()
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain()
+            assert "bloom_filter_agg" in buf.getvalue()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
