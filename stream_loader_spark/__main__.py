@@ -38,7 +38,10 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(args.app_name)
     try:
         app = load_app(spark, args.config)
-    except (OSError, ValueError) as exc:
+    # KeyError belt-and-braces: _validate should catch every missing
+    # key first, but a config shape it doesn't model must still exit
+    # cleanly, not traceback
+    except (OSError, ValueError, KeyError) as exc:
         print(f"config error: {exc}", file=sys.stderr)
         return 1
 

@@ -42,7 +42,25 @@ _FORMAT_KEYS = {"type", "schema", "value-column", "mode"}
 _WATERMARK_KEYS = {"column", "delay", "valid-diff"}
 _PARTITION_KEYS = {"column", "out"}
 _DEDUP_KEYS = {"keys"}
-_SINK_KEYS = {"type", "path", "partition-by", "url", "table", "key-columns", "order-column", "num-buckets"}
+
+# Single source of truth for sink types: _validate and _build_sink both
+# read this table, so a new sink type is one entry here + one branch in
+# _build_sink — they can't silently disagree, and required keys fail at
+# validation time (not as a KeyError mid-assembly).
+_SINK_TYPES: dict[str, dict[str, set[str]]] = {
+    "manifest": {"required": {"path"}, "optional": {"partition-by"}},
+    "offsets": {"required": {"path"}, "optional": set()},
+    "upsert": {
+        "required": {"path", "key-columns", "order-column"},
+        "optional": {"num-buckets"},
+    },
+}
+
+
+def _required_keys(block: dict, required: set[str], where: str) -> None:
+    missing = required - set(block)
+    if missing:
+        raise ValueError(f"{where} config missing required keys {sorted(missing)}")
 
 
 def _check_keys(block: dict, allowed: set[str], where: str) -> None:
@@ -64,9 +82,19 @@ class LoaderApp:
     sink: Callable[[DataFrame, int], None]
 
 
-def _build_sink(spark: SparkSession, cfg: dict):
-    _check_keys(cfg, _SINK_KEYS, "sink")
+def _validate_sink(cfg: dict) -> None:
     kind = cfg.get("type")
+    if kind not in _SINK_TYPES:
+        raise ValueError(
+            f"unknown sink type {kind!r}; allowed: {sorted(_SINK_TYPES)}"
+        )
+    spec = _SINK_TYPES[kind]
+    _check_keys(cfg, {"type"} | spec["required"] | spec["optional"], f"{kind} sink")
+    _required_keys(cfg, spec["required"], f"{kind} sink")
+
+
+def _build_sink(cfg: dict):
+    kind = cfg["type"]
     if kind == "manifest":
         from stream_loader_spark.sinks.manifest import ManifestFileSink
 
@@ -75,16 +103,14 @@ def _build_sink(spark: SparkSession, cfg: dict):
         from stream_loader_spark.sinks.offsets import InRowOffsetsSink
 
         return InRowOffsetsSink(cfg["path"])
-    if kind == "upsert":
-        from stream_loader_spark.sinks.upsert import UpsertSink
+    from stream_loader_spark.sinks.upsert import UpsertSink
 
-        return UpsertSink(
-            cfg["path"],
-            key_cols=list(cfg["key-columns"]),
-            order_col=cfg["order-column"],
-            num_buckets=int(cfg.get("num-buckets", 16)),
-        )
-    raise ValueError(f"unknown sink type {kind!r}; allowed: manifest, offsets, upsert")
+    return UpsertSink(
+        cfg["path"],
+        key_cols=list(cfg["key-columns"]),
+        order_col=cfg["order-column"],
+        num_buckets=int(cfg.get("num-buckets", 16)),
+    )
 
 
 def _validate(config: dict) -> None:
@@ -99,37 +125,32 @@ def _validate(config: dict) -> None:
         raise ValueError("'sink' and 'checkpoint' are required")
     if "kafka" in config:
         _check_keys(config["kafka"], _KAFKA_KEYS, "kafka")
+        _required_keys(config["kafka"], {"bootstrap-servers"}, "kafka")
     else:
         _check_keys(config["source"], _SOURCE_KEYS, "source")
         if config["source"].get("type", "file") != "file":
             raise ValueError(
                 f"unknown source type {config['source'].get('type')!r}; allowed: file"
             )
+        _required_keys(config["source"], {"path", "schema"}, "source")
     for block, allowed in (
         ("format", _FORMAT_KEYS),
         ("watermark", _WATERMARK_KEYS),
         ("partition", _PARTITION_KEYS),
         ("dedup", _DEDUP_KEYS),
-        ("sink", _SINK_KEYS),
     ):
         if block in config:
             _check_keys(config[block], allowed, block)
     if "dedup" in config and not config["dedup"].get("keys"):
         raise ValueError("dedup block requires a non-empty 'keys' list")
-    if "format" in config and config["format"].get("type", "json") not in (
-        "json",
-        "avro",
-        "protobuf",
-    ):
-        raise ValueError(
-            f"unknown format type {config['format'].get('type')!r}; "
-            "allowed: json, avro, protobuf"
-        )
-    if config["sink"].get("type") not in ("manifest", "offsets", "upsert"):
-        raise ValueError(
-            f"unknown sink type {config['sink'].get('type')!r}; "
-            "allowed: manifest, offsets, upsert"
-        )
+    if "format" in config:
+        if config["format"].get("type", "json") not in ("json", "avro", "protobuf"):
+            raise ValueError(
+                f"unknown format type {config['format'].get('type')!r}; "
+                "allowed: json, avro, protobuf"
+            )
+        _required_keys(config["format"], {"schema"}, "format")
+    _validate_sink(config["sink"])
 
 
 def build_app(spark: SparkSession, config: dict) -> LoaderApp:
@@ -184,7 +205,7 @@ def build_app(spark: SparkSession, config: dict) -> LoaderApp:
     if "dedup" in config:
         pipe.dedup_within_watermark(*config["dedup"]["keys"])
 
-    sink = _build_sink(spark, config["sink"])
+    sink = _build_sink(config["sink"])
     pipe.sink(sink, config["checkpoint"])
     if "trigger" in config:
         pipe.trigger(**config["trigger"])

@@ -52,11 +52,13 @@ def one_of(col: str, values: list) -> Column:
 
 def _check_names(expectations: dict[str, Column]) -> None:
     """Check names reach a selectExpr string (stack literals), so they
-    are restricted to identifier characters — a quote in a name must
-    fail loudly, not splice into the expression."""
+    are restricted to STRICT identifier characters. '-' or '.' would
+    not just fail — `_v_a-0` parses as the arithmetic `_v_a - 0` and
+    silently reads another check's counter; a quote would splice into
+    the expression. Both must raise here, loudly."""
     import re
 
-    bad = [n for n in expectations if not re.fullmatch(r"[A-Za-z0-9_.-]+", n)]
+    bad = [n for n in expectations if not re.fullmatch(r"[A-Za-z0-9_]+", n)]
     if bad:
         raise ValueError(f"expectation names must be identifier-like, got {bad}")
 

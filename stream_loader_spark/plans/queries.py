@@ -3726,7 +3726,12 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = rec.select(
         F.get_json_object("props", "$.k").cast("bigint").alias("uid"),
         F.to_date("ts").alias("dt"),
-    )
+    # records without a parseable user id carry no cohort identity and
+    # are excluded EXPLICITLY — the oracle's inner join drops NULL uids
+    # as a side effect of equi-join semantics, but the window form
+    # would otherwise cohort them into a NULL partition and emit rows
+    # the oracle never produces
+    ).where(F.col("uid").isNotNull())
     activity = e.select(
         F.min("dt").over(Window.partitionBy("uid")).alias("cohort_dt"),
         "uid",

@@ -30,18 +30,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Per-session memo of fixture DataFrames. spark.read.parquet costs a
-# driver-side file listing + footer schema read (~0.1s) EVERY call; the
-# fixture tables are immutable, so the logical plan is reusable across
-# the hundreds of load_table calls a bench/correctness sweep makes.
-# Keyed weakly by session so a stopped session's entries die with it.
-_TABLE_MEMO: WeakKeyDictionary = WeakKeyDictionary()
+# Memo of fixture DataFrames for the CURRENT session. spark.read.parquet
+# costs a driver-side file listing + footer schema read (~0.1s) EVERY
+# call; the fixture tables are immutable, so the logical plan is
+# reusable across the hundreds of load_table calls a bench/correctness
+# sweep makes. A weak-keyed-by-session dict cannot work here: the
+# cached DataFrames strongly reference their session, so the weak key
+# would never die. Instead the memo holds ONE session's entries and
+# clears itself when a different session shows up — bounded at ten-ish
+# logical plans, with prior sessions' plans actually released.
+_TABLE_MEMO: dict = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    per_session = _TABLE_MEMO.setdefault(spark, {})
+    if _TABLE_MEMO.get("_session_id") != id(spark):
+        _TABLE_MEMO.clear()
+        _TABLE_MEMO["_session_id"] = id(spark)
+        _TABLE_MEMO["_tables"] = {}
+    per_session = _TABLE_MEMO["_tables"]
     key = (os.path.abspath(sf_dir), name)
     if key in per_session:
         return per_session[key]
@@ -74,12 +82,16 @@ def scatter(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if min_partitions not in memo:
         # df.rdd compiles the physical plan (a ~0.1s driver round-trip);
         # memoized per input frame so repeated operator calls over the
-        # (memoized) fixture tables pay it once
+        # (memoized) fixture tables pay it once. The already-wide case
+        # stores a SENTINEL, not df itself: a value that references its
+        # own weak key would pin the entry forever (the repartitioned
+        # child references only the session, so it is safe to hold).
         if df.rdd.getNumPartitions() >= min_partitions:
-            memo[min_partitions] = df
+            memo[min_partitions] = None
         else:
             memo[min_partitions] = df.repartition(min_partitions)
-    return memo[min_partitions]
+    cached = memo[min_partitions]
+    return df if cached is None else cached
 
 
 _SCATTER_MEMO: WeakKeyDictionary = WeakKeyDictionary()

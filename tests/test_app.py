@@ -150,3 +150,30 @@ class TestCliEntry:
             fh.write('{"sink": {"type": "nope"}}')
         assert main(["--config", bad, "--drain"]) == 1
         assert "config error" in capsys.readouterr().err
+
+
+class TestRequiredKeyValidation:
+    def test_missing_required_sink_key_fails_at_validate(self, spark, tmp_path):
+        """Regression: a sink block passing the unknown-key check but
+        missing a required key crashed with KeyError mid-assembly;
+        it must fail at validation with the missing keys named."""
+        cfg = {
+            "source": {"type": "file", "path": str(tmp_path / "s"), "schema": REC_SCHEMA},
+            "sink": {"type": "upsert", "path": str(tmp_path / "o")},
+            "checkpoint": str(tmp_path / "c"),
+        }
+        with pytest.raises(ValueError, match="key-columns"):
+            build_app(spark, cfg)
+        cfg["sink"] = {"type": "manifest"}
+        with pytest.raises(ValueError, match="path"):
+            build_app(spark, cfg)
+        cfg["sink"] = {"type": "manifest", "path": str(tmp_path / "o")}
+        cfg["format"] = {"type": "json"}
+        with pytest.raises(ValueError, match="schema"):
+            build_app(spark, cfg)
+        # per-type unknown-key strictness: partition-by is not an
+        # offsets-sink key
+        cfg.pop("format")
+        cfg["sink"] = {"type": "offsets", "path": str(tmp_path / "o"), "partition-by": "dt"}
+        with pytest.raises(ValueError, match="partition-by"):
+            build_app(spark, cfg)

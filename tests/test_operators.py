@@ -1115,3 +1115,16 @@ class TestMergeableSketches:
         ).collect()[0]
         assert got["n_values"] == 10_000  # stream length is EXACT in KLL
         assert abs(got["q50"] - 5_000) <= 10_000 * 0.05
+
+
+class TestQualityNameStrictness:
+    def test_arithmetic_lookalike_names_rejected(self, spark):
+        """Regression: '-' in a check name made `_v_a-0` parse as the
+        arithmetic `_v_a - 0` inside stack(), silently reading another
+        check's counter. Dots crash as field access. Both must raise."""
+        from stream_loader_spark.operators.quality import not_null, quality_report
+
+        df = spark.range(3).select(F.col("id"))
+        for bad in ("a-0", "a.b"):
+            with pytest.raises(ValueError, match="identifier-like"):
+                quality_report(df, {"ok": not_null("id"), bad: not_null("id")})

@@ -24,9 +24,11 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from stream_loader_spark.session import get_spark  # noqa: E402
 from stream_loader_spark.plans.queries import QUERIES  # noqa: E402
@@ -92,7 +94,7 @@ def main() -> int:
     if errors:
         out += ["", "## Errors", ""]
         out += [f"- {n}: {e}" for n, e in errors.items()]
-    with open("/root/repo/SCALE_AUDIT.md", "w") as fh:
+    with open(os.path.join(REPO, "SCALE_AUDIT.md"), "w") as fh:
         fh.write("\n".join(out) + "\n")
     print(f"wrote SCALE_AUDIT.md ({len(rows)} queries, {len(flagged)} flagged, {len(errors)} errors)")
     return len(flagged) + len(errors)
