@@ -363,3 +363,45 @@ class TestTimestampNtzNormalization:
         finally:
             if prev is not None:
                 spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)
+
+
+class TestKafkaBridgeWithRealStream:
+    def test_bridge_consumes_real_progress_events(self, spark, tmp_path):
+        """The unit tests feed fake progress objects; this attaches the
+        bridge to a REAL streaming query so the attribute access paths
+        (progress.sources[i].numInputRows/metrics/endOffset) are
+        validated against Spark's actual event classes."""
+        import time
+
+        from stream_loader_spark.sinks.manifest import ManifestFileSink
+        from stream_loader_spark.streaming.metrics import KafkaSourceMetricsBridge
+        from stream_loader_spark.streaming.pipeline import StreamPipeline
+
+        src = str(tmp_path / "src")
+        spark.range(50).select(
+            F.lit("t").alias("topic"),
+            F.lit(0).cast("int").alias("partition"),
+            F.col("id").alias("offset"),
+            F.current_timestamp().alias("ts"),
+        ).coalesce(1).write.parquet(src)
+
+        bridge = KafkaSourceMetricsBridge()
+        spark.streams.addListener(bridge)
+        try:
+            (
+                StreamPipeline(spark)
+                .from_file_stream(src, "topic string, partition int, offset bigint, ts timestamp")
+                .sink(ManifestFileSink(str(tmp_path / "out")), str(tmp_path / "chk"))
+                .run_available()
+            )
+            snap = {}
+            for _ in range(50):  # listener callbacks are async
+                snap = bridge.registry.snapshot()
+                if snap.get("kafka.source.records-consumed", 0) >= 50:
+                    break
+                time.sleep(0.2)
+            assert snap.get("kafka.source.records-consumed") == 50
+            # file source reports logOffset JSON: no per-partition gauges
+            assert not any("by.partition.topic" in k for k in snap)
+        finally:
+            spark.streams.removeListener(bridge)
