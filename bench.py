@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "kll_merged_median",
     "props_variant_rollup",
     "weighted_sample_docs",
+    "gopher_quality_flags",
+    "frequent_tokens",
 ]
 
 

@@ -243,6 +243,183 @@ def with_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_gopher_flags(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style heuristic quality rules (Rae et al. 2021, public)
+    per document: word-count bounds, mean word length bounds,
+    symbol-to-word ratio, alphabetic-word fraction, and a stopword
+    floor, plus the conjunction ``keep``.
+
+    Unlike ``with_text_stats`` (a blended score), this emits the
+    individual rule verdicts — the form corpus pipelines actually act
+    on, because per-rule rejection rates are how thresholds get tuned.
+
+    Pure column expressions over the token array (higher-order
+    ``aggregate``/``filter``, no explode, no shuffle): one codegen'd
+    scan pass, linear at any corpus size. All ratios are exact integer
+    counts divided once at the end — bit-stable across engines and
+    partitionings.
+    """
+    toks = tokens_col(F.col(text_col))
+    df = documents.select(
+        F.col(id_col),
+        F.size(toks).alias("word_count"),
+        # exact sum of token lengths (NOT the char-count approximation)
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)).alias(
+            "_len_sum"
+        ),
+        # '#' occurrences + '...' occurrences (Gopher's symbol set)
+        (
+            F.length(F.col(text_col))
+            - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+            + (
+                F.length(F.col(text_col))
+                - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+            )
+            / F.lit(3)
+        ).cast("double").alias("_symbols"),
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).alias("_alpha_words"),
+        stopword_hits(toks, STOPWORDS["en"]).alias("stop_hits"),
+    )
+    wc = F.col("word_count")
+    nonempty = wc > 0
+    df = df.select(
+        id_col,
+        "word_count",
+        F.when(nonempty, F.col("_len_sum") / wc).otherwise(F.lit(0.0)).alias("mean_word_len"),
+        F.when(nonempty, F.col("_symbols") / wc).otherwise(F.lit(0.0)).alias("symbol_word_ratio"),
+        F.when(nonempty, F.col("_alpha_words") / wc).otherwise(F.lit(0.0)).alias(
+            "alpha_word_ratio"
+        ),
+        "stop_hits",
+    )
+    flags = {
+        "flag_word_count": (wc >= min_words) & (wc <= max_words),
+        "flag_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "flag_symbol_ratio": F.col("symbol_word_ratio") <= max_symbol_ratio,
+        "flag_alpha_ratio": F.col("alpha_word_ratio") >= min_alpha_ratio,
+        "flag_stopwords": F.col("stop_hits") >= min_stop_hits,
+    }
+    keep = F.lit(True)
+    for name, expr in flags.items():
+        df = df.withColumn(name, expr)
+        keep = keep & F.col(name)
+    return df.withColumn("keep", keep)
+
+
+def approx_frequent_tokens(
+    documents: DataFrame,
+    min_count: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    capacity: int = 4096,
+) -> DataFrame:
+    """EXACT corpus-wide frequent tokens (count ≥ ``min_count``) via a
+    bounded-memory two-phase plan.
+
+    The naive ``explode → groupBy(token) → HAVING`` shuffles one row
+    per distinct token per map task — at 100 TB of web text the
+    long-tail vocabulary (typos, ids, urls) makes that shuffle, and
+    each map task's aggregation hash table, vocabulary-sized. This
+    operator bounds both:
+
+    1. **Candidate phase** — per-partition Misra-Gries summaries
+       (``capacity`` counters, maintained across Arrow batches in one
+       ``mapInPandas`` pass). MG guarantees every token whose LOCAL
+       count exceeds n_p/capacity survives partition p, so summing the
+       bound over partitions: any token with GLOBAL count >
+       N/capacity is in the candidate union. With
+       ``min_count > N/capacity`` the union is a guaranteed superset
+       of the answer — no false negatives (the operator raises if the
+       observed N breaks that precondition rather than silently
+       dropping tokens).
+    2. **Recount phase** — a second scan recounts ONLY candidate
+       tokens (broadcast hash semi-join; ≤ partitions×capacity rows)
+       and applies the exact ``HAVING count ≥ min_count`` filter, so
+       false candidates are eliminated and the result is exact.
+
+    Shuffle/memory cost is O(partitions × capacity), independent of
+    vocabulary size. Python is justified here: Spark has no
+    bounded-memory frequent-items aggregate, and the MG loop is a
+    per-partition stream algorithm — Arrow-batched, not per-row UDF.
+    """
+    toks = scatter(documents).select(
+        F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        seen = 0
+        for pdf in batches:
+            for tok in pdf["token"]:
+                seen += 1
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < capacity:
+                    counters[tok] = 1
+                else:
+                    # amortized MG decrement: subtract the current min
+                    # from everyone, dropping zeros — equivalent to
+                    # repeated unit decrements, O(capacity) per purge
+                    m = min(counters.values())
+                    counters = {t: c - m for t, c in counters.items() if c > m}
+                    if len(counters) < capacity:
+                        counters[tok] = 1
+        # one NULL-token row per partition carries n_p (the partition's
+        # exact token total): the join below drops it from candidates,
+        # while SUM over the NULL rows reconstructs the corpus total N
+        # for the no-false-negative precondition check.
+        yield pd.DataFrame(
+            {
+                "token": list(counters.keys()) + [None],
+                "n_local": [0] * len(counters) + [seen],
+            }
+        )
+
+    cand = toks.mapInPandas(mg_partition, "token string, n_local bigint")
+    total = cand.where(F.col("token").isNull()).agg(F.sum("n_local").alias("corpus_n"))
+    candidates = cand.where(F.col("token").isNotNull()).select("token").distinct()
+    counted = (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= F.lit(min_count))
+    )
+    # Enforce the superset guarantee AT EXECUTION: if the observed
+    # corpus total N makes N/capacity ≥ min_count, tokens above the
+    # threshold could have been evicted — fail loudly, never return a
+    # silently-incomplete answer.
+    guard = F.assert_true(
+        F.col("corpus_n") < F.lit(int(min_count)) * F.lit(int(capacity)),
+        F.concat(
+            F.lit(
+                f"approx_frequent_tokens: min_count={min_count} ≤ N/capacity "
+                f"(capacity={capacity}, N="
+            ),
+            F.col("corpus_n").cast("string"),
+            F.lit(") — raise capacity or min_count"),
+        ),
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .where(guard.isNull())
+        .select("token", "n")
+    )
+
+
 def hashed_linear_quality(
     documents: DataFrame,
     text_col: str = "text",

@@ -4156,3 +4156,66 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_sample(docs, 50, "doc_id", "n_chars")
+
+
+@query(
+    "gopher_quality_flags",
+    f"""WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKENS_SQL} END AS toks
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS word_count,
+             COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS len_sum,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3 AS symbols,
+             len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_words,
+             len(list_filter(toks, t -> list_contains([{_STOP_EN}], t))) AS stop_hits
+      FROM t),
+    s AS (
+      SELECT doc_id, word_count,
+             CASE WHEN word_count > 0 THEN CAST(len_sum AS DOUBLE) / word_count ELSE 0.0 END AS mean_word_len,
+             CASE WHEN word_count > 0 THEN CAST(symbols AS DOUBLE) / word_count ELSE 0.0 END AS symbol_word_ratio,
+             CASE WHEN word_count > 0 THEN CAST(alpha_words AS DOUBLE) / word_count ELSE 0.0 END AS alpha_word_ratio,
+             stop_hits
+      FROM m)
+    SELECT doc_id, word_count, mean_word_len, symbol_word_ratio, alpha_word_ratio, stop_hits,
+           word_count >= 50 AND word_count <= 100000 AS flag_word_count,
+           mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS flag_mean_word_len,
+           symbol_word_ratio <= 0.1 AS flag_symbol_ratio,
+           alpha_word_ratio >= 0.8 AS flag_alpha_ratio,
+           stop_hits >= 2 AS flag_stopwords,
+           (word_count >= 50 AND word_count <= 100000)
+             AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+             AND symbol_word_ratio <= 0.1
+             AND alpha_word_ratio >= 0.8
+             AND stop_hits >= 2 AS keep
+    FROM s""",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule heuristic quality gate (per-rule verdicts + keep)."""
+    from stream_loader_spark.operators.text import with_gopher_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_gopher_flags(docs)
+
+
+@query(
+    "frequent_tokens",
+    """WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok GROUP BY token HAVING COUNT(*) >= 100""",
+)
+def frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide frequent tokens through the bounded-memory
+    two-phase plan (per-partition Misra-Gries candidates via one
+    Arrow-batched pass, then an exact recount of the candidate set) —
+    shuffle and executor memory stay O(partitions x capacity) at any
+    vocabulary size, unlike the oracle's vocabulary-sized GROUP BY."""
+    from stream_loader_spark.operators.text import approx_frequent_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return approx_frequent_tokens(docs, min_count=100, capacity=65536)

@@ -1128,3 +1128,68 @@ class TestQualityNameStrictness:
         for bad in ("a-0", "a.b"):
             with pytest.raises(ValueError, match="identifier-like"):
                 quality_report(df, {"ok": not_null("id"), bad: not_null("id")})
+
+
+class TestGopherFlags:
+    def test_rule_verdicts_and_keep(self, spark):
+        from stream_loader_spark.operators.text import with_gopher_flags
+
+        df = spark.createDataFrame(
+            [
+                # 50 english-ish words (mean len 4.7, 10 stop hits) -> keep
+                (1, " ".join(["the quick brown foxes jumping over the lazy fences again"] * 5)),
+                # symbol-heavy: '#' on most words
+                (2, " ".join(["#tag"] * 60)),
+                # too short
+                (3, "the a of"),
+                # empty
+                (4, "   "),
+                # numeric words fail the alpha ratio
+                (5, " ".join(["1234"] * 60)),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in with_gopher_flags(df).collect()}
+        assert rows[1]["keep"]
+        assert not rows[2]["flag_symbol_ratio"] and not rows[2]["keep"]
+        assert not rows[3]["flag_word_count"]
+        assert rows[4]["word_count"] == 0 and not rows[4]["keep"]
+        assert rows[4]["mean_word_len"] == 0.0  # guarded division
+        assert not rows[5]["flag_alpha_ratio"]
+
+    def test_mean_word_len_is_exact_sum(self, spark):
+        from stream_loader_spark.operators.text import with_gopher_flags
+
+        df = spark.createDataFrame([(1, "ab cdef")], "doc_id long, text string")
+        row = with_gopher_flags(df).collect()[0]
+        assert row["mean_word_len"] == pytest.approx(3.0)  # (2+4)/2
+
+
+class TestFrequentTokens:
+    def test_exact_under_eviction_pressure(self, spark):
+        """capacity far below the vocabulary: MG must still surface every
+        token above the threshold (no false negatives), and the recount
+        pass must kill every false candidate (no false positives)."""
+        from stream_loader_spark.operators.text import approx_frequent_tokens
+
+        # 3 heavy tokens (120x) buried in 600 singletons; N = 960
+        heavy = [(i, "alpha beta gamma") for i in range(120)]
+        noise = [(1000 + i, f"u{i} v{i} w{i} x{i} y{i}") for i in range(120)]
+        df = spark.createDataFrame(heavy + noise, "doc_id long, text string").repartition(8)
+        got = {
+            (r["token"], r["n"])
+            for r in approx_frequent_tokens(df, min_count=100, capacity=64).collect()
+        }
+        assert got == {("alpha", 120), ("beta", 120), ("gamma", 120)}
+
+    def test_guard_raises_when_bound_broken(self, spark):
+        """min_count <= N/capacity voids the superset guarantee: the
+        operator must fail loudly instead of silently under-reporting."""
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+        from stream_loader_spark.operators.text import approx_frequent_tokens
+
+        df = spark.createDataFrame(
+            [(i, "a b c d e f g h") for i in range(100)], "doc_id long, text string"
+        )
+        with pytest.raises(SparkRuntimeException, match="approx_frequent_tokens"):
+            approx_frequent_tokens(df, min_count=5, capacity=4).collect()
