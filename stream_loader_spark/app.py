@@ -138,6 +138,9 @@ def _validate(config: dict) -> None:
         ("watermark", _WATERMARK_KEYS),
         ("partition", _PARTITION_KEYS),
         ("dedup", _DEDUP_KEYS),
+        # DataStreamWriter.trigger kwargs: an unchecked typo here would
+        # otherwise surface only at query start, AFTER sink assembly
+        ("trigger", {"processingTime", "once", "availableNow", "continuous"}),
     ):
         if block in config:
             _check_keys(config[block], allowed, block)

@@ -77,10 +77,14 @@ def clean_corpus(documents: DataFrame, config: CorpusCleanConfig = CorpusCleanCo
         _BASE_MEMO.clear()
         _BASE_MEMO["_session_id"] = id(documents.sparkSession)
     if memo_key in _BASE_MEMO:
-        df = _BASE_MEMO[memo_key]
+        df = _BASE_MEMO[memo_key][1]
     else:
         df = df.persist()
-        _BASE_MEMO[memo_key] = df
+        # the memo value PINS the input frame: the key embeds
+        # id(documents), and CPython recycles addresses after GC — a
+        # collected input must never leave a live entry that a future,
+        # unrelated frame at the same address would silently hit
+        _BASE_MEMO[memo_key] = (documents, df)
 
     # exact dedup: keep the representative row per content digest
     keep_exact = exact_dedup(df, text_col, id_col).select(

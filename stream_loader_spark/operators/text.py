@@ -389,33 +389,30 @@ def approx_frequent_tokens(
             }
         )
 
-    cand = toks.mapInPandas(mg_partition, "token string, n_local bigint")
-    total = cand.where(F.col("token").isNull()).agg(F.sum("n_local").alias("corpus_n"))
+    # Materialize the MG pass ONCE (persist: the summary is referenced
+    # by both the guard total and the candidate set, and mapInPandas
+    # subtrees are not deduplicated by exchange reuse — without this
+    # the most expensive phase would run twice). The persisted summary
+    # is O(partitions × capacity) rows, not corpus-sized.
+    cand = toks.mapInPandas(mg_partition, "token string, n_local bigint").persist()
+    # Enforce the superset guarantee EAGERLY on the 1-row total — not
+    # as a predicate on the result rows, where an empty result (the
+    # exact regime eviction causes) would mean the guard is evaluated
+    # zero times and an incomplete answer escapes silently.
+    row = cand.where(F.col("token").isNull()).agg(F.sum("n_local").alias("n")).first()
+    corpus_n = int(row["n"] or 0)
+    if corpus_n >= min_count * capacity:
+        raise ValueError(
+            f"approx_frequent_tokens: min_count={min_count} <= N/capacity "
+            f"(capacity={capacity}, N={corpus_n}) voids the no-false-negative "
+            f"guarantee - raise capacity or min_count"
+        )
     candidates = cand.where(F.col("token").isNotNull()).select("token").distinct()
-    counted = (
+    return (
         toks.join(F.broadcast(candidates), "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= F.lit(min_count))
-    )
-    # Enforce the superset guarantee AT EXECUTION: if the observed
-    # corpus total N makes N/capacity ≥ min_count, tokens above the
-    # threshold could have been evicted — fail loudly, never return a
-    # silently-incomplete answer.
-    guard = F.assert_true(
-        F.col("corpus_n") < F.lit(int(min_count)) * F.lit(int(capacity)),
-        F.concat(
-            F.lit(
-                f"approx_frequent_tokens: min_count={min_count} ≤ N/capacity "
-                f"(capacity={capacity}, N="
-            ),
-            F.col("corpus_n").cast("string"),
-            F.lit(") — raise capacity or min_count"),
-        ),
-    )
-    return (
-        counted.crossJoin(F.broadcast(total))
-        .where(guard.isNull())
         .select("token", "n")
     )
 

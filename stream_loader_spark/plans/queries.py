@@ -3839,9 +3839,13 @@ def incremental_agg_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("dt"), "value", "event_id"
     )
+    # null-safe split: pmod(NULL, 2) == i is never true, so a NULL
+    # event_id would vanish from BOTH slices and the merged result
+    # would diverge from the oracle's full-table aggregate
+    slice_of = F.coalesce(F.pmod("event_id", F.lit(2)), F.lit(0))
     slices = [
         aggregate_state(
-            ev.where(F.pmod("event_id", F.lit(2)) == i),
+            ev.where(slice_of == i),
             ["event_type", "dt"],
             ["value"],
         )
@@ -3988,7 +3992,8 @@ def hll_union_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "theta_retention_overlap",
     f"""{_KAFKA_CTE},
-    e AS (SELECT topic, value, CAST(ts AS DATE) AS dt FROM kafka),
+    e AS (SELECT topic, value, CAST(ts AS DATE) AS dt FROM kafka
+          WHERE value IS NOT NULL),
     m AS (SELECT topic, MIN(dt) + CAST((MAX(dt) - MIN(dt)) // 2 AS INTEGER) AS mid
           FROM e GROUP BY 1),
     f AS (SELECT e.topic, e.value,
@@ -4010,7 +4015,13 @@ def theta_retention_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_loader_spark.operators.sketches import theta_period_overlap
 
     rec = _events(spark, sf_dir)
-    e = rec.select("topic", "value", F.to_date("ts").alias("dt"))
+    # NULL values: theta_sketch_agg skips NULL inputs while the exact
+    # per-(topic, value) rollup would keep a NULL group — filter them
+    # out of BOTH sides (a NULL user id is not a user) so exact and
+    # approx count the same population on every engine.
+    e = rec.where(F.col("value").isNotNull()).select(
+        "topic", "value", F.to_date("ts").alias("dt")
+    )
     mid = e.groupBy("topic").agg(
         F.date_add(
             F.min("dt"), F.floor(F.datediff(F.max("dt"), F.min("dt")) / 2).cast("int")

@@ -30,7 +30,7 @@ from stream_loader_spark.operators.matview import (
     finalize_aggregates,
     merge_aggregate_states,
 )
-from stream_loader_spark.sinks.upsert import UpsertSink
+from stream_loader_spark.sinks.upsert import UpsertSink, null_safe_join
 
 # order column for the underlying upsert: the writing batch id — within
 # one batch every key appears once, across batches later always wins
@@ -74,9 +74,10 @@ class IncrementalAggSink:
                     "_bucket", _VERSION_COL
                 )
                 # touched keys only: the untouched 99% of a large view
-                # never enters the merge job
-                touched = prior.join(
-                    delta.select(*self.keys), self.keys, "left_semi"
+                # never enters the merge job (null-safe: a NULL group
+                # key is a real aggregation group and must fold too)
+                touched = null_safe_join(
+                    prior, delta.select(*self.keys), self.keys, "left_semi"
                 )
                 states.append(touched)
             except ValueError:
@@ -152,12 +153,14 @@ class SketchViewSink:
         try:
             try:
                 prior = self.upsert.current_state(spark).drop("_bucket", _VERSION_COL)
-                touched = prior.join(delta.select(*keys), keys, "left_semi").select(
+                touched = null_safe_join(
+                    prior, delta.select(*keys), keys, "left_semi"
+                ).select(
                     *keys,
                     F.col("sketch").alias("_prior_sketch"),
                     F.col("n_rows").alias("_prior_n"),
                 )
-                merged = delta.join(touched, keys, "left").select(
+                merged = null_safe_join(delta, touched, keys, "left").select(
                     *keys,
                     F.when(
                         F.col("_prior_sketch").isNull(), F.col("sketch")

@@ -36,6 +36,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def null_safe_join(
+    left: DataFrame, right: DataFrame, keys: list[str], how: str
+) -> DataFrame:
+    """Key-equality join where NULL == NULL matches.
+
+    Name-list joins compile to null-unsafe ``=``: a NULL-keyed state
+    row then never matches its NULL-keyed update, so anti-joins keep
+    the stale row and semi-joins drop the prior state — both silently
+    duplicate per-key state. NULL keys are legitimate here (they are
+    whatever the upstream groupBy produced), so every key join in the
+    upsert/matview family routes through this. The right side's key
+    columns are renamed before the join and dropped from the result,
+    preserving the name-list join's output shape."""
+    renamed = right.select(
+        *[F.col(c).alias(f"_nsj_{c}") for c in keys],
+        *[c for c in right.columns if c not in keys],
+    )
+    cond = F.lit(True)
+    for c in keys:
+        cond = cond & left[c].eqNullSafe(renamed[f"_nsj_{c}"])
+    out = left.join(renamed, cond, how)
+    if how in ("left_semi", "semi", "left_anti", "anti"):
+        return out  # semi/anti results carry only the left side
+    return out.drop(*[f"_nsj_{c}" for c in keys])
+
+
 class UpsertSink:
     def __init__(
         self,
@@ -148,8 +174,8 @@ class UpsertSink:
             merged = latest
             if old_dirs:
                 old = spark.read.parquet(*old_dirs)
-                keep = old.join(
-                    latest.select(*self.key_cols), self.key_cols, "left_anti"
+                keep = null_safe_join(
+                    old, latest.select(*self.key_cols), self.key_cols, "left_anti"
                 ).withColumn("_bucket", self._bucket_col())
                 merged = keep.select(*data_cols, "_bucket").unionByName(
                     latest.select(*data_cols, "_bucket")
@@ -247,7 +273,7 @@ class UpsertSink:
             F.lit(True).alias("_existed"),
             *[F.col(c).alias(f"_old_{c}") for c in value_cols],
         )
-        joined = new.join(existed, self.key_cols, "left_outer")
+        joined = null_safe_join(new, existed, self.key_cols, "left_outer")
         # the version dirs hold full merged buckets, so carried-over
         # rows appear identical on both sides — null-safe inequality on
         # any value column separates real writes from carry-over

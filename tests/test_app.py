@@ -73,6 +73,13 @@ class TestBuildApp:
         with pytest.raises(ValueError, match="colunm"):
             build_app(spark, cfg2)
 
+        # the trigger block rides straight into DataStreamWriter.trigger
+        # kwargs: a typo must fail at validation, not at query start
+        cfg3 = self._config(tmp_path)
+        cfg3["trigger"] = {"procesingTime": "5 seconds"}
+        with pytest.raises(ValueError, match="procesingTime"):
+            build_app(spark, cfg3)
+
     def test_source_xor_kafka_enforced(self, spark, tmp_path):
         cfg = self._config(tmp_path)
         cfg["kafka"] = {"bootstrap-servers": "b:9092", "topic": "t"}

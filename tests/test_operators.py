@@ -1184,12 +1184,49 @@ class TestFrequentTokens:
 
     def test_guard_raises_when_bound_broken(self, spark):
         """min_count <= N/capacity voids the superset guarantee: the
-        operator must fail loudly instead of silently under-reporting."""
-        from pyspark.errors.exceptions.captured import SparkRuntimeException
+        operator must fail loudly AT CALL TIME instead of silently
+        under-reporting — in the broken regime eviction can empty the
+        result entirely, so a row-level guard would never evaluate."""
         from stream_loader_spark.operators.text import approx_frequent_tokens
 
         df = spark.createDataFrame(
             [(i, "a b c d e f g h") for i in range(100)], "doc_id long, text string"
         )
-        with pytest.raises(SparkRuntimeException, match="approx_frequent_tokens"):
-            approx_frequent_tokens(df, min_count=5, capacity=4).collect()
+        with pytest.raises(ValueError, match="approx_frequent_tokens"):
+            approx_frequent_tokens(df, min_count=5, capacity=4)
+
+
+class TestFrequentTokenProperties:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        corpus=st.lists(
+            st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+                     min_size=1, max_size=10),
+            min_size=1,
+            max_size=20,
+        ),
+        min_count=st.sampled_from([2, 3, 5]),
+    )
+    def test_matches_exact_counts_when_guard_holds(self, spark, corpus, min_count):
+        """For ANY small corpus where the precondition min_count >
+        N/capacity holds, the two-phase result equals exact Python
+        counting — MG candidates never lose a qualifying token and the
+        recount never keeps a disqualified one."""
+        from collections import Counter
+
+        from stream_loader_spark.operators.text import approx_frequent_tokens
+
+        n_tokens = sum(len(d) for d in corpus)
+        capacity = 64  # guard: min_count * 64 > N (N <= 200 here)
+        assert min_count * capacity > n_tokens
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["token"], r["n"])
+            for r in approx_frequent_tokens(
+                docs, min_count=min_count, capacity=capacity
+            ).collect()
+        }
+        counts = Counter(t for d in corpus for t in d)
+        expect = {(t, c) for t, c in counts.items() if c >= min_count}
+        assert got == expect

@@ -1122,6 +1122,28 @@ class TestUpsertSink:
         state = {r.k: r.val for r in sink.current_state(spark).collect()}
         assert state == {1: "a", 2: "B"}
 
+
+
+    def test_null_key_state_merges(self, spark, tmp_path):
+        """Regression: name-list joins are null-unsafe, so a NULL key's
+        prior state was never anti-joined away (upsert kept BOTH rows)
+        nor semi-joined back (matview merged only the delta). NULL is a
+        legitimate key value and must behave exactly like any other."""
+        sink = self._sink(tmp_path)
+        sink.write_batch(self._df(spark, [(None, "a", 1), (1, "x", 1)]), 0)
+        sink.write_batch(self._df(spark, [(None, "b", 2)]), 1)
+        state = {r.k: r.val for r in sink.current_state(spark).collect()}
+        assert state == {None: "b", 1: "x"}
+
+    def test_null_key_change_feed_labels_update(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        sink.write_batch(self._df(spark, [(None, "a", 1)]), 0)
+        sink.write_batch(self._df(spark, [(None, "b", 2)]), 1)
+        [row] = sink.change_feed(spark, 1).collect()
+        assert (row["_change"], row["k"], row["val"], row["_old_val"]) == (
+            "update", None, "b", "a",
+        )
+
     def test_streaming_upsert_end_to_end(self, spark, stream_env):
         """Stream the events fixture keyed by (topic, partition): the
         upserted state IS the committed-positions table (A1 shape) —
@@ -1314,6 +1336,22 @@ class TestIncrementalAggSink:
         n3 = sink.current_view(spark).where(F.col("k") == 3).select("n").first()[0]
         assert n3 == 8 + 2  # 8 rows of k=3 in batch 0, 2 in batch 1
 
+
+    def test_null_group_key_folds_incrementally(self, spark, tmp_path):
+        """Regression: NULL aggregation-group state must fold across
+        batches into one row, not accumulate one stale row per batch."""
+        from datetime import datetime
+        from stream_loader_spark.sinks.matview import IncrementalAggSink
+
+        sink = IncrementalAggSink(str(tmp_path / "mv"), ["k"], ["value"])
+        df0 = spark.createDataFrame([(None, 10.0, datetime(2024, 1, 1))], self.SCHEMA)
+        df1 = spark.createDataFrame([(None, 5.0, datetime(2024, 1, 1))], self.SCHEMA)
+        sink.write_batch(df0, 0)
+        sink.write_batch(df1, 1)
+        rows = sink.current_view(spark).collect()
+        assert len(rows) == 1
+        assert rows[0]["k"] is None
+        assert (rows[0]["n"], rows[0]["sum_value"]) == (2, 15.0)
 
 class TestSketchViewSink:
     """sinks/matview.py::SketchViewSink — streaming daily-sketch layer."""
