@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "weighted_sample_docs",
     "gopher_quality_flags",
     "frequent_tokens",
+    "label_centroids",
+    "profile_documents",
 ]
 
 

@@ -148,6 +148,59 @@ def kmeans_centroids(
     return centroids
 
 
+def group_centroids(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    micro_scale: int = 1_000_000,
+) -> DataFrame:
+    """Element-wise mean embedding per group (class centroids) with a
+    DETERMINISTIC cross-engine contract.
+
+    Float summation order varies with partitioning, so a plain
+    ``avg(val)`` per (group, position) is not reproducible bit-for-bit
+    across engines or even across runs. Here every element is
+    floor-quantized to integer micros BEFORE any cross-row addition;
+    the per-position sums are then exact integers and the derived
+    means are identical on every engine and partitioning. The ≤1e-6
+    per-element quantization bias is irrelevant for centroid
+    analytics (class prototypes, drift monitoring, IVF seeding);
+    ``kmeans_centroids`` keeps the full-float path where refinement
+    quality matters more than reproducibility.
+
+    Scale shape: posexplode → ONE map-side-combinable aggregate to
+    (group, position) integer sums — the shuffle carries
+    groups × dim rows, never the corpus — then a groups-sized rollup
+    reassembles index-ordered centroid arrays.
+    """
+    sums = (
+        scatter(embeddings)
+        .select(group_col, F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy(group_col, "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("val").cast("double") * F.lit(float(micro_scale))).cast(
+                    "bigint"
+                )
+            ).alias("micro_sum"),
+        )
+    )
+    mean = F.col("micro_sum").cast("double") / F.col("n") / F.lit(float(micro_scale))
+    return (
+        sums.select(group_col, "pos", "n", mean.alias("mean"))
+        .groupBy(group_col)
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.count(F.lit(1)).alias("dim"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                lambda s: s["mean"],
+            ).alias("centroid"),
+        )
+    )
+
+
 def assign_clusters(
     embeddings: DataFrame,
     num_centroids: int = 16,

@@ -4230,3 +4230,94 @@ def frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return approx_frequent_tokens(docs, min_count=100, capacity=65536)
+
+
+@query(
+    "label_centroids",
+    """WITH x AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS micro
+      FROM embeddings),
+    s AS (SELECT label, pos, COUNT(*) AS n, SUM(micro) AS sm FROM x GROUP BY 1, 2),
+    m AS (SELECT label, pos, n, CAST(sm AS DOUBLE) / n / 1000000 AS mean FROM s),
+    g AS (SELECT label, MAX(n) AS n_vecs, CAST(COUNT(*) AS BIGINT) AS dim,
+                 list(mean ORDER BY pos) AS c
+          FROM m GROUP BY label)
+    SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs, dim,
+           ROUND(sqrt(list_sum(list_transform(c, v -> v * v))), 6) AS centroid_norm,
+           ROUND(c[1], 6) AS c0
+    FROM g""",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class mean embeddings (class centroids) under the exact
+    integer-micro contract: floor-quantized element sums make the
+    centroid identical on every engine and partitioning; norm and
+    first component are index-ordered folds of the result. One
+    posexplode pass, shuffle = labels x dim rows."""
+    from stream_loader_spark.operators.similarity import group_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cg = group_centroids(emb)
+    return cg.select(
+        "label",
+        "n_vecs",
+        "dim",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "centroid", F.lit(0.0), lambda acc, v: acc + v * v
+                )
+            ),
+            6,
+        ).alias("centroid_norm"),
+        F.round(F.element_at("centroid", 1), 6).alias("c0"),
+    )
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+_PROFILE_AGG_SQL = ",\n      ".join(
+    f"""CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_{c},
+      CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c},
+      CAST(MIN({c}) AS VARCHAR) AS min_{c},
+      CAST(MAX({c}) AS VARCHAR) AS max_{c}"""
+    for c in _PROFILE_COLS
+)
+_PROFILE_VALUES_SQL = ",\n      ".join(
+    f"('{c}', nulls_{c}, nd_{c}, min_{c}, max_{c})" for c in _PROFILE_COLS
+)
+
+
+@query(
+    "profile_documents",
+    f"""WITH a AS (SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      {_PROFILE_AGG_SQL}
+      FROM documents)
+    SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val
+    FROM a, LATERAL (VALUES
+      {_PROFILE_VALUES_SQL}) AS t(col_name, n_nulls, n_distinct, min_val, max_val)""",
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card: one row per column with null count, exact
+    distinct count, and min/max — the profile every dataset release
+    ships with. ONE aggregation pass over the scan (the multiple
+    DISTINCTs plan through a single Expand), then a constant-width
+    stack; adding columns never adds scans."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = list(_PROFILE_COLS)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nulls_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    one = docs.agg(*aggs)
+    stack = "stack({}, {}) as (col_name, n_nulls, n_distinct, min_val, max_val)".format(
+        len(cols),
+        ", ".join(f"'{c}', nulls_{c}, nd_{c}, min_{c}, max_{c}" for c in cols),
+    )
+    return one.select("n_rows", F.expr(stack)).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"
+    )

@@ -1230,3 +1230,37 @@ class TestFrequentTokenProperties:
         counts = Counter(t for d in corpus for t in d)
         expect = {(t, c) for t, c in counts.items() if c >= min_count}
         assert got == expect
+
+
+class TestGroupCentroids:
+    def test_matches_numpy_reference_within_quantization(self, spark, sf_small):
+        import numpy as np
+
+        from stream_loader_spark.operators.similarity import group_centroids
+
+        emb = load_table(spark, sf_small, "embeddings")
+        got = {r["label"]: r for r in group_centroids(emb).collect()}
+        rows = emb.select("label", "embedding").collect()
+        by_label: dict[int, list] = {}
+        for r in rows:
+            by_label.setdefault(r["label"], []).append(r["embedding"])
+        for label, vecs in by_label.items():
+            ref = np.mean(np.array(vecs, dtype=np.float64), axis=0)
+            g = got[label]
+            assert g["n_vecs"] == len(vecs)
+            assert g["dim"] == len(ref)
+            # floor-quantization bias is at most 1e-6 per element
+            assert np.max(np.abs(np.array(g["centroid"]) - ref)) <= 1.1e-6
+
+    def test_partitioning_invariant_bit_for_bit(self, spark, sf_small):
+        """The whole point of the integer-micro contract: identical
+        results under any partitioning (float avg would drift)."""
+        from stream_loader_spark.operators.similarity import group_centroids
+
+        emb = load_table(spark, sf_small, "embeddings")
+        a = {r["label"]: r["centroid"] for r in group_centroids(emb).collect()}
+        b = {
+            r["label"]: r["centroid"]
+            for r in group_centroids(emb.repartition(7, "vec_id")).collect()
+        }
+        assert a == b  # exact equality, not approx
