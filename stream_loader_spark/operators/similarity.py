@@ -110,6 +110,7 @@ def kmeans_centroids(
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    initial: DataFrame | None = None,
 ) -> DataFrame:
     """Lloyd's k-means refinement of the IVF coarse quantizer.
 
@@ -121,7 +122,13 @@ def kmeans_centroids(
     """
     spark = embeddings.sparkSession
     dim = len(embeddings.select(vec_col).first()[0])
-    centroids = seed_centroids(embeddings, num_centroids, id_col, vec_col)
+    # ``initial`` overrides the id-value-based seeds — required when the
+    # corpus's ids don't start at 0 (e.g. a stream's first micro-batch)
+    centroids = (
+        initial
+        if initial is not None
+        else seed_centroids(embeddings, num_centroids, id_col, vec_col)
+    )
 
     for _ in range(iterations):
         assigned = (

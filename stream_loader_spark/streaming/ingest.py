@@ -206,3 +206,135 @@ class NearDupIngestSink:
         return spark.read.option("basePath", self._corpus_dir).parquet(
             self._corpus_dir
         )
+
+
+class IvfIngestSink:
+    """``foreachBatch`` callable: streaming maintenance of an IVF
+    similarity index — the ANN twin of ``DedupIngestSink``.
+
+    - The coarse quantizer (centroids) trains ONCE on the first
+      non-empty batch (Lloyd refinement of the batch's smallest-id
+      vectors) and is frozen thereafter — the standard IVF discipline:
+      a quantizer that drifted per batch would strand earlier
+      assignments in stale cells.
+    - Every batch's vectors are assigned to their nearest centroid
+      (broadcast argmax, one corpus pass) and land under
+      ``assignments/batch=<n>/cluster_id=<c>/`` — Hive-partitioned by
+      cluster, so a probe reads only its nprobe clusters' directories
+      AT THE SCAN, at any index size.
+    - Deterministic dirs + overwrite keep replays idempotent (same
+      discipline as the dedup ingest sinks); training is deterministic,
+      so a replayed first batch rewrites the identical quantizer.
+
+    ``topk`` probes the persisted index via ``ivf_probe`` — queries
+    never trigger an index rebuild.
+    """
+
+    def __init__(
+        self,
+        out_dir: str,
+        num_centroids: int = 16,
+        kmeans_iterations: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        self.out_dir = out_dir
+        self.num_centroids = num_centroids
+        self.kmeans_iterations = kmeans_iterations
+        self.id_col = id_col
+        self.vec_col = vec_col
+        os.makedirs(self.out_dir, exist_ok=True)
+
+    @property
+    def _centroids_dir(self) -> str:
+        return os.path.join(self.out_dir, "centroids")
+
+    @property
+    def _assignments_dir(self) -> str:
+        return os.path.join(self.out_dir, "assignments")
+
+    def centroids(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return spark.read.parquet(self._centroids_dir)
+        except Exception:  # noqa: BLE001 — not trained yet
+            return None
+
+    def _train(self, batch_df: DataFrame) -> DataFrame:
+        from stream_loader_spark.operators.similarity import kmeans_centroids
+
+        spark = batch_df.sparkSession
+        rows = (
+            batch_df.orderBy(F.col(self.id_col))
+            .limit(self.num_centroids)
+            .select(self.vec_col)
+            .collect()
+        )  # ≤ num_centroids × dim values — never corpus-sized
+        initial = spark.createDataFrame(
+            [(i, [float(x) for x in r[0]]) for i, r in enumerate(rows)],
+            "centroid_id int, centroid_vec array<double>",
+        )
+        if self.kmeans_iterations <= 0:
+            return initial
+        return kmeans_centroids(
+            batch_df,
+            min(self.num_centroids, len(rows)),
+            self.kmeans_iterations,
+            self.id_col,
+            self.vec_col,
+            initial=initial,
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from stream_loader_spark.operators.similarity import assign_clusters
+
+        spark = batch_df.sparkSession
+        cents = self.centroids(spark)
+        if cents is None:
+            if not batch_df.take(1):
+                return  # nothing to train on yet
+            self._train(batch_df).write.mode("overwrite").parquet(
+                self._centroids_dir
+            )
+            cents = self.centroids(spark)
+        assigned = assign_clusters(
+            batch_df,
+            self.num_centroids,
+            self.id_col,
+            self.vec_col,
+            centroids=cents,
+        )
+        assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            os.path.join(self._assignments_dir, f"batch={batch_id}")
+        )
+
+    def assignments(self, spark: SparkSession) -> DataFrame:
+        return (
+            spark.read.option("basePath", self._assignments_dir)
+            .parquet(self._assignments_dir)
+            .select(self.id_col, self.vec_col, "cluster_id")
+        )
+
+    def topk(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Approximate top-k over the committed index. ``queries`` is
+        (query_id, query_vec); with nprobe = num_centroids the probe is
+        exhaustive and the result exact."""
+        from stream_loader_spark.operators.similarity import ivf_probe
+
+        cents = self.centroids(spark)
+        if cents is None:
+            raise ValueError(f"no trained index under {self.out_dir}")
+        return ivf_probe(
+            self.assignments(spark),
+            cents,
+            queries,
+            k,
+            nprobe,
+            self.id_col,
+            self.vec_col,
+        )

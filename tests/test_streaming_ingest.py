@@ -129,3 +129,101 @@ class TestNearDupIngest:
         _run_stream(spark, src, sink, str(tmp_path / "cp"))
         kept = sorted(r["doc_id"] for r in sink.committed_corpus(spark).collect())
         assert kept == [1, 5, 9]
+
+
+class TestIvfIngest:
+    """streaming/ingest.py::IvfIngestSink — streamed ANN index."""
+
+    VEC_SCHEMA = "vec_id long, embedding array<float>"
+
+    def _vecs(self, spark, lo, hi, dim=8):
+        rows = [
+            (i, [float(((i * 31 + p * 17) % 19) - 9) / 9.0 for p in range(dim)])
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(rows, self.VEC_SCHEMA)
+
+    def _write(self, spark, src, lo, hi):
+        self._vecs(spark, lo, hi).coalesce(1).write.mode("append").parquet(src)
+
+    def _run(self, spark, src, sink, cp):
+        (
+            spark.readStream.schema(self.VEC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    def test_streamed_index_is_complete_and_probeable(self, spark, tmp_path):
+        from stream_loader_spark.streaming.ingest import IvfIngestSink
+
+        src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+        sink = IvfIngestSink(str(tmp_path / "ivf"), num_centroids=4)
+        self._write(spark, src, 0, 40)
+        self._write(spark, src, 40, 80)
+        self._run(spark, src, sink, cp)
+
+        idx = sink.assignments(spark)
+        assert idx.count() == 80  # every streamed vector is indexed once
+        assert idx.select("vec_id").distinct().count() == 80
+        # Hive layout: probes prune to cluster_id=<c> directories
+        b0 = os.path.join(str(tmp_path / "ivf"), "assignments", "batch=0")
+        assert any(d.startswith("cluster_id=") for d in os.listdir(b0))
+
+        # an exhaustive probe (nprobe = C) is exact: vector 7's copy
+        # under a fresh id must be its own top match
+        dup = spark.createDataFrame(
+            [(999, self._vecs(spark, 7, 8).collect()[0]["embedding"])],
+            self.VEC_SCHEMA,
+        )
+        self._write(spark, src, 999, 999)  # no-op append keeps dirs valid
+        sink(dup, 97)  # direct batch write of the duplicate
+        q = self._vecs(spark, 7, 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        # the generator repeats with period 19 in the id, so vec 7 has
+        # exact copies at 26/45/64 too — all must rank with cosine 1.0,
+        # ties broken by id, with the injected 999 among them
+        top = sink.topk(spark, q, k=4, nprobe=4).collect()
+        assert [r["match_id"] for r in top] == [26, 45, 64, 999]
+        assert all(r["cosine"] == 1.0 for r in top)
+
+    def test_quantizer_frozen_across_restart(self, spark, tmp_path):
+        """The first batch trains the quantizer; later batches (and a
+        sink rebuilt over the same directory) must reuse it unchanged —
+        per-batch drift would strand earlier assignments."""
+        from stream_loader_spark.streaming.ingest import IvfIngestSink
+
+        src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+        out = str(tmp_path / "ivf")
+        sink = IvfIngestSink(out, num_centroids=4)
+        self._write(spark, src, 0, 30)
+        self._run(spark, src, sink, cp)
+        before = sorted(
+            (r["centroid_id"], tuple(r["centroid_vec"]))
+            for r in sink.centroids(spark).collect()
+        )
+
+        sink2 = IvfIngestSink(out, num_centroids=4)  # restart
+        self._write(spark, src, 30, 60)
+        self._run(spark, src, sink2, cp)
+        after = sorted(
+            (r["centroid_id"], tuple(r["centroid_vec"]))
+            for r in sink2.centroids(spark).collect()
+        )
+        assert before == after
+        assert sink2.assignments(spark).count() == 60
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from stream_loader_spark.streaming.ingest import IvfIngestSink
+
+        sink = IvfIngestSink(str(tmp_path / "ivf"), num_centroids=4)
+        batch = self._vecs(spark, 0, 20)
+        sink(batch, 0)
+        once = sink.assignments(spark).count()
+        sink(batch, 0)  # at-least-once redelivery of the SAME batch
+        assert sink.assignments(spark).count() == once == 20
