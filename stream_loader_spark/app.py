@@ -54,6 +54,18 @@ _SINK_TYPES: dict[str, dict[str, set[str]]] = {
         "required": {"path", "key-columns", "order-column"},
         "optional": {"num-buckets"},
     },
+    "matview": {
+        "required": {"path", "key-columns", "value-columns"},
+        "optional": {"num-buckets"},
+    },
+    "dedup-ingest": {
+        "required": {"path"},
+        "optional": {"text-column", "id-column"},
+    },
+    "ivf": {
+        "required": {"path"},
+        "optional": {"num-centroids", "kmeans-iterations", "id-column", "vector-column"},
+    },
 }
 
 
@@ -103,6 +115,33 @@ def _build_sink(cfg: dict):
         from stream_loader_spark.sinks.offsets import InRowOffsetsSink
 
         return InRowOffsetsSink(cfg["path"])
+    if kind == "matview":
+        from stream_loader_spark.sinks.matview import IncrementalAggSink
+
+        return IncrementalAggSink(
+            cfg["path"],
+            keys=list(cfg["key-columns"]),
+            value_cols=list(cfg["value-columns"]),
+            num_buckets=int(cfg.get("num-buckets", 16)),
+        )
+    if kind == "dedup-ingest":
+        from stream_loader_spark.streaming.ingest import DedupIngestSink
+
+        return DedupIngestSink(
+            cfg["path"],
+            text_col=cfg.get("text-column", "text"),
+            id_col=cfg.get("id-column", "doc_id"),
+        )
+    if kind == "ivf":
+        from stream_loader_spark.streaming.ingest import IvfIngestSink
+
+        return IvfIngestSink(
+            cfg["path"],
+            num_centroids=int(cfg.get("num-centroids", 16)),
+            kmeans_iterations=int(cfg.get("kmeans-iterations", 2)),
+            id_col=cfg.get("id-column", "vec_id"),
+            vec_col=cfg.get("vector-column", "embedding"),
+        )
     from stream_loader_spark.sinks.upsert import UpsertSink
 
     return UpsertSink(

@@ -184,3 +184,48 @@ class TestRequiredKeyValidation:
         cfg["sink"] = {"type": "offsets", "path": str(tmp_path / "o"), "partition-by": "dt"}
         with pytest.raises(ValueError, match="partition-by"):
             build_app(spark, cfg)
+
+
+class TestIngestSinksFromConfig:
+    """The round-5 sinks are deployable through the same config artifact."""
+
+    def _docs_source(self, spark, path, rows):
+        spark.createDataFrame(
+            [
+                ("t", 0, i, datetime(2024, 1, 1), json.dumps({"doc_id": i, "text": t}))
+                for i, t in rows
+            ],
+            REC_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    def test_dedup_ingest_sink_from_config(self, spark, tmp_path):
+        self._docs_source(
+            spark,
+            str(tmp_path / "src"),
+            [(1, "alpha"), (2, "beta"), (3, "alpha")],
+        )
+        cfg = {
+            "source": {"type": "file", "path": str(tmp_path / "src"), "schema": REC_SCHEMA},
+            "format": {"type": "json", "schema": "doc_id BIGINT, text STRING"},
+            "sink": {"type": "dedup-ingest", "path": str(tmp_path / "corpus")},
+            "checkpoint": str(tmp_path / "chk"),
+        }
+        app = build_app(spark, cfg)
+        app.pipeline.run_available()
+        kept = sorted(
+            r["doc_id"] for r in app.sink.committed_corpus(spark).collect()
+        )
+        assert kept == [1, 2]  # in-batch dup dropped by the configured sink
+
+    def test_new_sink_types_validate_keys(self, spark, tmp_path):
+        base = {
+            "source": {"type": "file", "path": str(tmp_path / "s"), "schema": REC_SCHEMA},
+            "checkpoint": str(tmp_path / "chk"),
+        }
+        for sink in (
+            {"type": "matview", "path": "p", "key-columns": ["k"]},  # missing value-columns
+            {"type": "ivf", "path": "p", "num-centroidz": 4},  # typo'd key
+            {"type": "dedup-ingest"},  # missing path
+        ):
+            with pytest.raises(ValueError):
+                build_app(spark, {**base, "sink": sink})
