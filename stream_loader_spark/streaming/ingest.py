@@ -32,6 +32,162 @@ from pyspark.sql import functions as F
 from stream_loader_spark.operators.dedup import incremental_exact_dedup
 
 
+def _read_json(path: str) -> dict | None:
+    import json
+
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _write_json_atomic(path: str, payload: dict) -> None:
+    import json
+    import tempfile
+
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".json.tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+class BatchDirState:
+    """State stored as ``batch=<n>`` directories, with manifest-driven
+    compaction bounding the directory count.
+
+    The ingest sinks append one deterministic directory per micro-batch
+    (replay-safe by overwrite), so state listings grow one directory
+    per batch forever — at one batch per minute that is half a million
+    directories a year, and every history read lists all of them. This
+    helper folds all FULLY-COMMITTED batches (everything below the
+    highest batch id present; only the in-flight batch can ever be
+    replayed) into one consolidated generation directory:
+
+    1. the consolidated rows are written to ``compact/g=<gen>`` — not
+       yet referenced, so a crash here leaves an orphan, never a wrong
+       read;
+    2. ``compaction.json`` flips atomically (temp + rename) to
+       ``{upto, gen}`` — the commit point;
+    3. superseded batch dirs and old generations are deleted — a crash
+       mid-cleanup leaves orphans that the next compaction removes.
+
+    Readers take the referenced generation plus batch dirs ≥ ``upto``;
+    the replay-exclusion contract is preserved because the excludable
+    (in-flight) batch is always ≥ ``upto``. Run ``compact()`` between
+    triggers, like ``vacuum`` — never concurrently with a writing
+    batch.
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(self.root, exist_ok=True)
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "compaction.json")
+
+    def _meta(self) -> dict:
+        return _read_json(self._meta_path) or {"upto": 0, "gen": None}
+
+    def batch_ids(self) -> list[int]:
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.root)
+            if d.startswith("batch=")
+        )
+
+    def write_batch(self, df: DataFrame, batch_id: int, partition_by: str | None = None) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(os.path.join(self.root, f"batch={batch_id}"))
+
+    def dirs(self, exclude_batch: int | None = None) -> list[str]:
+        meta = self._meta()
+        out = []
+        if meta["gen"] is not None:
+            out.append(os.path.join(self.root, "compact", f"g={meta['gen']}"))
+        out += [
+            os.path.join(self.root, f"batch={b}")
+            for b in self.batch_ids()
+            if b >= meta["upto"] and b != exclude_batch
+        ]
+        return out
+
+    @staticmethod
+    def _read_dirs(spark: SparkSession, dirs: list[str]) -> DataFrame | None:
+        """Union the given state directories. Each dir is read under its
+        own basePath so a Hive layout INSIDE it (e.g. cluster_id=<c>)
+        yields its partition column, while the partition-style dir
+        names themselves (batch=<n>, g=<k>) are never parsed as
+        columns — a single multi-root read would either conflict on
+        those or silently add a batch column."""
+        parts = []
+        for d in dirs:
+            try:
+                parts.append(spark.read.option("basePath", d).parquet(d))
+            except Exception:  # noqa: BLE001 — empty dir: no schema to infer
+                continue
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(self, spark: SparkSession, exclude_batch: int | None = None) -> DataFrame | None:
+        return self._read_dirs(spark, self.dirs(exclude_batch))
+
+    def compact(self, spark: SparkSession, partition_by: str | None = None) -> int:
+        """Fold every batch below the highest id present (plus the prior
+        generation) into a new generation. Returns the number of rows
+        consolidated (0 = nothing to do)."""
+        import shutil
+
+        meta = self._meta()
+        ids = self.batch_ids()
+        if not ids:
+            return 0
+        upto = ids[-1]  # highest id stays replayable, everything below folds
+        # batches below the previous upto are crash-mid-cleanup orphans:
+        # their rows are ALREADY in the current generation, so they are
+        # deleted below but never folded again (double-count guard)
+        new_fold = [
+            os.path.join(self.root, f"batch={b}")
+            for b in ids
+            if meta["upto"] <= b < upto
+        ]
+        if not new_fold:
+            return 0
+        fold = list(new_fold)
+        if meta["gen"] is not None:
+            fold.insert(0, os.path.join(self.root, "compact", f"g={meta['gen']}"))
+        gen = (meta["gen"] or 0) + 1
+        df = self._read_dirs(spark, fold)
+        if df is None:  # only empty batch dirs: nothing to fold
+            return 0
+        dest = os.path.join(self.root, "compact", f"g={gen}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(dest)
+        n = spark.read.parquet(dest).count()
+        _write_json_atomic(self._meta_path, {"upto": upto, "gen": gen})
+        # post-commit cleanup; orphans from a crash here are re-collected
+        for b in ids:
+            if b < upto:
+                shutil.rmtree(os.path.join(self.root, f"batch={b}"), ignore_errors=True)
+        if meta["gen"] is not None:
+            shutil.rmtree(
+                os.path.join(self.root, "compact", f"g={meta['gen']}"),
+                ignore_errors=True,
+            )
+        return n
+
+
 class DedupIngestSink:
     """``foreachBatch`` callable: dedup each batch against history and
     append survivors.
@@ -46,7 +202,7 @@ class DedupIngestSink:
         self.out_dir = out_dir
         self.text_col = text_col
         self.id_col = id_col
-        os.makedirs(self._hashes_dir, exist_ok=True)
+        self._hash_state = BatchDirState(self._hashes_dir)
 
     @property
     def _corpus_dir(self) -> str:
@@ -59,14 +215,9 @@ class DedupIngestSink:
     def _history(self, spark: SparkSession, exclude_batch: int) -> DataFrame:
         """All committed hashes EXCEPT the given batch's own (a replay
         must not see its previous partial write as 'history')."""
-        try:
-            hist = spark.read.option("basePath", self._hashes_dir).parquet(
-                self._hashes_dir
-            )
-        except Exception:  # noqa: BLE001 — no batches yet
+        hist = self._hash_state.read(spark, exclude_batch=exclude_batch)
+        if hist is None:
             return spark.createDataFrame([], "content_hash string")
-        if "batch" in hist.columns:
-            hist = hist.where(F.col("batch") != exclude_batch)
         return hist.select("content_hash")
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -79,9 +230,12 @@ class DedupIngestSink:
         survivors.write.mode("overwrite").parquet(
             os.path.join(self._corpus_dir, f"batch={batch_id}")
         )
-        survivors.select("content_hash").write.mode("overwrite").parquet(
-            os.path.join(self._hashes_dir, f"batch={batch_id}")
-        )
+        self._hash_state.write_batch(survivors.select("content_hash"), batch_id)
+
+    def compact(self, spark: SparkSession) -> int:
+        """Fold fully-committed hash batches into one generation (run
+        between triggers; see BatchDirState)."""
+        return self._hash_state.compact(spark)
 
     def committed_corpus(self, spark: SparkSession) -> DataFrame:
         return spark.read.option("basePath", self._corpus_dir).parquet(
@@ -114,7 +268,8 @@ class NearDupIngestSink:
         self.out_dir = out_dir
         self.text_col = text_col
         self.id_col = id_col
-        os.makedirs(self._bands_dir, exist_ok=True)
+        self._band_state = BatchDirState(self._bands_dir)
+        self._doc_state = BatchDirState(self._docs_dir)
 
     @property
     def _corpus_dir(self) -> str:
@@ -129,24 +284,17 @@ class NearDupIngestSink:
         return os.path.join(self.out_dir, "docs")
 
     def _index(self, spark: SparkSession, exclude_batch: int):
-        empty_bands = spark.createDataFrame(
-            [], f"{self.id_col} long, band int, band_hash bigint"
-        )
-        empty_docs = spark.createDataFrame(
-            [], f"{self.id_col} long, {self.text_col} string"
-        )
-        try:
-            bands = spark.read.option("basePath", self._bands_dir).parquet(
-                self._bands_dir
+        bands = self._band_state.read(spark, exclude_batch=exclude_batch)
+        docs = self._doc_state.read(spark, exclude_batch=exclude_batch)
+        if bands is None or docs is None:
+            return (
+                spark.createDataFrame(
+                    [], f"{self.id_col} long, band int, band_hash bigint"
+                ),
+                spark.createDataFrame(
+                    [], f"{self.id_col} long, {self.text_col} string"
+                ),
             )
-            docs = spark.read.option("basePath", self._docs_dir).parquet(
-                self._docs_dir
-            )
-        except Exception:  # noqa: BLE001 — no batches yet
-            return empty_bands, empty_docs
-        if "batch" in bands.columns:
-            bands = bands.where(F.col("batch") != exclude_batch)
-            docs = docs.where(F.col("batch") != exclude_batch)
         return (
             bands.select(self.id_col, "band", "band_hash"),
             docs.select(self.id_col, self.text_col),
@@ -192,15 +340,20 @@ class NearDupIngestSink:
         survivors.write.mode("overwrite").parquet(
             os.path.join(self._corpus_dir, f"batch={batch_id}")
         )
-        survivors.select(self.id_col, self.text_col).write.mode("overwrite").parquet(
-            os.path.join(self._docs_dir, f"batch={batch_id}")
+        self._doc_state.write_batch(
+            survivors.select(self.id_col, self.text_col), batch_id
         )
-        band_index(survivors, self.text_col, self.id_col).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self._bands_dir, f"batch={batch_id}"))
+        self._band_state.write_batch(
+            band_index(survivors, self.text_col, self.id_col), batch_id
+        )
         pairs.unpersist()
         batch_df.unpersist()
         survivors.unpersist()
+
+    def compact(self, spark: SparkSession) -> int:
+        """Fold fully-committed band/doc index batches (run between
+        triggers; see BatchDirState)."""
+        return self._band_state.compact(spark) + self._doc_state.compact(spark)
 
     def committed_corpus(self, spark: SparkSession) -> DataFrame:
         return spark.read.option("basePath", self._corpus_dir).parquet(
@@ -244,6 +397,7 @@ class IvfIngestSink:
         self.id_col = id_col
         self.vec_col = vec_col
         os.makedirs(self.out_dir, exist_ok=True)
+        self._assign_state = BatchDirState(self._assignments_dir)
 
     @property
     def _centroids_dir(self) -> str:
@@ -303,16 +457,18 @@ class IvfIngestSink:
             self.vec_col,
             centroids=cents,
         )
-        assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
-            os.path.join(self._assignments_dir, f"batch={batch_id}")
-        )
+        self._assign_state.write_batch(assigned, batch_id, partition_by="cluster_id")
 
     def assignments(self, spark: SparkSession) -> DataFrame:
-        return (
-            spark.read.option("basePath", self._assignments_dir)
-            .parquet(self._assignments_dir)
-            .select(self.id_col, self.vec_col, "cluster_id")
-        )
+        idx = self._assign_state.read(spark)
+        if idx is None:
+            raise ValueError(f"no committed assignments under {self.out_dir}")
+        return idx.select(self.id_col, self.vec_col, "cluster_id")
+
+    def compact(self, spark: SparkSession) -> int:
+        """Fold fully-committed assignment batches into one generation,
+        keeping the cluster_id layout (run between triggers)."""
+        return self._assign_state.compact(spark, partition_by="cluster_id")
 
     def topk(
         self,

@@ -2,6 +2,7 @@
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from stream_loader_spark.streaming.ingest import DedupIngestSink
@@ -227,3 +228,106 @@ class TestIvfIngest:
         once = sink.assignments(spark).count()
         sink(batch, 0)  # at-least-once redelivery of the SAME batch
         assert sink.assignments(spark).count() == once == 20
+
+
+class TestIngestCompaction:
+    """streaming/ingest.py::BatchDirState — bounded state directories."""
+
+    def _batch_dirs(self, root):
+        return sorted(d for d in os.listdir(root) if d.startswith("batch="))
+
+    def test_dedup_history_survives_compaction(self, spark, tmp_path):
+        from stream_loader_spark.streaming.ingest import DedupIngestSink
+
+        sink = DedupIngestSink(str(tmp_path / "out"))
+        for n, rows in enumerate(
+            [[(1, "alpha")], [(2, "beta")], [(3, "gamma")], [(4, "delta")]]
+        ):
+            sink(spark.createDataFrame(rows, DOC_SCHEMA), n)
+        folded = sink.compact(spark)
+        assert folded == 3  # batches 0-2 fold; batch 3 stays replayable
+        hashes_root = os.path.join(str(tmp_path / "out"), "hashes")
+        assert self._batch_dirs(hashes_root) == ["batch=3"]
+
+        # compacted history still blocks every old duplicate
+        sink(spark.createDataFrame([(5, "alpha"), (6, "epsilon")], DOC_SCHEMA), 4)
+        kept = sorted(r["doc_id"] for r in sink.committed_corpus(spark).collect())
+        assert kept == [1, 2, 3, 4, 6]
+
+    def test_replay_exclusion_survives_compaction(self, spark, tmp_path):
+        """The in-flight batch (highest id) is never folded, so a replay
+        still excludes exactly its own prior write from history."""
+        from stream_loader_spark.streaming.ingest import DedupIngestSink
+
+        sink = DedupIngestSink(str(tmp_path / "out"))
+        sink(spark.createDataFrame([(1, "alpha")], DOC_SCHEMA), 0)
+        sink(spark.createDataFrame([(2, "beta")], DOC_SCHEMA), 1)
+        sink.compact(spark)
+        # replay batch 1: its own 'beta' must not look like history
+        sink(spark.createDataFrame([(2, "beta")], DOC_SCHEMA), 1)
+        kept = sorted(r["doc_id"] for r in sink.committed_corpus(spark).collect())
+        assert kept == [1, 2]
+
+    def test_ivf_index_identical_after_compaction(self, spark, tmp_path):
+        from stream_loader_spark.streaming.ingest import IvfIngestSink
+
+        sink = IvfIngestSink(str(tmp_path / "ivf"), num_centroids=4)
+        mk = TestIvfIngest()._vecs
+        for n, (lo, hi) in enumerate([(0, 20), (20, 40), (40, 60)]):
+            sink(mk(spark, lo, hi), n)
+        before = sorted(
+            (r["vec_id"], r["cluster_id"])
+            for r in sink.assignments(spark).collect()
+        )
+        assert sink.compact(spark) == 40  # batches 0-1 fold
+        after = sorted(
+            (r["vec_id"], r["cluster_id"])
+            for r in sink.assignments(spark).collect()
+        )
+        assert after == before
+        # cluster partition layout is preserved in the generation dir
+        gen = os.path.join(str(tmp_path / "ivf"), "assignments", "compact", "g=1")
+        assert any(d.startswith("cluster_id=") for d in os.listdir(gen))
+
+    def test_repeated_compaction_never_double_counts(self, spark, tmp_path):
+        from stream_loader_spark.streaming.ingest import DedupIngestSink
+
+        sink = DedupIngestSink(str(tmp_path / "out"))
+        for n in range(3):
+            sink(spark.createDataFrame([(n, f"doc{n}")], DOC_SCHEMA), n)
+        sink.compact(spark)
+        assert sink.compact(spark) == 0  # nothing new: no-op, same gen
+        sink(spark.createDataFrame([(9, "doc9")], DOC_SCHEMA), 3)
+        sink.compact(spark)  # folds gen 1 + batch 2 into gen 2
+        hist = sink._history(spark, exclude_batch=99)
+        # docs 0-2 once each via gen 2, doc9 via its live batch dir
+        assert hist.count() == hist.distinct().count() == 4
+
+    def test_crash_before_meta_flip_keeps_old_state(self, spark, tmp_path):
+        """Compaction commits at the meta flip: dying after writing the
+        new generation but before the flip must leave readers on the
+        original directories (the orphan gen is never referenced)."""
+        from stream_loader_spark.streaming.ingest import DedupIngestSink
+        import stream_loader_spark.streaming.ingest as ingest_mod
+
+        sink = DedupIngestSink(str(tmp_path / "out"))
+        for n in range(3):
+            sink(spark.createDataFrame([(n, f"doc{n}")], DOC_SCHEMA), n)
+
+        original = ingest_mod._write_json_atomic
+
+        def crashing(path, payload):
+            raise RuntimeError("crash before meta flip")
+
+        ingest_mod._write_json_atomic = crashing
+        try:
+            with pytest.raises(RuntimeError):
+                sink.compact(spark)
+        finally:
+            ingest_mod._write_json_atomic = original
+        hashes_root = os.path.join(str(tmp_path / "out"), "hashes")
+        assert self._batch_dirs(hashes_root) == ["batch=0", "batch=1", "batch=2"]
+        assert sink._history(spark, exclude_batch=99).count() == 3
+        # the next compaction recovers and commits cleanly
+        assert sink.compact(spark) == 2
+        assert sink._history(spark, exclude_batch=99).count() == 3
