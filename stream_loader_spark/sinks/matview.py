@@ -94,6 +94,16 @@ class IncrementalAggSink:
         state = self.upsert.current_state(spark).drop("_bucket", _VERSION_COL)
         return finalize_aggregates(state, self.keys)
 
+    def view_as_of(self, spark: SparkSession, batch_id: int) -> DataFrame:
+        """The finalized view as of an earlier committed batch — rides
+        the upsert manifest's per-batch snapshots (``vacuum`` prunes
+        them), so 'what did this dashboard say after batch N' is a
+        directory-list away, never a recomputation."""
+        state = self.upsert.current_state(spark, as_of_batch=batch_id).drop(
+            "_bucket", _VERSION_COL
+        )
+        return finalize_aggregates(state, self.keys)
+
 
 class SketchViewSink:
     """Continuous daily-sketch maintenance: the streaming producer of

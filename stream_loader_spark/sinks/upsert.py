@@ -141,6 +141,21 @@ class UpsertSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         self.write_batch(batch_df, batch_id)
 
+    @staticmethod
+    def _aligned(df: DataFrame, types: dict, cols: list[str]) -> DataFrame:
+        """Project onto ``cols``, filling columns the frame lacks with
+        NULLs of the canonical type — the additive-schema-evolution
+        contract: a batch may add columns (old rows read back NULL) or
+        omit columns (carried rows keep their stored values), and
+        neither direction crashes the merge or silently drops data."""
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(c) if c in have else F.lit(None).cast(types[c]).alias(c)
+                for c in cols
+            ]
+        )
+
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         manifest = self._read_manifest()
         if batch_id in manifest["batches"]:
@@ -173,12 +188,22 @@ class UpsertSink:
             ]
             merged = latest
             if old_dirs:
-                old = spark.read.parquet(*old_dirs)
+                # mergeSchema: touched buckets may span versions written
+                # under different (additively evolved) schemas
+                old = spark.read.option("mergeSchema", "true").parquet(*old_dirs)
                 keep = null_safe_join(
                     old, latest.select(*self.key_cols), self.key_cols, "left_anti"
                 ).withColumn("_bucket", self._bucket_col())
-                merged = keep.select(*data_cols, "_bucket").unionByName(
-                    latest.select(*data_cols, "_bucket")
+                # target schema = batch columns ∪ stored columns; the
+                # side missing a column contributes NULLs (see _aligned)
+                all_cols = data_cols + [
+                    c for c in old.columns if c not in data_cols and c != "_bucket"
+                ]
+                types = {f.name: f.dataType for f in latest.schema.fields}
+                for f in old.schema.fields:
+                    types.setdefault(f.name, f.dataType)
+                merged = self._aligned(keep, types, all_cols + ["_bucket"]).unionByName(
+                    self._aligned(latest, types, all_cols + ["_bucket"])
                 )
             # ONE job writes every touched bucket under the new version;
             # the deterministic path makes a crashed replay overwrite it
@@ -217,7 +242,9 @@ class UpsertSink:
         dirs = [self._bucket_dir(int(b), v) for b, v in versions.items()]
         if not dirs:
             raise ValueError(f"no committed state under {self.path}")
-        return spark.read.parquet(*dirs)
+        # mergeSchema: untouched buckets may predate an additive schema
+        # change — their rows read back with NULLs in the newer columns
+        return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
     def change_feed(self, spark: SparkSession, batch_id: int) -> DataFrame:
         """CDC view of one committed batch: every key it wrote, labeled
@@ -239,7 +266,7 @@ class UpsertSink:
         ]
         if not new_dirs:
             raise ValueError(f"batch {batch_id} wrote no buckets")
-        new = spark.read.parquet(*new_dirs)
+        new = spark.read.option("mergeSchema", "true").parquet(*new_dirs)
 
         batches = sorted(int(b) for b in manifest["history"])
         prior = [b for b in batches if b < batch_id]
@@ -267,11 +294,20 @@ class UpsertSink:
                     for c in value_cols
                 ],
             )
-        old = spark.read.parquet(*old_dirs)
+        old = spark.read.option("mergeSchema", "true").parquet(*old_dirs)
+        # additive evolution: a value column the prior snapshot predates
+        # reads back as NULL olds (and flags as 'update' when the new
+        # value is non-null — correct CDC semantics for a backfill)
+        old_have = set(old.columns)
         existed = old.select(
             *self.key_cols,
             F.lit(True).alias("_existed"),
-            *[F.col(c).alias(f"_old_{c}") for c in value_cols],
+            *[
+                (
+                    F.col(c) if c in old_have else F.lit(None).cast(new.schema[c].dataType)
+                ).alias(f"_old_{c}")
+                for c in value_cols
+            ],
         )
         joined = null_safe_join(new, existed, self.key_cols, "left_outer")
         # the version dirs hold full merged buckets, so carried-over

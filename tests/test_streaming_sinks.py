@@ -1337,6 +1337,22 @@ class TestIncrementalAggSink:
         assert n3 == 8 + 2  # 8 rows of k=3 in batch 0, 2 in batch 1
 
 
+    def test_view_as_of_reads_historical_snapshot(self, spark, tmp_path):
+        """Time travel on the continuous aggregate: the view as of an
+        earlier batch is the aggregate of exactly the data seen then."""
+        from stream_loader_spark.sinks.matview import IncrementalAggSink
+
+        sink = IncrementalAggSink(str(tmp_path / "mv"), ["k"], ["value"])
+        sink.write_batch(self._rows(spark, 0, 30), 0)
+        want0 = sorted(map(tuple, sink.current_view(spark).collect()))
+        sink.write_batch(self._rows(spark, 30, 80), 1)
+
+        got0 = sorted(map(tuple, sink.view_as_of(spark, 0).collect()))
+        assert got0 == want0
+        assert sorted(map(tuple, sink.view_as_of(spark, 1).collect())) == sorted(
+            map(tuple, sink.current_view(spark).collect())
+        )
+
     def test_null_group_key_folds_incrementally(self, spark, tmp_path):
         """Regression: NULL aggregation-group state must fold across
         batches into one row, not accumulate one stale row per batch."""
@@ -1407,3 +1423,65 @@ class TestSketchViewSink:
         sink.write_batch(b, 0)  # redelivery
         row = sink.daily_estimates(spark).collect()[0]
         assert row["n_rows"] == 100  # ledger short-circuits before sketching
+
+
+class TestUpsertSchemaEvolution:
+    """Additive schema evolution: batches may add or omit value columns;
+    neither direction crashes the merge or drops carried data."""
+
+    def _sink(self, tmp_path):
+        from stream_loader_spark.sinks.upsert import UpsertSink
+
+        return UpsertSink(str(tmp_path / "state"), ["k"], "ver", num_buckets=4)
+
+    def test_batch_adding_a_column(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        sink.write_batch(
+            spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k long, val string, ver long"),
+            0,
+        )
+        sink.write_batch(
+            spark.createDataFrame(
+                [(2, "B", "x", 2)], "k long, val string, extra string, ver long"
+            ),
+            1,
+        )
+        state = {r["k"]: r for r in sink.current_state(spark).collect()}
+        assert state[2]["val"] == "B" and state[2]["extra"] == "x"
+        # pre-evolution row reads back with NULL in the new column
+        assert state[1]["val"] == "a" and state[1]["extra"] is None
+
+    def test_batch_omitting_a_column_keeps_carried_values(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        sink.write_batch(
+            spark.createDataFrame(
+                [(1, "a", "keepme", 1), (2, "b", "old", 1)],
+                "k long, val string, extra string, ver long",
+            ),
+            0,
+        )
+        # batch 1 omits 'extra' and touches key 2's bucket
+        sink.write_batch(
+            spark.createDataFrame([(2, "B", 2)], "k long, val string, ver long"), 1
+        )
+        state = {r["k"]: r for r in sink.current_state(spark).collect()}
+        assert state[1]["extra"] == "keepme"  # carried row: NOT dropped
+        assert state[2]["val"] == "B" and state[2]["extra"] is None
+
+    def test_change_feed_across_schema_change(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        sink.write_batch(
+            spark.createDataFrame([(1, "a", 1)], "k long, val string, ver long"), 0
+        )
+        sink.write_batch(
+            spark.createDataFrame(
+                [(1, "a", "x", 2)], "k long, val string, extra string, ver long"
+            ),
+            1,
+        )
+        [row] = sink.change_feed(spark, 1).collect()
+        # backfilling a new column on an existing key is an update with
+        # a NULL old for the column that did not exist yet
+        assert row["_change"] == "update"
+        assert row["extra"] == "x" and row["_old_extra"] is None
+        assert row["_old_val"] == "a"
