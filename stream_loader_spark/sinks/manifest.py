@@ -44,6 +44,30 @@ from stream_loader_spark.model.idempotence import dedup_token
 from stream_loader_spark.operators.recovery import stream_ranges
 
 
+
+def atomic_write_json(dir_path: str, record: dict, final_name: str) -> None:
+    """Durable atomic JSON publish: fsync the temp file, rename, fsync
+    the directory so the rename itself survives power loss. The ONE
+    commit primitive for every manifest in the repo (file sink, upsert,
+    ingest compaction) — copies drift, this doesn't."""
+    os.makedirs(dir_path, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=dir_path, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(record, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(dir_path, final_name))
+        dir_fd = os.open(dir_path, os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 @dataclass
 class CommitMetrics:
     """The reference's sinker metrics (RecordBatchingSinker.scala:175-208)
@@ -142,23 +166,7 @@ class ManifestFileSink:
         ]
 
     def _atomic_write_json(self, record: dict, final_name: str) -> None:
-        """Durable atomic publish: fsync the temp file, rename, fsync the
-        directory so the rename itself survives power loss."""
-        fd, tmp = tempfile.mkstemp(dir=self._manifest_dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(record, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.rename(tmp, os.path.join(self._manifest_dir, final_name))
-            dir_fd = os.open(self._manifest_dir, os.O_RDONLY)
-            try:
-                os.fsync(dir_fd)
-            finally:
-                os.close(dir_fd)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        atomic_write_json(self._manifest_dir, record, final_name)
 
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.is_batch_committed(batch_id):

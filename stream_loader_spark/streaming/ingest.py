@@ -43,15 +43,22 @@ def _read_json(path: str) -> dict | None:
 
 
 def _write_json_atomic(path: str, payload: dict) -> None:
-    import json
-    import tempfile
+    # one commit primitive for the whole repo — see sinks/manifest.py
+    from stream_loader_spark.sinks.manifest import atomic_write_json
 
-    d = os.path.dirname(path)
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".json.tmp")
-    with os.fdopen(fd, "w") as fh:
-        json.dump(payload, fh)
-    os.replace(tmp, path)  # atomic on POSIX
+    atomic_write_json(os.path.dirname(path), payload, os.path.basename(path))
+
+
+def _has_data_files(d: str) -> bool:
+    """True if the directory tree contains at least one parquet part
+    file. The honest emptiness test: deciding 'empty' from a failed
+    spark.read would turn a transient IO error into silently-missing
+    state — and, during compaction, into deleting data that was never
+    folded."""
+    for _root, _dirs, files in os.walk(d):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 class BatchDirState:
@@ -119,20 +126,29 @@ class BatchDirState:
 
     @staticmethod
     def _read_dirs(spark: SparkSession, dirs: list[str]) -> DataFrame | None:
-        """Union the given state directories. Each dir is read under its
-        own basePath so a Hive layout INSIDE it (e.g. cluster_id=<c>)
-        yields its partition column, while the partition-style dir
-        names themselves (batch=<n>, g=<k>) are never parsed as
-        columns — a single multi-root read would either conflict on
-        those or silently add a batch column."""
-        parts = []
-        for d in dirs:
-            try:
-                parts.append(spark.read.option("basePath", d).parquet(d))
-            except Exception:  # noqa: BLE001 — empty dir: no schema to infer
-                continue
-        if not parts:
+        """Union the given state directories. Empty directories are
+        detected by LISTING (never by catching a failed read — a real
+        read error must propagate, not masquerade as emptiness). Flat
+        layouts read as ONE multi-root scan; only dirs with a Hive
+        layout inside (e.g. cluster_id=<c>) are read per-dir under
+        their own basePath, because a single multi-root read would
+        conflict on the partition-style outer dir names (batch=<n>)."""
+        nonempty = [d for d in dirs if _has_data_files(d)]
+        if not nonempty:
             return None
+
+        def _hive_inside(d: str) -> bool:
+            return any(
+                "=" in e and os.path.isdir(os.path.join(d, e)) for e in os.listdir(d)
+            )
+
+        nested = [d for d in nonempty if _hive_inside(d)]
+        flat = [d for d in nonempty if d not in nested]
+        parts = []
+        if flat:
+            parts.append(spark.read.parquet(*flat))
+        for d in nested:
+            parts.append(spark.read.option("basePath", d).parquet(d))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -167,7 +183,17 @@ class BatchDirState:
             fold.insert(0, os.path.join(self.root, "compact", f"g={meta['gen']}"))
         gen = (meta["gen"] or 0) + 1
         df = self._read_dirs(spark, fold)
-        if df is None:  # only empty batch dirs: nothing to fold
+        if df is None:
+            # every foldable dir is empty (an all-duplicate stream
+            # writes one empty dir per trigger): still advance upto and
+            # drop them, or the directory growth this class exists to
+            # bound continues unbounded — the generation is unchanged
+            _write_json_atomic(self._meta_path, {"upto": upto, "gen": meta["gen"]})
+            for b in ids:
+                if b < upto:
+                    shutil.rmtree(
+                        os.path.join(self.root, f"batch={b}"), ignore_errors=True
+                    )
             return 0
         dest = os.path.join(self.root, "compact", f"g={gen}")
         w = df.write.mode("overwrite")
@@ -408,10 +434,14 @@ class IvfIngestSink:
         return os.path.join(self.out_dir, "assignments")
 
     def centroids(self, spark: SparkSession) -> DataFrame | None:
-        try:
-            return spark.read.parquet(self._centroids_dir)
-        except Exception:  # noqa: BLE001 — not trained yet
+        """The frozen quantizer, or None if never trained. Existence is
+        decided by LISTING, never by a swallowed read error — treating
+        a transient IO failure as 'not trained' would silently retrain
+        and strand every prior assignment in the old quantizer's cells
+        (the exact failure the freeze exists to prevent)."""
+        if not _has_data_files(self._centroids_dir):
             return None
+        return spark.read.parquet(self._centroids_dir)
 
     def _train(self, batch_df: DataFrame) -> DataFrame:
         from stream_loader_spark.operators.similarity import kmeans_centroids
@@ -442,22 +472,42 @@ class IvfIngestSink:
         from stream_loader_spark.operators.similarity import assign_clusters
 
         spark = batch_df.sparkSession
-        cents = self.centroids(spark)
-        if cents is None:
-            if not batch_df.take(1):
-                return  # nothing to train on yet
-            self._train(batch_df).write.mode("overwrite").parquet(
-                self._centroids_dir
-            )
+        # the batch is consumed several times on the training path
+        # (take, seed collect, one pass per Lloyd iteration, assignment
+        # write) and twice otherwise — recomputing a source-backed
+        # micro-batch per action would re-fetch it from the source
+        batch_df = batch_df.persist()
+        try:
             cents = self.centroids(spark)
-        assigned = assign_clusters(
-            batch_df,
-            self.num_centroids,
-            self.id_col,
-            self.vec_col,
-            centroids=cents,
-        )
-        self._assign_state.write_batch(assigned, batch_id, partition_by="cluster_id")
+            if cents is None:
+                if not batch_df.take(1):
+                    return  # nothing to train on yet
+                # atomic quantizer commit: write aside, one directory
+                # rename publishes it — a crash mid-write leaves an
+                # unreferenced tmp dir, never a partially-visible
+                # quantizer that would be frozen forever
+                tmp = self._centroids_dir + ".tmp"
+                self._train(batch_df).write.mode("overwrite").parquet(tmp)
+                if os.path.isdir(self._centroids_dir):
+                    # crash leftover with no data files (centroids()
+                    # returned None) — clear it so the rename lands
+                    import shutil
+
+                    shutil.rmtree(self._centroids_dir)
+                os.rename(tmp, self._centroids_dir)
+                cents = self.centroids(spark)
+            assigned = assign_clusters(
+                batch_df,
+                self.num_centroids,
+                self.id_col,
+                self.vec_col,
+                centroids=cents,
+            )
+            self._assign_state.write_batch(
+                assigned, batch_id, partition_by="cluster_id"
+            )
+        finally:
+            batch_df.unpersist()
 
     def assignments(self, spark: SparkSession) -> DataFrame:
         idx = self._assign_state.read(spark)

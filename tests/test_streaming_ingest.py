@@ -331,3 +331,73 @@ class TestIngestCompaction:
         # the next compaction recovers and commits cleanly
         assert sink.compact(spark) == 2
         assert sink._history(spark, exclude_batch=99).count() == 3
+
+
+class TestCompactionHardening:
+    def test_all_empty_fold_still_bounds_directories(self, spark, tmp_path):
+        """An all-duplicate stream writes one EMPTY hash dir per trigger;
+        compaction must still advance and drop them."""
+        from stream_loader_spark.streaming.ingest import DedupIngestSink
+
+        from stream_loader_spark.streaming.ingest import BatchDirState
+
+        # pure all-empty prefix (no generation yet): the upto must still
+        # advance and the empty dirs disappear
+        state = BatchDirState(str(tmp_path / "empties"))
+        for n in range(3):
+            state.write_batch(spark.createDataFrame([], "h string"), n)
+        assert state.compact(spark) == 0
+        left = [d for d in os.listdir(state.root) if d.startswith("batch=")]
+        assert left == ["batch=2"]
+
+        # duplicate stream over a real generation: empty dirs fold away
+        # on every pass, directory count stays bounded
+        sink = DedupIngestSink(str(tmp_path / "out"))
+        sink(spark.createDataFrame([(1, "alpha")], DOC_SCHEMA), 0)
+        for n in (1, 2, 3):  # all duplicates -> empty hash batch dirs
+            sink(spark.createDataFrame([(n + 10, "alpha")], DOC_SCHEMA), n)
+        sink.compact(spark)
+        sink(spark.createDataFrame([(20, "alpha")], DOC_SCHEMA), 4)
+        sink.compact(spark)
+        hashes_root = os.path.join(str(tmp_path / "out"), "hashes")
+        dirs = [d for d in os.listdir(hashes_root) if d.startswith("batch=")]
+        assert dirs == ["batch=4"]  # empties dropped despite no new rows
+        # and history is still authoritative
+        sink(spark.createDataFrame([(30, "alpha"), (31, "new")], DOC_SCHEMA), 5)
+        kept = sorted(r["doc_id"] for r in sink.committed_corpus(spark).collect())
+        assert kept == [1, 31]
+
+    def test_unreadable_state_fails_compaction_loudly(self, spark, tmp_path):
+        """A batch dir that LISTS as non-empty but cannot be READ must
+        abort compaction (and leave every directory in place) — treating
+        it as empty would fold without it and then delete it."""
+        from stream_loader_spark.streaming.ingest import DedupIngestSink
+
+        sink = DedupIngestSink(str(tmp_path / "out"))
+        for n in range(3):
+            sink(spark.createDataFrame([(n, f"doc{n}")], DOC_SCHEMA), n)
+        hashes_root = os.path.join(str(tmp_path / "out"), "hashes")
+        b0 = os.path.join(hashes_root, "batch=0")
+        for f in os.listdir(b0):
+            if f.endswith(".parquet"):
+                with open(os.path.join(b0, f), "wb") as fh:
+                    fh.write(b"not parquet at all")
+        with pytest.raises(Exception):
+            sink.compact(spark)
+        dirs = sorted(d for d in os.listdir(hashes_root) if d.startswith("batch="))
+        assert dirs == ["batch=0", "batch=1", "batch=2"]  # nothing deleted
+
+    def test_partial_centroids_dir_does_not_freeze(self, spark, tmp_path):
+        """A centroids directory left WITHOUT data files by a crashed
+        write must not read as a trained quantizer."""
+        from stream_loader_spark.streaming.ingest import IvfIngestSink
+
+        out = str(tmp_path / "ivf")
+        sink = IvfIngestSink(out, num_centroids=4)
+        cdir = os.path.join(out, "centroids")
+        os.makedirs(cdir)
+        open(os.path.join(cdir, "_SUCCESS"), "w").close()  # no part files
+        assert sink.centroids(spark) is None
+        sink(TestIvfIngest()._vecs(spark, 0, 20), 0)  # trains + publishes
+        assert sink.centroids(spark) is not None
+        assert sink.assignments(spark).count() == 20
