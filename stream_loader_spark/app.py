@@ -52,7 +52,7 @@ _SINK_TYPES: dict[str, dict[str, set[str]]] = {
     "offsets": {"required": {"path"}, "optional": set()},
     "upsert": {
         "required": {"path", "key-columns", "order-column"},
-        "optional": {"num-buckets"},
+        "optional": {"num-buckets", "tombstone-column"},
     },
     "matview": {
         "required": {"path", "key-columns", "value-columns"},
@@ -149,6 +149,7 @@ def _build_sink(cfg: dict):
         key_cols=list(cfg["key-columns"]),
         order_col=cfg["order-column"],
         num_buckets=int(cfg.get("num-buckets", 16)),
+        tombstone_col=cfg.get("tombstone-column"),
     )
 
 

@@ -69,6 +69,7 @@ class UpsertSink:
         key_cols: list[str],
         order_col: str,
         num_buckets: int = 16,
+        tombstone_col: str | None = None,
     ) -> None:
         if not key_cols:
             raise ValueError("key_cols must be non-empty")
@@ -78,6 +79,14 @@ class UpsertSink:
             raise ValueError("order_col must not be a key column")
         self.order_col = order_col
         self.num_buckets = num_buckets
+        # CDC deletes: a batch row with this boolean column TRUE removes
+        # its key from state. The marker participates in within-batch
+        # ordering (delete-then-reinsert resolves by order_col) and is
+        # never stored — state holds live rows only. Not pinned in the
+        # manifest config: it names a batch column, not a layout choice.
+        if tombstone_col in self.key_cols or tombstone_col == order_col:
+            raise ValueError("tombstone_col must not be a key or order column")
+        self.tombstone_col = tombstone_col
 
     # -- manifest -------------------------------------------------------
     @property
@@ -161,10 +170,14 @@ class UpsertSink:
         if batch_id in manifest["batches"]:
             return  # replay of a committed batch: no-op
         spark = batch_df.sparkSession
-        data_cols = batch_df.columns
+        tomb = self.tombstone_col
+        data_cols = [c for c in batch_df.columns if c != tomb]
 
-        # latest row per key WITHIN the batch: one hash aggregate
-        others = [c for c in data_cols if c not in self.key_cols]
+        # latest row per key WITHIN the batch: one hash aggregate. The
+        # tombstone marker rides through the max_by so delete-then-
+        # reinsert (and the reverse) resolve by order_col like any
+        # other same-key tie.
+        others = [c for c in batch_df.columns if c not in self.key_cols]
         latest = (
             batch_df.groupBy(*self.key_cols)
             .agg(F.max_by(F.struct(*others), F.col(self.order_col)).alias("_row"))
@@ -186,7 +199,13 @@ class UpsertSink:
                 for b in touched
                 if str(b) in manifest["versions"]
             ]
-            merged = latest
+            # tombstoned keys leave state entirely: they still anti-join
+            # the old rows away (via latest's keys) but contribute no
+            # replacement row, and the marker itself is never stored
+            live = latest
+            if tomb is not None and tomb in latest.columns:
+                live = latest.where(~F.coalesce(F.col(tomb), F.lit(False))).drop(tomb)
+            merged = live.select(*data_cols, "_bucket")
             if old_dirs:
                 # mergeSchema: touched buckets may span versions written
                 # under different (additively evolved) schemas
@@ -199,11 +218,11 @@ class UpsertSink:
                 all_cols = data_cols + [
                     c for c in old.columns if c not in data_cols and c != "_bucket"
                 ]
-                types = {f.name: f.dataType for f in latest.schema.fields}
+                types = {f.name: f.dataType for f in live.schema.fields}
                 for f in old.schema.fields:
                     types.setdefault(f.name, f.dataType)
                 merged = self._aligned(keep, types, all_cols + ["_bucket"]).unionByName(
-                    self._aligned(latest, types, all_cols + ["_bucket"])
+                    self._aligned(live, types, all_cols + ["_bucket"])
                 )
             # ONE job writes every touched bucket under the new version;
             # the deterministic path makes a crashed replay overwrite it
@@ -212,6 +231,11 @@ class UpsertSink:
                 .mode("overwrite")
                 .parquet(os.path.join(self.path, "versions", f"v={batch_id}"))
             )
+            # a bucket whose every key was tombstoned writes NO partition
+            # dir (dynamic partition writes skip empty groups) — create
+            # it empty so the manifest never points at a missing path
+            for b in touched:
+                os.makedirs(self._bucket_dir(b, batch_id), exist_ok=True)
         finally:
             latest.unpersist()
 
@@ -242,18 +266,32 @@ class UpsertSink:
         dirs = [self._bucket_dir(int(b), v) for b, v in versions.items()]
         if not dirs:
             raise ValueError(f"no committed state under {self.path}")
+        if not self._dirs_have_files(dirs):
+            # every key tombstoned: committed but empty — parquet can't
+            # infer a schema from zero files, so say what happened
+            raise ValueError(f"state under {self.path} is empty (all keys deleted)")
         # mergeSchema: untouched buckets may predate an additive schema
         # change — their rows read back with NULLs in the newer columns
         return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
+    @staticmethod
+    def _dirs_have_files(dirs: list[str]) -> bool:
+        return any(
+            f.endswith(".parquet")
+            for d in dirs
+            for _r, _s, files in os.walk(d)
+            for f in files
+        )
+
     def change_feed(self, spark: SparkSession, batch_id: int) -> DataFrame:
         """CDC view of one committed batch: every key it wrote, labeled
-        ``insert`` (key absent before) or ``update`` (with the previous
-        row's columns as ``_old_<col>``). Reads ONLY the batch's own
-        version directories plus the touched buckets' prior versions —
-        delta-sized, never a snapshot scan. Downstream consumers get a
-        replayable changelog without the sink writing a second copy of
-        anything."""
+        ``insert`` (key absent before), ``update`` (with the previous
+        row's columns as ``_old_<col>``), or ``delete`` (tombstoned
+        keys — old values attached, current columns NULL). Reads ONLY
+        the batch's own version directories plus the touched buckets'
+        prior versions — delta-sized, never a snapshot scan. Downstream
+        consumers get a replayable changelog without the sink writing a
+        second copy of anything."""
         manifest = self._read_manifest()
         snap = manifest["history"].get(str(batch_id))
         if snap is None:
@@ -266,7 +304,6 @@ class UpsertSink:
         ]
         if not new_dirs:
             raise ValueError(f"batch {batch_id} wrote no buckets")
-        new = spark.read.option("mergeSchema", "true").parquet(*new_dirs)
 
         batches = sorted(int(b) for b in manifest["history"])
         prior = [b for b in batches if b < batch_id]
@@ -279,6 +316,20 @@ class UpsertSink:
                 for b, v in prev_snap.items()
                 if b in touched
             ]
+        if self._dirs_have_files(new_dirs):
+            new = spark.read.option("mergeSchema", "true").parquet(*new_dirs)
+        else:
+            # an all-delete batch left its buckets EMPTY: take the row
+            # shape from the prior snapshot so every prior key can be
+            # labeled 'delete' below
+            if not old_dirs or not self._dirs_have_files(old_dirs):
+                raise ValueError(
+                    f"batch {batch_id} emptied its buckets and no prior "
+                    "snapshot is readable"
+                )
+            new = (
+                spark.read.option("mergeSchema", "true").parquet(*old_dirs).limit(0)
+            )
         value_cols = [c for c in new.columns if c not in self.key_cols]
         if not old_dirs:
             # Schema-stable with the update branch: NULL-typed _old_
@@ -316,13 +367,34 @@ class UpsertSink:
         differs = F.lit(False)
         for c in value_cols:
             differs = differs | ~F.col(c).eqNullSafe(F.col(f"_old_{c}"))
-        return joined.where(F.col("_existed").isNull() | differs).select(
+        upserts = joined.where(F.col("_existed").isNull() | differs).select(
             F.when(F.col("_existed").isNull(), "insert")
             .otherwise("update")
             .alias("_change"),
             *new.columns,
             *[f"_old_{c}" for c in value_cols],
         )
+        # tombstoned keys: present in the touched buckets' prior state,
+        # absent from the rewritten buckets — labeled with their old
+        # values and NULL current columns (same delta-sized reads)
+        deletes = null_safe_join(
+            old, new.select(*self.key_cols), self.key_cols, "left_anti"
+        ).select(
+            F.lit("delete").alias("_change"),
+            *[
+                F.col(c)
+                if c in self.key_cols
+                else F.lit(None).cast(new.schema[c].dataType).alias(c)
+                for c in new.columns
+            ],
+            *[
+                (
+                    F.col(c) if c in old_have else F.lit(None).cast(new.schema[c].dataType)
+                ).alias(f"_old_{c}")
+                for c in value_cols
+            ],
+        )
+        return upserts.unionByName(deletes)
 
     # -- maintenance ----------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> list[str]:

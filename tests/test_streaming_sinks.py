@@ -1485,3 +1485,94 @@ class TestUpsertSchemaEvolution:
         assert row["_change"] == "update"
         assert row["extra"] == "x" and row["_old_extra"] is None
         assert row["_old_val"] == "a"
+
+
+class TestUpsertTombstones:
+    """CDC deletes: a batch row with the tombstone column TRUE removes
+    its key; the feed labels it with old values attached."""
+
+    def _sink(self, tmp_path):
+        from stream_loader_spark.sinks.upsert import UpsertSink
+
+        return UpsertSink(
+            str(tmp_path / "state"), ["k"], "ver", num_buckets=4, tombstone_col="_del"
+        )
+
+    SCHEMA = "k long, val string, _del boolean, ver long"
+
+    def test_delete_removes_key_and_marker_is_not_stored(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        sink.write_batch(
+            spark.createDataFrame(
+                [(1, "a", False, 1), (2, "b", False, 1)], self.SCHEMA
+            ),
+            0,
+        )
+        sink.write_batch(
+            spark.createDataFrame([(1, None, True, 2)], self.SCHEMA), 1
+        )
+        state = sink.current_state(spark)
+        assert "_del" not in state.columns
+        assert [r["k"] for r in state.collect()] == [2]
+
+    def test_delete_then_reinsert_resolves_by_order(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        sink.write_batch(
+            spark.createDataFrame(
+                [(1, None, True, 5), (1, "reborn", False, 9)], self.SCHEMA
+            ),
+            0,
+        )
+        [row] = sink.current_state(spark).collect()
+        assert row["val"] == "reborn"
+        # and the reverse: delete wins when it is newest
+        sink2 = self._sink(tmp_path / "b")
+        sink2.write_batch(
+            spark.createDataFrame(
+                [(1, "old", False, 5), (1, None, True, 9)], self.SCHEMA
+            ),
+            0,
+        )
+        with pytest.raises(ValueError, match="empty"):
+            sink2.current_state(spark)
+
+    def test_change_feed_labels_delete_with_old_values(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        sink.write_batch(
+            spark.createDataFrame(
+                [(1, "a", False, 1), (2, "b", False, 1)], self.SCHEMA
+            ),
+            0,
+        )
+        sink.write_batch(
+            spark.createDataFrame(
+                [(1, None, True, 2), (3, "c", False, 2)], self.SCHEMA
+            ),
+            1,
+        )
+        feed = {r["_change"]: r for r in sink.change_feed(spark, 1).collect()}
+        assert set(feed) == {"delete", "insert"}
+        assert feed["delete"]["k"] == 1 and feed["delete"]["_old_val"] == "a"
+        assert feed["delete"]["val"] is None
+        assert feed["insert"]["k"] == 3
+
+    def test_all_delete_batch_empties_bucket_without_breaking_reads(
+        self, spark, tmp_path
+    ):
+        sink = self._sink(tmp_path)
+        sink.write_batch(
+            spark.createDataFrame([(1, "a", False, 1)], self.SCHEMA), 0
+        )
+        sink.write_batch(
+            spark.createDataFrame([(1, None, True, 2)], self.SCHEMA), 1
+        )
+        with pytest.raises(ValueError, match="empty"):
+            sink.current_state(spark)
+        feed = sink.change_feed(spark, 1).collect()
+        assert [r["_change"] for r in feed] == ["delete"]
+        # replay of the delete batch is still a committed no-op
+        sink.write_batch(
+            spark.createDataFrame([(1, "ghost", False, 3)], self.SCHEMA), 1
+        )
+        with pytest.raises(ValueError, match="empty"):
+            sink.current_state(spark)
