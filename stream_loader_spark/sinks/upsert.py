@@ -199,6 +199,10 @@ class UpsertSink:
                 for b in touched
                 if str(b) in manifest["versions"]
             ]
+            # a prior all-delete batch leaves empty-but-present bucket
+            # dirs; zero-file paths carry no rows and would only break
+            # schema inference when every old dir is empty
+            old_dirs = [d for d in old_dirs if self._dirs_have_files([d])]
             # tombstoned keys leave state entirely: they still anti-join
             # the old rows away (via latest's keys) but contribute no
             # replacement row, and the marker itself is never stored
@@ -316,6 +320,9 @@ class UpsertSink:
                 for b, v in prev_snap.items()
                 if b in touched
             ]
+            # emptied-by-deletes prior buckets carry no rows: dropping
+            # them routes a rebirth batch to the insert-only branch
+            old_dirs = [d for d in old_dirs if self._dirs_have_files([d])]
         if self._dirs_have_files(new_dirs):
             new = spark.read.option("mergeSchema", "true").parquet(*new_dirs)
         else:

@@ -1576,3 +1576,70 @@ class TestUpsertTombstones:
         )
         with pytest.raises(ValueError, match="empty"):
             sink.current_state(spark)
+
+
+    def test_feed_after_full_delete_labels_rebirth_as_insert(self, spark, tmp_path):
+        sink = self._sink(tmp_path)
+        sink.write_batch(
+            spark.createDataFrame([(1, "a", False, 1)], self.SCHEMA), 0
+        )
+        sink.write_batch(
+            spark.createDataFrame([(1, None, True, 2)], self.SCHEMA), 1
+        )
+        sink.write_batch(
+            spark.createDataFrame([(1, "back", False, 3)], self.SCHEMA), 2
+        )
+        [row] = sink.change_feed(spark, 2).collect()
+        assert (row["_change"], row["val"]) == ("insert", "back")
+        [live] = sink.current_state(spark).collect()
+        assert live["val"] == "back"
+
+class TestUpsertModelBased:
+    """Property test in the reference's ScalaCheck tradition: ANY random
+    sequence of upsert/delete batches must leave the sink's state equal
+    to a trivial dict model replaying the same operations."""
+
+    def test_random_batches_match_reference_model(self, spark, tmp_path):
+        import random
+
+        from stream_loader_spark.sinks.upsert import UpsertSink
+
+        rng = random.Random(20240814)
+        for trial in range(3):
+            sink = UpsertSink(
+                str(tmp_path / f"s{trial}"),
+                ["k"],
+                "ver",
+                num_buckets=4,
+                tombstone_col="_del",
+            )
+            model: dict[int, str] = {}
+            ver = 0
+            for batch_id in range(4):
+                ops = []
+                for _ in range(rng.randint(1, 8)):
+                    ver += 1  # strictly increasing: ties never ambiguous
+                    k = rng.randint(0, 5)
+                    if rng.random() < 0.3:
+                        ops.append((k, None, True, ver))
+                    else:
+                        ops.append((k, f"v{ver}", False, ver))
+                sink.write_batch(
+                    spark.createDataFrame(
+                        ops, "k long, val string, _del boolean, ver long"
+                    ),
+                    batch_id,
+                )
+                # model: replay in ver order (the sink's contract)
+                for k, val, dele, v in sorted(ops, key=lambda o: o[3]):
+                    if dele:
+                        model.pop(k, None)
+                    else:
+                        model[k] = val
+            try:
+                got = {
+                    r["k"]: r["val"] for r in sink.current_state(spark).collect()
+                }
+            except ValueError:
+                got = {}
+            assert got == model, f"trial {trial} diverged"
