@@ -387,3 +387,41 @@ class TestRuntimePruning:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestRound5QueryPlans:
+    def test_gopher_flags_is_one_codegen_scan(self, spark, sf_small):
+        """Pure HOF column expressions: no shuffle, no Python, and only
+        the two consumed columns reach the scan."""
+        plan = plan_of(spark, "gopher_quality_flags", sf_small)
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "doc_id" in read_schema and "text" in read_schema
+        assert "lang" not in read_schema and "source" not in read_schema
+
+    def test_frequent_tokens_recount_is_broadcast_semi_shape(self, spark, sf_small):
+        """Phase 2 recounts only the candidate set: the corpus side joins
+        the (bounded) candidates via broadcast hash, then a two-phase
+        count — the vocabulary never shuffles in full."""
+        plan = plan_of(spark, "frequent_tokens", sf_small)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # partial+final for the recount AND for the candidate distinct
+        assert plan.count("HashAggregate") == 4
+        assert "partial_count" in plan  # map-side combine on the recount
+
+    def test_label_centroids_single_aggregation_chain(self, spark, sf_small):
+        """posexplode → ONE map-side-combinable (label, pos) aggregate →
+        labels-sized rollup; shuffle rows = groups × dim."""
+        plan = plan_of(spark, "label_centroids", sf_small)
+        assert "Generate posexplode" in plan
+        assert plan.count("Exchange hashpartitioning") <= 2
+        assert "Python" not in plan
+
+    def test_profile_documents_is_single_expand_pass(self, spark, sf_small):
+        """Five exact COUNT(DISTINCT)s plan through ONE Expand over one
+        scan — adding profiled columns must never add scans."""
+        plan = plan_of(spark, "profile_documents", sf_small)
+        assert plan.count("FileScan") == 1
+        assert "Expand" in plan
