@@ -229,3 +229,41 @@ class TestIngestSinksFromConfig:
         ):
             with pytest.raises(ValueError):
                 build_app(spark, {**base, "sink": sink})
+
+
+class TestIvfFromConfig:
+    def test_streamed_index_from_json_config(self, spark, tmp_path):
+        """Config-driven ANN index: JSON records with an embedding array
+        stream through the loader into a probeable IVF index."""
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (
+                "t",
+                0,
+                i,
+                datetime(2024, 1, 1),
+                json.dumps(
+                    {"vec_id": i, "embedding": [rng.uniform(-1, 1) for _ in range(8)]}
+                ),
+            )
+            for i in range(30)
+        ]
+        spark.createDataFrame(rows, REC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tmp_path / "src"))
+        cfg = {
+            "source": {"type": "file", "path": str(tmp_path / "src"), "schema": REC_SCHEMA},
+            "format": {"type": "json", "schema": "vec_id BIGINT, embedding ARRAY<FLOAT>"},
+            "sink": {"type": "ivf", "path": str(tmp_path / "ivf"), "num-centroids": 4},
+            "checkpoint": str(tmp_path / "chk"),
+        }
+        app = build_app(spark, cfg)
+        app.pipeline.run_available()
+        assert app.sink.assignments(spark).count() == 30
+        q = app.sink.assignments(spark).where(F.col("vec_id") == 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        top = app.sink.topk(spark, q, k=3, nprobe=4).collect()
+        assert len(top) == 3 and top[0]["cosine"] >= top[-1]["cosine"]
