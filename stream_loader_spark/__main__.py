@@ -29,6 +29,19 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--drain-timeout", type=int, default=300, help="drain timeout in seconds"
     )
+    parser.add_argument(
+        "--maintain",
+        action="store_true",
+        help="run the configured sink's maintenance (state compaction / "
+        "vacuum) instead of streaming — schedule between processing runs",
+    )
+    parser.add_argument(
+        "--vacuum-keep-last",
+        type=int,
+        default=None,
+        help="with --maintain on an upsert-backed sink: also vacuum, "
+        "retaining this many batch snapshots",
+    )
     parser.add_argument("--app-name", default="stream_loader_spark")
     args = parser.parse_args(argv)
 
@@ -44,6 +57,20 @@ def main(argv: list[str] | None = None) -> int:
     except (OSError, ValueError, KeyError) as exc:
         print(f"config error: {exc}", file=sys.stderr)
         return 1
+
+    if args.maintain:
+        ran = []
+        if hasattr(app.sink, "compact"):
+            ran.append(f"compact={app.sink.compact(spark)}")
+        target = getattr(app.sink, "upsert", app.sink)
+        if args.vacuum_keep_last is not None and hasattr(target, "vacuum"):
+            removed = target.vacuum(keep_last=args.vacuum_keep_last)
+            ran.append(f"vacuum_removed={len(removed)}")
+        if not ran:
+            print("config error: sink has no maintenance surface", file=sys.stderr)
+            return 1
+        print(" ".join(ran))
+        return 0
 
     if args.drain:
         app.pipeline.run_available(timeout_sec=args.drain_timeout)

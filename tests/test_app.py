@@ -7,6 +7,7 @@ from it, and typos fail loudly instead of silently dropping a stage.
 """
 
 import json
+import os
 from datetime import datetime
 
 import pytest
@@ -267,3 +268,59 @@ class TestIvfFromConfig:
         )
         top = app.sink.topk(spark, q, k=3, nprobe=4).collect()
         assert len(top) == 3 and top[0]["cosine"] >= top[-1]["cosine"]
+
+
+class TestMaintainCli:
+    def test_maintain_compacts_dedup_state(self, spark, tmp_path):
+        from stream_loader_spark.__main__ import main
+        from stream_loader_spark.streaming.ingest import DedupIngestSink
+
+        # three drained batches leave three hash dirs; --maintain folds them
+        cfg = {
+            "source": {"type": "file", "path": str(tmp_path / "src"), "schema": REC_SCHEMA},
+            "format": {"type": "json", "schema": "doc_id BIGINT, text STRING"},
+            "sink": {"type": "dedup-ingest", "path": str(tmp_path / "corpus")},
+            "checkpoint": str(tmp_path / "chk"),
+        }
+        cfg_path = str(tmp_path / "app.json")
+        with open(cfg_path, "w") as fh:
+            json.dump(cfg, fh)
+        for n, text in enumerate(["alpha", "beta", "gamma"]):
+            spark.createDataFrame(
+                [("t", 0, n, datetime(2024, 1, 1), json.dumps({"doc_id": n, "text": text}))],
+                REC_SCHEMA,
+            ).coalesce(1).write.mode("append").parquet(str(tmp_path / "src"))
+            assert main(["--config", cfg_path, "--drain"]) == 0
+
+        hashes = str(tmp_path / "corpus" / "hashes")
+        assert len([d for d in os.listdir(hashes) if d.startswith("batch=")]) == 3
+        assert main(["--config", cfg_path, "--maintain"]) == 0
+        assert len([d for d in os.listdir(hashes) if d.startswith("batch=")]) == 1
+        # history still authoritative after maintenance
+        sink = DedupIngestSink(str(tmp_path / "corpus"))
+        assert sink._history(spark, exclude_batch=99).count() == 3
+
+    def test_maintain_on_manifest_sink_and_vacuum_on_upsert(self, spark, tmp_path):
+        from stream_loader_spark.__main__ import main
+
+        _write_source(spark, str(tmp_path / "src"), n=10)
+        cfg = {
+            "source": {"type": "file", "path": str(tmp_path / "src"), "schema": REC_SCHEMA},
+            "format": {"type": "json", "schema": "k BIGINT, v STRING"},
+            "sink": {
+                "type": "upsert",
+                "path": str(tmp_path / "kv"),
+                "key-columns": ["k"],
+                "order-column": "offset",
+            },
+            "checkpoint": str(tmp_path / "chk"),
+        }
+        cfg_path = str(tmp_path / "app.json")
+        with open(cfg_path, "w") as fh:
+            json.dump(cfg, fh)
+        assert main(["--config", cfg_path, "--drain"]) == 0
+        _write_source(spark, str(tmp_path / "src"), n=10)
+        assert main(["--config", cfg_path, "--drain"]) == 0
+        assert (
+            main(["--config", cfg_path, "--maintain", "--vacuum-keep-last", "1"]) == 0
+        )
