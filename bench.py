@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "frequent_tokens",
     "label_centroids",
     "profile_documents",
+    "hierarchy_rollup",
 ]
 
 

@@ -4321,3 +4321,41 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select("n_rows", F.expr(stack)).select(
         "col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"
     )
+
+
+@query(
+    "hierarchy_rollup",
+    """WITH RECURSIVE sub(root, node, bal, lvl) AS (
+      SELECT c_custkey, c_custkey, c_acctbal, 0 FROM customer
+      UNION ALL
+      SELECT s.root, c.c_custkey, c.c_acctbal, s.lvl + 1
+      FROM sub s JOIN customer c
+        ON (c.c_custkey // 2) = s.node AND c.c_custkey > s.node
+    )
+    SELECT root AS c_custkey, CAST(COUNT(*) AS BIGINT) AS subtree_size,
+           CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS subtree_balance,
+           CAST(MAX(lvl) AS BIGINT) AS subtree_depth
+    FROM sub GROUP BY root""",
+)
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE subtree rollup (Spark 4 WITH RECURSIVE): per node
+    of the implicit heap hierarchy (parent = custkey div 2), the size,
+    exact-decimal balance, and depth of its whole subtree. Each
+    recursion step is one equi-join (parent key), so depth is
+    log2(N) joins regardless of corpus size; the strictly-increasing
+    child guard makes the recursion provably cycle-free. Balances sum
+    as DECIMAL(18,2) so the result is reduction-order independent."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sl_customer")
+    return spark.sql(
+        """WITH RECURSIVE sub(root, node, bal, lvl) AS (
+          SELECT c_custkey, c_custkey, c_acctbal, 0 FROM sl_customer
+          UNION ALL
+          SELECT s.root, c.c_custkey, c.c_acctbal, s.lvl + 1
+          FROM sub s JOIN sl_customer c
+            ON (c.c_custkey div 2) = s.node AND c.c_custkey > s.node
+        )
+        SELECT root AS c_custkey, CAST(COUNT(*) AS BIGINT) AS subtree_size,
+               CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS subtree_balance,
+               CAST(MAX(lvl) AS BIGINT) AS subtree_depth
+        FROM sub GROUP BY root"""
+    )
