@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "label_centroids",
     "profile_documents",
     "hierarchy_rollup",
+    "lateral_top_orders",
 ]
 
 

@@ -4359,3 +4359,32 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(MAX(lvl) AS BIGINT) AS subtree_depth
         FROM sub GROUP BY root"""
     )
+
+
+@query(
+    "lateral_top_orders",
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'""",
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 orders per BUILDING customer.
+    Catalyst de-correlates this into the same ranked-join shape as the
+    window form — the point is SQL-surface parity (LATERAL is how
+    per-row 'look up the best matches' queries arrive from users), with
+    deterministic ties via the unique order key."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sl_c")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sl_o")
+    return spark.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM sl_c c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM sl_o o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'"""
+    )
