@@ -160,3 +160,37 @@ def formatted_records_split(
     )
     quarantined = parsed.where(is_bad).drop("_parsed")
     return good, quarantined
+
+
+_UDTF_SEQ = iter(range(1_000_000))
+
+
+def formatted_records_udtf(records: DataFrame, formatter_udtf, props_col: str = "props") -> DataFrame:
+    """The FULL user-extension form of the record formatter: arbitrary
+    Python logic turns one raw record into zero or more typed rows,
+    joined back to the record's stream metadata — the 1→0..N contract
+    of the reference's RecordFormatter interface
+    (sink/batch/RecordFormatter.scala:18-24, cited for parity).
+
+    ``formatter_udtf`` is a ``@udtf(returnType=...)`` class whose
+    ``eval(payload)`` yields output tuples; yielding nothing drops the
+    record (the formatter-level dead-letter gesture). The plan is a
+    LATERAL table-function join, so Catalyst still prunes and pushes
+    around it.
+
+    This is deliberately the SLOW PATH: JSON payloads should use
+    ``formatted_records`` (JVM ``from_json``), Avro the codec path —
+    a Python UDTF is for formats those can't express. Declare the
+    UDTF with ``useArrow=True`` where the payload shapes allow it to
+    cut the per-row pickling cost.
+    """
+    spark = records.sparkSession
+    seq = next(_UDTF_SEQ)
+    fn_name = f"sl_record_formatter_{seq}"
+    view = f"sl_formatter_input_{seq}"
+    spark.udtf.register(fn_name, formatter_udtf)
+    records.createOrReplaceTempView(view)
+    meta = ", ".join(f"r.{c}" for c in records.columns if c != props_col)
+    return spark.sql(
+        f"SELECT {meta}, f.* FROM {view} r, LATERAL {fn_name}(r.{props_col}) f"
+    )

@@ -1264,3 +1264,34 @@ class TestGroupCentroids:
             for r in group_centroids(emb.repartition(7, "vec_id")).collect()
         }
         assert a == b  # exact equality, not approx
+
+
+class TestUdtfFormatter:
+    def test_custom_formatter_one_to_many_with_drops(self, spark):
+        """RecordFormatter parity: user Python logic fans one record out
+        to N typed rows; yielding nothing drops the record."""
+        from pyspark.sql.functions import udtf
+        from stream_loader_spark.operators.projection import formatted_records_udtf
+
+        @udtf(returnType="k bigint, v string")
+        class PipeFormatter:
+            def eval(self, props: str):
+                if not props or "|" not in props:
+                    return  # unparseable -> zero rows
+                for part in props.split(";"):
+                    k, v = part.split("|", 1)
+                    yield int(k), v
+
+        records = spark.createDataFrame(
+            [
+                ("t", 0, 0, "1|a;2|b"),
+                ("t", 0, 1, "garbage"),
+                ("t", 0, 2, "3|c"),
+                ("t", 0, 3, None),
+            ],
+            "topic string, partition int, offset long, props string",
+        )
+        out = formatted_records_udtf(records, PipeFormatter)
+        rows = {(r["offset"], r["k"]): r["v"] for r in out.collect()}
+        assert rows == {(0, 1): "a", (0, 2): "b", (2, 3): "c"}
+        assert set(out.columns) == {"topic", "partition", "offset", "k", "v"}
