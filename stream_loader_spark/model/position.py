@@ -56,3 +56,20 @@ class StreamPosition:
     def moved_by(self, offset_delta: int) -> "StreamPosition":
         """Shift the offset, clamping at zero (used for rewind)."""
         return StreamPosition(max(0, self.offset + offset_delta), self.watermark_ms)
+
+
+def ranges_covered_by(ranges, committed: dict) -> bool:
+    """Replay-guard predicate shared by the transactional-DB and
+    ClickHouse sinks: True iff EVERY (topic, partition) range in the
+    batch ends strictly below that partition's committed next-offset.
+    ``ranges`` are row-like mappings with topic/partition/end_offset
+    (the stream_ranges output); ``committed`` maps (topic, partition)
+    → StreamPosition. One definition — the '>= pos.offset' boundary is
+    subtle enough that two copies WILL drift."""
+    if not committed:
+        return False
+    for r in ranges:
+        pos = committed.get((r["topic"], r["partition"]))
+        if pos is None or r["end_offset"] >= pos.offset:
+            return False
+    return True

@@ -41,10 +41,9 @@ import urllib.request
 from typing import Callable
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from stream_loader_spark.functions.rowbinary import RowBinaryEncoder
-from stream_loader_spark.model.position import StreamPosition
+from stream_loader_spark.model.position import StreamPosition, ranges_covered_by
 
 # (url, params, body, headers) -> response text; module-level so the
 # default is picklable for executor-side use
@@ -97,6 +96,7 @@ class ClickHouseHttpStorage:
         ts_col: str = "ts",
         verify_dedup: bool = True,
         insert_settings: dict[str, str] | None = None,
+        max_rows_per_block: int = 1_000_000,
     ) -> None:
         self.url = url
         self.table = table
@@ -106,20 +106,30 @@ class ClickHouseHttpStorage:
         self.meta = (topic_col, partition_col, offset_col, ts_col)
         self.verify_dedup = verify_dedup
         self.insert_settings = dict(self.INSERT_SETTINGS, **(insert_settings or {}))
+        self.max_rows_per_block = max_rows_per_block
         self._dedup_checked = False
+        # driver-side committed-position cache: seeded by ONE recovery
+        # query, advanced in memory per committed batch (see __call__)
+        self._positions_cache: dict[tuple[str, int], StreamPosition] | None = None
 
     # -- write path ------------------------------------------------------
     def encoded_blocks(self, batch_df: DataFrame) -> DataFrame:
-        """(num_rows, payload, token) — ONE RowBinary block per
-        (topic, partition) group, offset-sorted, token derived from the
-        group's offset range alone. Grouping by the STREAM key (not a
-        configurable shuffle count) is what makes the token stable: no
-        Arrow batch boundary, ``spark.sql.shuffle.partitions`` value, or
-        maxRecordsPerBatch change can re-key a replayed block. One
-        micro-batch group is bounded by maxOffsetsPerTrigger, so a
-        whole group fits a task comfortably."""
+        """(num_rows, payload, token) — one RowBinary block per
+        (topic, partition, offset-bucket) group, offset-sorted, token
+        derived from the block's offset range alone. Grouping by the
+        STREAM key is what makes the token stable: no Arrow batch
+        boundary, ``spark.sql.shuffle.partitions`` value, or
+        maxRecordsPerBatch change can re-key a replayed block. The
+        offset bucket (``offset div max_rows_per_block``) bounds ONE
+        task's pandas frame + payload blob even when a first run or a
+        post-downtime restart delivers a partition's whole backlog in
+        one micro-batch — without it, nothing enforced the
+        maxOffsetsPerTrigger assumption and an unbounded group OOM'd
+        the executor. Bucketing is offset-derived, so a replay slices
+        identically and every block keeps its original token."""
         t, p, o, _ts = self.meta
         import pandas as pd
+        from pyspark.sql import functions as F
 
         enc, table = self.encoder, self.table
 
@@ -131,12 +141,15 @@ class ClickHouseHttpStorage:
             return pd.DataFrame(
                 {
                     "num_rows": [len(pdf)],
-                    "payload": [enc.encode_batch(pdf)],
+                    "payload": [enc.encode_batch(pdf.drop(columns=["_blk"]))],
                     "token": [partition_token(table, [key])],
                 }
             )
 
-        return batch_df.groupBy(t, p).applyInPandas(
+        bucketed = batch_df.withColumn(
+            "_blk", (F.col(o) / F.lit(int(self.max_rows_per_block))).cast("bigint")
+        )
+        return bucketed.groupBy(t, p, "_blk").applyInPandas(
             one_group, schema="num_rows bigint, payload binary, token string"
         )
 
@@ -222,17 +235,21 @@ class ClickHouseHttpStorage:
     def is_batch_committed(self, ranges) -> bool:
         """Every range at-or-behind the recovered positions ⇒ replayed
         (RecordBatchStorage.scala:44-64 semantics)."""
-        committed = self.committed_positions()
-        if not committed:
-            return False
-        for r in ranges:
-            pos = committed.get((r["topic"], r["partition"]))
-            if pos is None or r["end_offset"] >= pos.offset:
-                return False
-        return True
+        return ranges_covered_by(ranges, self.committed_positions())
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch entry: replay guard + tokened insert."""
+        """foreachBatch entry: replay guard + tokened insert.
+
+        The A1 recovery aggregation is a FULL-TABLE GROUP BY on the
+        ClickHouse side — correct once at (re)start, ruinous per batch
+        on a billions-row table. It therefore runs once to seed a
+        driver-side position cache, which then advances in memory after
+        each successful insert (the reference likewise recovers once,
+        RecordBatchStorage.scala:44-64). Staleness is safe by
+        construction: a cache that UNDERestimates only re-sends a block
+        whose token ClickHouse deduplicates; it can never overestimate
+        because it advances only after insert_batch returns — and any
+        insert failure drops the cache so the next batch re-recovers."""
         from stream_loader_spark.operators.recovery import stream_ranges
 
         if self.verify_dedup and not self._dedup_checked:
@@ -242,8 +259,25 @@ class ClickHouseHttpStorage:
         batch_df = batch_df.persist()
         try:
             ranges = stream_ranges(batch_df, t, p, o, ts).collect()
-            if self.is_batch_committed(ranges):
+            if self._positions_cache is None:
+                self._positions_cache = self.committed_positions()
+            if ranges_covered_by(ranges, self._positions_cache):
                 return
-            self.insert_batch(batch_df)
+            try:
+                self.insert_batch(batch_df)
+            except Exception:
+                self._positions_cache = None
+                raise
+            for r in ranges:
+                key = (r["topic"], r["partition"])
+                wm = (
+                    int(r["end_watermark"].timestamp() * 1000)
+                    if r["end_watermark"] is not None
+                    else 0
+                )
+                cur = self._positions_cache.get(key)
+                nxt = StreamPosition(int(r["end_offset"]) + 1, wm)
+                if cur is None or nxt.offset > cur.offset:
+                    self._positions_cache[key] = nxt
         finally:
             batch_df.unpersist()

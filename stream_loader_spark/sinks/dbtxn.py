@@ -32,10 +32,9 @@ from __future__ import annotations
 from typing import Callable, Iterable
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from stream_loader_spark.operators.recovery import stream_ranges
-from stream_loader_spark.model.position import StreamPosition
+from stream_loader_spark.model.position import StreamPosition, ranges_covered_by
 
 CHUNK_ROWS = 10_000
 
@@ -87,10 +86,15 @@ class DbTransactionalSink:
         )
         con = self._open()
         try:
-            con.execute(
+            # DB-API 2.0 puts execute/executemany on CURSORS; calling
+            # them on the connection is a sqlite3-only shortcut that
+            # crashes psycopg2/vertica-python — the targets the
+            # param_token knob exists for
+            cur = con.cursor()
+            cur.execute(
                 f"CREATE TABLE IF NOT EXISTS {self.data_table} ({cols}, _batch_id BIGINT)"
             )
-            con.execute(
+            cur.execute(
                 f"CREATE TABLE IF NOT EXISTS {self.offsets_table} ("
                 "_consumer_group VARCHAR(255), _topic VARCHAR(255), "
                 "_partition INTEGER, _start_offset BIGINT, _end_offset BIGINT, "
@@ -105,25 +109,20 @@ class DbTransactionalSink:
     def committed_positions(self) -> dict[tuple[str, int], StreamPosition]:
         con = self._open()
         try:
-            rows = con.execute(
+            cur = con.cursor()
+            cur.execute(
                 f"SELECT _topic, _partition, MAX(_end_offset) + 1, MAX(_end_watermark_ms) "
                 f"FROM {self.offsets_table} WHERE _consumer_group = {self.param_token} "
                 "GROUP BY _topic, _partition",
                 (self.consumer_group,),
-            ).fetchall()
+            )
+            rows = cur.fetchall()
         finally:
             con.close()
         return {(t, int(p)): StreamPosition(int(o), int(w or 0)) for t, p, o, w in rows}
 
     def is_batch_committed(self, ranges) -> bool:
-        committed = self.committed_positions()
-        if not committed:
-            return False
-        for r in ranges:
-            pos = committed.get((r["topic"], r["partition"]))
-            if pos is None or r["end_offset"] >= pos.offset:
-                return False
-        return True
+        return ranges_covered_by(ranges, self.committed_positions())
 
     # -- write path ------------------------------------------------------
     def _row_chunks(self, batch_df: DataFrame) -> Iterable[list[tuple]]:
@@ -151,12 +150,13 @@ class DbTransactionalSink:
             try:
                 # ONE transaction: every data chunk + the offsets rows.
                 # A crash before commit() leaves nothing visible.
+                cur = con.cursor()
                 for chunk in self._row_chunks(batch_df):
-                    con.executemany(
+                    cur.executemany(
                         f"INSERT INTO {self.data_table} VALUES ({placeholders}, {tok})",
                         [row + (batch_id,) for row in chunk],
                     )
-                con.executemany(
+                cur.executemany(
                     f"INSERT INTO {self.offsets_table} VALUES "
                     f"({', '.join([tok] * 7)})",
                     [

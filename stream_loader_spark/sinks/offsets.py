@@ -117,21 +117,25 @@ class ExternalOffsetsSink:
         if self.is_batch_committed(batch_id):
             return
         batch_df = batch_df.persist()
-        ranges = stream_ranges(batch_df).select(
-            F.lit(batch_id).alias("_batch_id"),
-            F.lit(self.consumer_group).alias("_consumer_group"),
-            F.col("topic").alias("_topic"),
-            F.col("partition").alias("_partition"),
-            F.col("start_offset").alias("_start_offset"),
-            F.col("end_offset").alias("_end_offset"),
-            F.col("end_watermark").alias("_end_watermark"),
-        )
-        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
-            self._data_batch_dir(batch_id)
-        )
-        # commit point: offsets table write (atomic per batch dir)
-        ranges.write.mode("overwrite").parquet(self._offsets_batch_dir(batch_id))
-        batch_df.unpersist()
+        try:
+            ranges = stream_ranges(batch_df).select(
+                F.lit(batch_id).alias("_batch_id"),
+                F.lit(self.consumer_group).alias("_consumer_group"),
+                F.col("topic").alias("_topic"),
+                F.col("partition").alias("_partition"),
+                F.col("start_offset").alias("_start_offset"),
+                F.col("end_offset").alias("_end_offset"),
+                F.col("end_watermark").alias("_end_watermark"),
+            )
+            batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).parquet(self._data_batch_dir(batch_id))
+            # commit point: offsets table write (atomic per batch dir)
+            ranges.write.mode("overwrite").parquet(self._offsets_batch_dir(batch_id))
+        finally:
+            # finally: a failed write must not leak the cached batch
+            # across foreachBatch retries (same guard as every sibling)
+            batch_df.unpersist()
 
     def offsets_table(self, spark: SparkSession) -> DataFrame:
         # only offsets dirs with a _SUCCESS marker: the offsets write IS

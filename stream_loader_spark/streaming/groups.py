@@ -57,13 +57,32 @@ class PartitionGroupingPipeline:
         }
 
     def run_available_all(self, timeout_sec: int = 300) -> None:
-        """Drain every group; one group's failure never prevents the
-        others from draining (the isolation this class exists for).
-        Failures are collected and re-raised together at the end."""
+        """Drain every group CONCURRENTLY; one group's failure or hang
+        never prevents (or delays) the others from draining — the
+        isolation this class exists for. A sequential drain would let a
+        single hung sink stall every later group by up to timeout_sec.
+        All queries start first, then each is awaited; failures are
+        collected and re-raised together at the end."""
         failures: dict[str, Exception] = {}
+        started: dict[str, object] = {}
         for g, pred in self.grouping.items():
             try:
-                self._pipeline_for(g, pred).run_available(timeout_sec)
+                pipe = self._pipeline_for(g, pred)
+                saved = pipe._trigger
+                pipe._trigger = {"availableNow": True}
+                try:
+                    started[g] = pipe.start()
+                finally:
+                    pipe._trigger = saved
+            except Exception as e:  # noqa: BLE001 — isolate per group
+                failures[g] = e
+        for g, q in started.items():
+            try:
+                if not q.awaitTermination(timeout_sec):
+                    q.stop()
+                    raise TimeoutError(
+                        f"availableNow drain did not finish within {timeout_sec}s"
+                    )
             except Exception as e:  # noqa: BLE001 — isolate per group
                 failures[g] = e
         if failures:

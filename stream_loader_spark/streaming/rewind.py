@@ -30,11 +30,20 @@ from stream_loader_spark.model.position import StreamPosition
 def rewound_starting_offsets(
     committed: dict[tuple[str, int], StreamPosition],
     interval: OffsetRange | WatermarkRange,
+    all_partitions: dict[str, int] | None = None,
 ) -> dict[str, dict[str, int]]:
     """Kafka ``startingOffsets`` JSON structure for a rewound start.
 
     Offset intervals rewind by subtraction; watermark intervals return
     the target timestamps for ``startingOffsetsByTimestamp`` instead.
+
+    ``all_partitions`` (topic → partition count) fills partitions that
+    have NO committed position with -2 (Kafka's "earliest"): Spark's
+    Kafka source asserts that a specific-offsets map covers EVERY
+    TopicPartition of the subscription, so a partition added since the
+    last commit — or one that never produced — would otherwise fail the
+    stream at start. Callers that pass only ``committed`` keep the old
+    behavior and must guarantee the map is complete.
     """
     out: dict[str, dict[str, int]] = {}
     for (topic, partition), pos in committed.items():
@@ -43,6 +52,13 @@ def rewound_starting_offsets(
         else:
             val = interval.target_watermark_ms(pos)
         out.setdefault(topic, {})[str(partition)] = val
+    if all_partitions:
+        # -2 = Kafka "earliest" for the offsets form; the timestamp form
+        # uses 0 (offsetsForTimes(0) resolves to the earliest offset)
+        filler = -2 if isinstance(interval, OffsetRange) else 0
+        for topic, n in all_partitions.items():
+            for partition in range(n):
+                out.setdefault(topic, {}).setdefault(str(partition), filler)
     return out
 
 

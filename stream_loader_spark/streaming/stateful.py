@@ -30,6 +30,42 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 DEFAULT_VALID_DIFF_MS = 3_600_000
 
 
+def _stamp_watermarks(chunks, wm, now_ms, valid_diff_ms, in_cols, tz):
+    """Shared v1/v2 core: buffer → offset order → epoch ms → validity
+    clamp → state-floored cumulative max. ONE definition, because the
+    two API variants must never diverge semantically.
+
+    Timezone correctness: Spark's Arrow conversion delivers timestamps
+    LOCALIZED to spark.sql.session.timeZone with tzinfo stripped, so a
+    naive ``astype(int64)`` would yield session-local wall-clock ms —
+    compared against the true-UTC processing clock, every record in an
+    east-of-UTC session would look hours in the future and the
+    watermark would never advance. The session tz (captured at plan
+    build) re-localizes to true epoch. Returns (stamped_pdf | None,
+    new_wm)."""
+    if not chunks:
+        return None, wm
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(["offset"]).reset_index(
+        drop=True
+    )
+    ts = pdf["ts"]
+    if getattr(ts.dt, "tz", None) is None and tz:
+        # ambiguous/nonexistent local times (DST edges) become NaT →
+        # hugely negative ms → valid but never advancing: they flow,
+        # they just cannot move the watermark
+        ts = ts.dt.tz_localize(tz, ambiguous="NaT", nonexistent="shift_forward")
+    # numpy path: tz-aware → UTC, NaT → int64 min (never a pandas raise)
+    ts_ms = ts.to_numpy(dtype="datetime64[ns]").astype("int64") // 1_000_000
+    valid = ts_ms <= now_ms + valid_diff_ms
+    candidates = np.where(valid, ts_ms, -(2**62))
+    # running max of valid event times, floored by the carried state
+    running = np.maximum(np.maximum.accumulate(candidates), wm)
+    if len(running):
+        wm = int(running[-1])
+    pdf["watermark_ms"] = running
+    return pdf[in_cols + ["watermark_ms"]], wm
+
+
 def with_tracked_watermark(
     stream: DataFrame,
     valid_diff_ms: int = DEFAULT_VALID_DIFF_MS,
@@ -45,30 +81,20 @@ def with_tracked_watermark(
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in stream.schema.fields)
     out_schema += ", watermark_ms bigint"
 
+    tz = stream.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+
     def track(key, pdfs, state: GroupState):
         wm = state.get[0] if state.exists else -1
-        now_ms = now_ms_fn()
-        # Arrow chunks of one group arrive in arbitrary shuffle order, so
-        # the whole group is buffered and sorted by offset before the
-        # cumulative max runs — the per-record stamp must reflect stream
-        # order, not chunk arrival order. Memory is bounded by the
-        # micro-batch's share of one (topic, partition).
-        chunks = [pdf for pdf in pdfs]
-        if not chunks:
-            state.update((wm,))
-            return
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(["offset"]).reset_index(
-            drop=True
+        # Arrow chunks of one group arrive in arbitrary shuffle order;
+        # _stamp_watermarks buffers and re-sorts by offset so stamps
+        # reflect stream order, not chunk arrival order. Memory is
+        # bounded by the micro-batch's share of one (topic, partition).
+        out, wm = _stamp_watermarks(
+            list(pdfs), wm, now_ms_fn(), valid_diff_ms, in_cols, tz
         )
-        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
-        valid = ts_ms <= now_ms + valid_diff_ms
-        candidates = np.where(valid, ts_ms, -(2**62))
-        # running max of valid event times, floored by the carried state
-        running = np.maximum(np.maximum.accumulate(candidates), wm)
-        wm = int(running[-1]) if len(running) else wm
-        pdf["watermark_ms"] = running
         state.update((wm,))
-        yield pdf[in_cols + ["watermark_ms"]]
+        if out is not None:
+            yield out
 
     return (
         stream.groupBy("topic", "partition")
@@ -92,35 +118,23 @@ class _WatermarkProcessor(_SP):
     """StatefulProcessor for the transformWithStateInPandas variant —
     defined module-level so cloudpickle ships only the tiny config."""
 
-    def __init__(self, in_cols, valid_diff_ms, now_ms_fn):
+    def __init__(self, in_cols, valid_diff_ms, now_ms_fn, tz="UTC"):
         self.in_cols = in_cols
         self.valid_diff_ms = valid_diff_ms
         self.now_ms_fn = now_ms_fn
+        self.tz = tz
 
     def init(self, handle):
         self._wm = handle.getValueState("wm", "watermark_ms bigint")
 
     def handleInputRows(self, key, rows, timer_values):
         wm = self._wm.get()[0] if self._wm.exists() else -1
-        now_ms = self.now_ms_fn()
-        chunks = list(rows)
-        if not chunks:
-            self._wm.update((wm,))
-            return
-        pdf = (
-            pd.concat(chunks, ignore_index=True)
-            .sort_values(["offset"])
-            .reset_index(drop=True)
+        out, wm = _stamp_watermarks(
+            list(rows), wm, self.now_ms_fn(), self.valid_diff_ms, self.in_cols, self.tz
         )
-        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
-        valid = ts_ms <= now_ms + self.valid_diff_ms
-        candidates = np.where(valid, ts_ms, -(2**62))
-        running = np.maximum(np.maximum.accumulate(candidates), wm)
-        if len(running):
-            wm = int(running[-1])
-        pdf["watermark_ms"] = running
         self._wm.update((wm,))
-        yield pdf[self.in_cols + ["watermark_ms"]]
+        if out is not None:
+            yield out
 
     def close(self):
         pass
@@ -152,7 +166,8 @@ def with_tracked_watermark_v2(
     )
     out_schema += ", watermark_ms bigint"
 
-    proc = _WatermarkProcessor(in_cols, valid_diff_ms, now_ms_fn)
+    tz = stream.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    proc = _WatermarkProcessor(in_cols, valid_diff_ms, now_ms_fn, tz)
 
     return stream.groupBy("topic", "partition").transformWithStateInPandas(
         statefulProcessor=proc,

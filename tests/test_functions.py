@@ -118,6 +118,20 @@ class TestRewind:
             "t": {"0": 4_000_000, "1": 0}
         }
 
+    def test_uncommitted_partitions_filled_to_cover_subscription(self):
+        """Spark's Kafka source requires a specific-offsets map to cover
+        EVERY TopicPartition — partitions with no committed position
+        (added since the last commit, or never produced) get the
+        'earliest' filler instead of failing the stream at start."""
+        committed = {("t", 0): StreamPosition(100, 5_000_000)}
+        assert rewound_starting_offsets(
+            committed, OffsetRange(10), all_partitions={"t": 3}
+        ) == {"t": {"0": 90, "1": -2, "2": -2}}
+        # timestamp form: 0 resolves to earliest via offsetsForTimes
+        assert rewound_starting_offsets(
+            committed, WatermarkRange(1_000_000), all_partitions={"t": 2, "u": 1}
+        ) == {"t": {"0": 4_000_000, "1": 0}, "u": {"0": 0}}
+
     def test_rewinding_sink_splits_replayed_from_new(self, spark):
         batch = spark.createDataFrame(
             [("t", 0, i, float(i)) for i in range(10)] + [("t", 1, i, float(i)) for i in range(5)],

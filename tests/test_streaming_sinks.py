@@ -824,24 +824,32 @@ class TestDbTxnPortability:
     statements and ANSI-typed DDL, and autocommit connections are
     forced into transaction mode."""
 
+    class _CapCursor:
+        def __init__(self, log):
+            self.log = log
+
+        def execute(self, sql, params=None):
+            self.log.append(sql)
+
+        def executemany(self, sql, rows):
+            self.log.append(sql)
+
+        def fetchall(self):
+            return []
+
     class _Cap:
-        """Statement-capturing DB-API double (format paramstyle)."""
+        """Statement-capturing DB-API double (format paramstyle).
+        Faithful to DB-API 2.0: execute/executemany/fetchall live ONLY
+        on cursors — psycopg2/vertica-python connections have no such
+        methods, so a sink regressing to the sqlite3 connection-level
+        shortcut fails this test with AttributeError."""
 
         def __init__(self, log):
             self.log = log
             self.autocommit = True  # e.g. a misconfigured psycopg2 conn
 
-        def execute(self, sql, params=None):
-            self.log.append(sql)
-
-            class _R:
-                def fetchall(self):
-                    return []
-
-            return _R()
-
-        def executemany(self, sql, rows):
-            self.log.append(sql)
+        def cursor(self):
+            return TestDbTxnPortability._CapCursor(self.log)
 
         def commit(self):
             self.log.append("COMMIT")
