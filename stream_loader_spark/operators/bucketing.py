@@ -83,10 +83,18 @@ def exchange_count(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the physical plan.
 
     The assertion primitive for co-location tests: a bucketed
-    fact-fact join must plan with zero ShuffleExchange nodes.
+    fact-fact join must plan with zero shuffle Exchange nodes. Counts
+    the bare ``Exchange`` operator word, whatever its partitioning
+    (hash, range, single-partition, round-robin) — ``BroadcastExchange``
+    (not a data shuffle of this side) and ``ReusedExchange`` (a
+    pointer, not a second shuffle) are distinct operator words and
+    excluded; matching only 'Exchange hashpartitioning' let range-sort
+    shuffles certify as shuffle-free.
     """
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("ShuffleExchange") + plan.count("Exchange hashpartitioning")
+    return sum(1 for tok in re.findall(r"\w*Exchange\b", plan) if tok == "Exchange")
 
 
 def sort_count(df: DataFrame) -> int:

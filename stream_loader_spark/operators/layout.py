@@ -64,10 +64,22 @@ def compact_small_files(
     reference routes by, sinks/manifest.py) so a failed rewrite
     invalidates one partition, not the table.
     """
-    n_files = max(1, math.ceil(dir_bytes(src) / target_file_bytes))
+    n_files = max(1, math.ceil(path_bytes(spark, src) / target_file_bytes))
     df = spark.read.format(file_format).load(src)
     df.coalesce(n_files).write.format(file_format).mode("overwrite").save(dest)
     return n_files
+
+
+def path_bytes(spark: SparkSession, path: str) -> int:
+    """Input size through the Hadoop FileSystem API, so object-store
+    URIs (s3a://, hdfs://...) measure correctly — ``os.walk`` on a URI
+    silently returns 0, which would coalesce a multi-TB partition into
+    ONE task. A genuinely missing path raises (loudly) from the
+    FileSystem instead of sizing to zero."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(jpath).getLength())
 
 
 def cluster_by_range(
@@ -166,15 +178,25 @@ def _as_bigint(col: Column) -> Column:
 def _bucket_expr(col: Column, mn: Column, mx: Column, n_buckets: int) -> Column:
     """Equi-width bucket in [0, n_buckets): FLOOR((x-mn)*n / (mx-mn+1)).
 
-    For integer x in [mn, mx] the quotient is < n, so the bucket never
-    reaches n; single-value domains (mx == mn) land everything in 0.
-    ``/`` on integers is true (double) division in both Spark and
-    DuckDB — exact while the numerator stays under 2**53 — and FLOOR
-    (not a bigint cast) converts it: Spark's cast truncates but
-    DuckDB's cast ROUNDS, so a cast here would flap between engines.
+    Arithmetic runs in DOUBLE from the first subtraction: an int64
+    pipeline overflows on wide domains (64-bit snowflake/hash ids make
+    ``x - mn`` or the ×n exceed bigint — a hard ARITHMETIC_OVERFLOW
+    under ANSI mode, silent wraparound without it), while doubles are
+    exact for |values| < 2**53 (the documented precision envelope) and
+    merely lose low bits beyond — identical IEEE ops on every engine,
+    so the oracle stays bit-equal where it is checkable. FLOOR (not a
+    bigint cast) converts: Spark's cast truncates but DuckDB's ROUNDS,
+    so a cast here would flap between engines. The ``least`` clamp
+    guards the one double-rounding edge (quotient rounding up to
+    exactly n at extreme magnitudes); single-value domains land in 0.
     """
-    span = mx - mn + F.lit(1)
-    return F.floor((col - mn) * F.lit(n_buckets) / span)
+    x = col.cast("double")
+    lo = mn.cast("double")
+    span = mx.cast("double") - lo + F.lit(1.0)
+    return F.least(
+        F.floor((x - lo) * F.lit(float(n_buckets)) / span),
+        F.lit(n_buckets - 1).cast("bigint"),
+    )
 
 
 def zorder_value(

@@ -61,6 +61,10 @@ def aggregate_state(
             # Spark widens sum-of-decimal precision; pin the state type
             # so slices and merged states stay union-compatible
             F.sum(F.col(c).cast(STATE_SUM_TYPE)).cast(STATE_SUM_TYPE).alias(f"sum_{c}"),
+            # per-column NON-NULL count: SQL AVG divides by this, not by
+            # the row count — without it a nullable measure's average is
+            # unfixably wrong at finalize time
+            F.count(F.col(c)).alias(f"n_{c}"),
             F.min(c).alias(f"min_{c}"),
             F.max(c).alias(f"max_{c}"),
         ]
@@ -83,6 +87,7 @@ def merge_aggregate_states(states: list[DataFrame], keys: list[str]) -> DataFram
     for c in value_cols:
         aggs += [
             F.sum(f"sum_{c}").cast(STATE_SUM_TYPE).alias(f"sum_{c}"),
+            F.sum(f"n_{c}").cast("bigint").alias(f"n_{c}"),
             F.min(f"min_{c}").alias(f"min_{c}"),
             F.max(f"max_{c}").alias(f"max_{c}"),
         ]
@@ -97,9 +102,16 @@ def finalize_aggregates(state: DataFrame, keys: list[str]) -> DataFrame:
     cols = [*keys, F.col("n")]
     for c in value_cols:
         s = F.col(f"sum_{c}").cast("double")
+        # SQL AVG semantics: divide by the NON-NULL count, NULL for an
+        # all-NULL group (legacy states without n_<c> fall back to the
+        # row count — pre-evolution rows were written when the operator
+        # ignored NULLs anyway)
+        denom = (
+            F.col(f"n_{c}") if f"n_{c}" in state.columns else F.col("n")
+        ).cast("double")
         cols += [
             s.alias(f"sum_{c}"),
-            (s / F.col("n").cast("double")).alias(f"avg_{c}"),
+            F.when(denom > 0, s / denom).alias(f"avg_{c}"),
             F.col(f"min_{c}"),
             F.col(f"max_{c}"),
         ]

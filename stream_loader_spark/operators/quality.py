@@ -87,11 +87,18 @@ def quality_report(df: DataFrame, expectations: dict[str, Column]) -> DataFrame:
     ).select(
         "check",
         "n_rows",
-        F.col("n_violations").cast("bigint").alias("n_violations"),
-        (
-            (F.col("n_rows") - F.col("n_violations")).cast("double")
+        # SUM over zero rows is NULL: an empty micro-batch (routine in
+        # streaming) must report 0 violations and a vacuous pass, not
+        # NULL metric rows that fail gates like 'n_violations == 0'
+        F.coalesce(F.col("n_violations"), F.lit(0)).cast("bigint").alias("n_violations"),
+        F.when(F.col("n_rows") == 0, F.lit(1.0))
+        .otherwise(
+            (F.col("n_rows") - F.coalesce(F.col("n_violations"), F.lit(0))).cast(
+                "double"
+            )
             / F.col("n_rows").cast("double")
-        ).alias("pass_rate"),
+        )
+        .alias("pass_rate"),
     )
 
 

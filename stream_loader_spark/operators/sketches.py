@@ -93,14 +93,28 @@ def kll_merged_quantiles(
     merged = sketches.groupBy(key_col).agg(
         F.kll_merge_agg_double("sketch").alias("_m")
     )
+    labels = [_quantile_label(q) for q in quantiles]
+    dupes = {l for l in labels if labels.count(l) > 1}
+    if dupes:
+        raise ValueError(f"quantiles collide on column label(s) {sorted(dupes)}")
     return merged.select(
         key_col,
         F.kll_sketch_get_n_double("_m").alias("n_values"),
         *[
-            F.kll_sketch_get_quantile_double("_m", F.lit(q)).alias(f"q{int(q * 100)}")
-            for q in quantiles
+            F.kll_sketch_get_quantile_double("_m", F.lit(q)).alias(label)
+            for q, label in zip(quantiles, labels)
         ],
     )
+
+
+def _quantile_label(q: float) -> str:
+    """q0.5 → 'q50', q0.999 → 'q99_9'. A bare int(q*100) truncates
+    float error (0.29 → 'q28') and collides distinct quantiles
+    (0.99/0.999 both → 'q99')."""
+    pct = round(q * 100, 6)
+    if pct == int(pct):
+        return f"q{int(pct)}"
+    return "q" + str(pct).replace(".", "_")
 
 
 def theta_period_overlap(

@@ -46,7 +46,13 @@ def salted_join(
             f"salted_join supports {sorted(allowed)} joins; {how!r} would "
             "duplicate unmatched small-side rows across salt buckets"
         )
-    salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    # the salt must vary across IDENTICAL rows — hashing the row's
+    # columns gives duplicate rows (heartbeats, narrow key-only frames)
+    # one salt and zero scattering. monotonically_increasing_id is
+    # unique per row regardless of content; its value carries no
+    # meaning here (any assignment is correct — the small side is
+    # replicated to every bucket), so its partition-dependence is fine.
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
     big_s = big.withColumn("_salt", salt)
     small_s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

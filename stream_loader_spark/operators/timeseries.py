@@ -57,9 +57,18 @@ def gap_fill_daily(
     )
     out_cols = [*key_cols, date_col]
     if fill == "zero":
+        # fill ONLY generated gap rows: an OBSERVED row whose measure is
+        # NULL was loaded that way and must stay NULL (zeroing it while
+        # flagging filled=false would make 'observed NULL' and
+        # 'observed 0' indistinguishable downstream)
         filled = joined.select(
             *out_cols,
-            *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in value_cols],
+            *[
+                F.when(F.col("_observed").isNull(), F.lit(0))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in value_cols
+            ],
             F.col("_observed").isNull().alias("filled"),
         )
     else:

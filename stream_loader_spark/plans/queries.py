@@ -3817,7 +3817,7 @@ def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE) AS avg_value,
+             / CAST(COUNT(value) AS DOUBLE) AS avg_value,
            MIN(value) AS min_value, MAX(value) AS max_value
     FROM events GROUP BY 1, 2""",
 )

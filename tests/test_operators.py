@@ -1295,3 +1295,80 @@ class TestUdtfFormatter:
         rows = {(r["offset"], r["k"]): r["v"] for r in out.collect()}
         assert rows == {(0, 1): "a", (0, 2): "b", (2, 3): "c"}
         assert set(out.columns) == {"topic", "partition", "offset", "k", "v"}
+
+
+class TestOperatorReviewRegressions:
+    def test_zorder_survives_64bit_domains(self, spark):
+        """(x - mn) in int64 overflowed ANSI-fatally for snowflake-scale
+        ids; the double pipeline must not."""
+        from stream_loader_spark.operators.layout import zorder_value
+
+        df = spark.createDataFrame(
+            [(-(2**62), 1), (2**62, 2), (0, 3)], "a long, b long"
+        )
+        rows = zorder_value(df, ["a", "b"], bits=4).collect()
+        assert len(rows) == 3 and all(r["zvalue"] >= 0 for r in rows)
+
+    def test_salted_join_scatters_duplicate_hot_rows(self, spark):
+        """The salt must vary across IDENTICAL rows — content-hash salts
+        gave duplicates one salt and zero skew mitigation."""
+        from stream_loader_spark.operators.skew import salted_join
+
+        big = spark.createDataFrame([("hot", 1)] * 1000, "k string, v int")
+        small = spark.createDataFrame([("hot", "dim")], "k string, d string")
+        salted = big.withColumn(
+            "_s",
+            F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(8)),
+        )
+        assert salted.select("_s").distinct().count() > 1
+        out = salted_join(big, small, ["k"], salt_buckets=8)
+        assert out.count() == 1000  # join semantics intact
+
+    def test_quality_report_empty_batch_is_zero_not_null(self, spark):
+        from stream_loader_spark.operators.quality import not_null, quality_report
+
+        empty = spark.createDataFrame([], "a string")
+        [row] = quality_report(empty, {"a_nn": not_null("a")}).collect()
+        assert (row["n_rows"], row["n_violations"], row["pass_rate"]) == (0, 0, 1.0)
+
+    def test_gap_fill_preserves_observed_nulls(self, spark):
+        from datetime import date
+
+        from stream_loader_spark.operators.timeseries import gap_fill_daily
+
+        df = spark.createDataFrame(
+            [("k", date(2024, 1, 1), 5.0), ("k", date(2024, 1, 3), None)],
+            "k string, dt date, v double",
+        )
+        rows = {r["dt"].day: r for r in gap_fill_daily(df, ["k"], "dt", ["v"]).collect()}
+        assert rows[2]["v"] == 0.0 and rows[2]["filled"]  # generated gap
+        assert rows[3]["v"] is None and not rows[3]["filled"]  # observed NULL stays
+
+    def test_matview_avg_uses_nonnull_count(self, spark):
+        from stream_loader_spark.operators.matview import (
+            aggregate_state,
+            finalize_aggregates,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 10.0), ("a", None), ("a", 20.0)], "k string, v double"
+        )
+        [row] = finalize_aggregates(
+            aggregate_state(df, ["k"], ["v"]), ["k"]
+        ).collect()
+        assert row["n"] == 3 and row["avg_v"] == 15.0  # SQL AVG, not sum/n
+
+    def test_kll_quantile_labels_do_not_collide(self, spark):
+        from stream_loader_spark.operators.sketches import _quantile_label
+
+        assert _quantile_label(0.29) == "q29"
+        assert _quantile_label(0.999) == "q99_9"
+        assert _quantile_label(0.5) == "q50"
+
+    def test_exchange_count_sees_range_shuffles(self, spark):
+        from stream_loader_spark.operators.bucketing import exchange_count
+
+        # a sort the optimizer can't elide (range is already id-ordered)
+        df = spark.range(100).orderBy(F.pmod("id", F.lit(7)))
+        df.write.format("noop").mode("overwrite").save()
+        assert exchange_count(df) >= 1  # rangepartitioning counted now
