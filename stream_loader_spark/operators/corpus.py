@@ -34,6 +34,7 @@ from stream_loader_spark.operators.dedup import (
 
 # persisted cleaned-base memo for the current session (see clean_corpus)
 _BASE_MEMO: dict = {}
+_BASE_MEMO_CAPACITY = 4  # distinct (input, base-config) bases kept persisted
 
 
 @dataclass(frozen=True)
@@ -72,13 +73,26 @@ def clean_corpus(documents: DataFrame, config: CorpusCleanConfig = CorpusCleanCo
     # (input frame, config): repeated invocations over the memoized
     # fixture tables (bench passes, correctness runs) must reuse one
     # cached copy, not stack a new persisted corpus per call.
-    memo_key = (id(documents), config)
+    # key on only the config fields the BASE depends on (the near-dup
+    # threshold applies downstream of the persist, so sweeping it must
+    # hit the same cached base, not stack a new one per threshold)
+    memo_key = (id(documents), config.keep_langs, config.min_quality,
+                config.id_col, config.text_col)
     if _BASE_MEMO.get("_session_id") != id(documents.sparkSession):
+        for entry in list(_BASE_MEMO.values()):
+            if isinstance(entry, tuple):
+                entry[1].unpersist()
         _BASE_MEMO.clear()
         _BASE_MEMO["_session_id"] = id(documents.sparkSession)
     if memo_key in _BASE_MEMO:
         df = _BASE_MEMO[memo_key][1]
     else:
+        # BOUNDED cache (FIFO, small): evicted bases are unpersisted —
+        # an unbounded memo filled executor storage one never-released
+        # corpus per distinct (input, config) for the session's life
+        data_keys = [k for k in _BASE_MEMO if k != "_session_id"]
+        while len(data_keys) >= _BASE_MEMO_CAPACITY:
+            _BASE_MEMO.pop(data_keys.pop(0))[1].unpersist()
         df = df.persist()
         # the memo value PINS the input frame: the key embeds
         # id(documents), and CPython recycles addresses after GC — a

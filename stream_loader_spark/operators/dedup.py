@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from stream_loader_spark.operators.text import tokens_col
+from stream_loader_spark.operators.text import tokens_col, tokens_sql
 from stream_loader_spark.sources.tables import scatter
 
 NUM_HASHES = 64          # MinHash signature length
@@ -41,9 +41,11 @@ SIMHASH_CHUNKS = 4
 SMALL_GRAPH_EDGES = 1_000_000  # below this, components resolve driver-side
 
 
-def _union_find_labels(spark, edges: list[tuple[int, int]]):
+def _union_find_labels(spark, edges: list[tuple[int, int]], id_type: str = "bigint"):
     """Min-id connected components of a small edge list (path-halving
-    union-find); returns a (node, label) DataFrame."""
+    union-find); returns a (node, label) DataFrame. ``id_type`` is the
+    ids' Spark type — hardcoding bigint made string-keyed graphs crash
+    ONLY on the small-graph path (a data-size-dependent failure)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -62,7 +64,7 @@ def _union_find_labels(spark, edges: list[tuple[int, int]]):
             parent[hi] = lo
     nodes = {n for e in edges for n in e}
     return spark.createDataFrame(
-        [(n, find(n)) for n in sorted(nodes)], "node bigint, label bigint"
+        [(n, find(n)) for n in sorted(nodes)], f"node {id_type}, label {id_type}"
     )
 
 
@@ -95,13 +97,17 @@ def keep_best_dedup(
     materialization — the 100 TB-safe shape (a row_number window over
     content_hash would sort every group).
     """
+    # min over (−quality, id): largest quality wins, ties take the
+    # smallest id. Negating the QUALITY (numeric by contract) instead
+    # of the id keeps the tie-break type-agnostic — string/uuid ids
+    # have no negation, and the old (q, −id) max_by crashed on them.
     pref = F.struct(
-        F.col(quality_col).alias("q"), (-F.col(id_col)).alias("tie")
+        (-F.col(quality_col)).alias("nq"), F.col(id_col).alias("tie")
     )
     return documents.groupBy(
         F.sha2(F.col(text_col), 256).alias("content_hash")
     ).agg(
-        F.max_by(F.col(id_col), pref).alias("keep_id"),
+        F.min_by(F.col(id_col), pref).alias("keep_id"),
         F.max(quality_col).alias("best_quality"),
         F.count(F.lit(1)).alias("dup_count"),
     )
@@ -153,12 +159,7 @@ def shingles_sql(text_col: str = "text", size: int = SHINGLE_SIZE) -> str:
     construction (measured ~0.8 s for the shingle expression alone at
     build time), while parsing one expr string is ~free. Semantics are
     identical — same split, same windows, same distinct."""
-    toks = (
-        "CASE WHEN length(trim({c})) = 0 THEN CAST(array() AS array<string>) "
-        # Spark SQL unescapes string literals ('\\s' would become 's'),
-        # so the parser must SEE backslash-backslash-s to yield regex \s+
-        "ELSE split(trim({c}), '\\\\s+') END"
-    ).format(c=text_col)
+    toks = tokens_sql(text_col)
     return (
         f"CASE WHEN size({toks}) >= {size} THEN "
         f"array_distinct(transform(sequence(1, size({toks}) - {size - 1}), "
@@ -211,6 +212,13 @@ def band_index(
     every future ingest probes it instead of re-hashing the corpus —
     see ``incremental_near_dup_pairs``.
     """
+    if not 1 <= num_bands <= NUM_HASHES or NUM_HASHES % num_bands:
+        # num_bands > NUM_HASHES makes rows_per_band 0: every band hash
+        # becomes a constant and the LSH join degenerates to ALL-PAIRS;
+        # a non-divisor silently ignores trailing hashes (recall drift)
+        raise ValueError(
+            f"num_bands must divide {NUM_HASHES} (got {num_bands})"
+        )
     rows_per_band = NUM_HASHES // num_bands
     sig = with_minhash(documents, text_col, id_col)
     band_structs = ",".join(
@@ -322,8 +330,10 @@ def incremental_near_dup_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
         # candidates feed the touched-id union (twice) and the verify
-        # joins — persist so the banding pipeline runs once, not thrice
-        .persist()
+        # joins; the dedup ends at a shuffle, so every consumer shares
+        # ONE exchange (ReusedExchange) and the banding pipeline runs
+        # once. NO persist: on the per-batch ingest path a cached
+        # relation with no unpersist owner would leak once per batch.
     )
 
     # shingle only the touched documents: candidate ids first, text after
@@ -479,7 +489,9 @@ def dedup_components(
     n_pairs = pairs.count()
     if n_pairs <= SMALL_GRAPH_EDGES:
         labels = _union_find_labels(
-            documents.sparkSession, [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+            documents.sparkSession,
+            [(r["doc_a"], r["doc_b"]) for r in pairs.collect()],
+            id_type=pairs.schema["doc_a"].dataType.simpleString(),
         )
         pairs.unpersist()
         singletons = documents.select(F.col(id_col)).join(

@@ -70,8 +70,15 @@ def rebalance_domains(
         .alias("keep_thr"),
     )
     out = df.withColumn("sample_bucket", sample_bucket(F.col(id_col), salt))
-    return out.join(F.broadcast(thr), domain_col).where(
-        F.col("sample_bucket") < F.col("keep_thr")
+    # null-safe: a NULL domain is a real cohort — a name-list join would
+    # both let it set min_cnt AND silently drop its rows from the output
+    thr = thr.withColumnRenamed(domain_col, "_thr_dom")
+    return (
+        out.join(
+            F.broadcast(thr), F.col(domain_col).eqNullSafe(F.col("_thr_dom"))
+        )
+        .drop("_thr_dom")
+        .where(F.col("sample_bucket") < F.col("keep_thr"))
     )
 
 
@@ -125,9 +132,15 @@ def oversample_domains(
         F.floor(ratio).cast("bigint").alias("base_copies"),
         F.floor(F.lit(256.0) * (ratio - F.floor(ratio))).cast("int").alias("extra_thr"),
     )
+    plan = plan.withColumnRenamed(domain_col, "_plan_dom")
     rows = (
         df.withColumn("_bkt", sample_bucket(F.col(id_col), salt))
-        .join(F.broadcast(plan), domain_col)
+        # null-safe for the same reason as rebalance_domains: NULL-domain
+        # rows must replicate like any other cohort, not silently vanish
+        .join(
+            F.broadcast(plan), F.col(domain_col).eqNullSafe(F.col("_plan_dom"))
+        )
+        .drop("_plan_dom")
         .withColumn(
             "copies",
             F.col("base_copies")

@@ -37,6 +37,20 @@ def tokens_col(text: Column) -> Column:
     )
 
 
+
+def tokens_sql(text_col: str) -> str:
+    """SQL-string twin of ``tokens_col`` (same trim + \\s+ split, empty
+    text → empty array), for operators that assemble expression strings
+    (hot query builders avoid python-lambda HOF construction cost).
+    ONE definition — the double-backslash escaping subtlety (Spark SQL
+    unescapes string literals, so the parser must SEE \\\\s to yield
+    the regex \\s+) previously lived copy-pasted in three modules."""
+    return (
+        "CASE WHEN length(trim({c})) = 0 THEN CAST(array() AS array<string>) "
+        "ELSE split(trim({c}), '\\\\s+') END"
+    ).format(c=text_col)
+
+
 def normalized_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercased, whitespace-collapsed."""
     return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))

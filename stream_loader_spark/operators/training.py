@@ -59,9 +59,16 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     toks = tokens_col(F.col(text_col))
     n = F.size(toks)
-    # k = 0 .. floor((n-1)/stride) for n > 0 — every start < n
+    # k = 0 .. ceil((n - chunk_tokens)/stride) — the last chunk is the
+    # FIRST one reaching the end of the document. The naive
+    # floor((n-1)/stride) bound emitted one more chunk whenever
+    # stride < n <= chunk_tokens-ish tails: a strict SUBSET of its
+    # predecessor, silently duplicating that text into the training set.
+    max_k = F.when(n <= chunk_tokens, F.lit(0)).otherwise(
+        F.ceil((n - chunk_tokens) / F.lit(stride))
+    )
     chunks = F.transform(
-        F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int")),
+        F.sequence(F.lit(0), max_k.cast("int")),
         lambda k: F.struct(
             k.alias("chunk_index"),
             F.slice(toks, k * stride + 1, chunk_tokens).alias("chunk"),
@@ -158,13 +165,17 @@ def tfidf_top_terms(
     toks = scatter(documents).select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
-    # tf feeds BOTH the df vocabulary and the scoring join; persist so
-    # the tokenize+explode+aggregate pipeline runs once, not twice
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    # tf feeds the df vocabulary, the doc count, and the scoring join.
+    # NO persist: the aggregate ends at a shuffle, so the three
+    # consumers share ONE exchange (ReusedExchange — the pattern
+    # unigram_logprob documents) and only the cheap reduce side
+    # re-runs. A persist here had no owner to unpersist it and leaked
+    # one corpus-scale cached relation per call for the session's life.
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if broadcast_vocab:
         df_counts = F.broadcast(df_counts)
-    # docs-with-tokens count comes from the persisted tf relation (a doc
+    # docs-with-tokens count comes from the same tf exchange (a doc
     # appears there iff it produced >= 1 token) — NOT from re-scanning
     # and re-tokenizing the full text a third time
     n_docs = tf.agg(F.count_distinct(F.col(id_col)).cast("double").alias("n_docs"))

@@ -32,18 +32,28 @@ def corpus_diff(
 ) -> DataFrame:
     """(id, status, old_digest, new_digest) for every id in either
     snapshot; status in {added, removed, changed, unchanged}."""
+    # presence comes from explicit join-side markers, NEVER from digest
+    # nullness: sha2(NULL text) is NULL, so a present-but-NULL-text doc
+    # would be indistinguishable from a missing row and misclassify as
+    # added/removed instead of changed/unchanged
     o = old.select(
-        F.col(id_col), F.sha2(F.col(text_col).cast("binary"), 256).alias("old_digest")
+        F.col(id_col),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("old_digest"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
-        F.col(id_col), F.sha2(F.col(text_col).cast("binary"), 256).alias("new_digest")
+        F.col(id_col),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("new_digest"),
+        F.lit(True).alias("_in_new"),
     )
     j = o.join(n, id_col, "full_outer")
     return j.select(
         id_col,
-        F.when(F.col("old_digest").isNull(), F.lit("added"))
-        .when(F.col("new_digest").isNull(), F.lit("removed"))
-        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_digest").eqNullSafe(F.col("new_digest")), F.lit("changed")
+        )
         .otherwise(F.lit("unchanged"))
         .alias("status"),
         "old_digest",

@@ -3008,7 +3008,8 @@ def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_slice(toks, k * 24 + 1, k * 24 + 32)) AS INT) AS n_tokens,
            sha256(array_to_string(list_slice(toks, k * 24 + 1, k * 24 + 32), ' '))
              AS chunk_hash
-    FROM t, UNNEST(range(0, (len(toks) - 1) // 24 + 1)) AS u(k)""",
+    FROM t, UNNEST(range(0, CASE WHEN len(toks) <= 32 THEN 1
+                         ELSE CAST(CEIL((len(toks) - 32) / 24.0) AS BIGINT) + 1 END)) AS u(k)""",
 )
 def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: 32-token chunks, 8-token overlap

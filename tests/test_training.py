@@ -495,3 +495,76 @@ class TestWeightedSample:
         with contextlib.redirect_stdout(buf):
             weighted_sample(df, 10, "id", "w").explain()
         assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+class TestCorpusReviewRegressions:
+    def test_null_domain_is_a_real_cohort(self, spark):
+        """NULL domains previously set min_cnt AND vanished from the
+        output (null-unsafe join) — both mixing ops must keep them."""
+        from stream_loader_spark.operators.sampling import (
+            oversample_domains,
+            rebalance_domains,
+        )
+
+        rows = [(i, "big") for i in range(200)] + [(1000 + i, None) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = rebalance_domains(df)
+        by_dom = {r["source"]: 1 for r in out.collect()}
+        assert None in by_dom  # NULL cohort retained
+        over = oversample_domains(df)
+        assert over.where(F.col("source").isNull()).count() >= 5  # replicated too
+
+    def test_corpus_diff_handles_null_text(self, spark):
+        from stream_loader_spark.operators.versioning import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, None), (2, "x"), (3, None)], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(1, None), (2, None), (4, "y")], "doc_id long, text string"
+        )
+        st = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+        assert st == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+    def test_chunks_never_subset_their_predecessor(self, spark):
+        """A 30-token doc with (32, 8) chunking used to emit a second
+        chunk fully contained in the first — duplicated training data."""
+        from stream_loader_spark.operators.training import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(30)))], "doc_id long, text string"
+        )
+        rows = chunk_documents(df, chunk_tokens=32, overlap=8).collect()
+        assert len(rows) == 1 and rows[0]["n_tokens"] == 30
+        # and a doc that genuinely needs two chunks still gets them
+        df2 = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(40)))], "doc_id long, text string"
+        )
+        rows2 = sorted(
+            chunk_documents(df2, chunk_tokens=32, overlap=8).collect(),
+            key=lambda r: r["chunk_index"],
+        )
+        assert [r["n_tokens"] for r in rows2] == [32, 16]  # tokens 25..40
+
+    def test_band_index_rejects_degenerate_band_counts(self, spark):
+        from stream_loader_spark.operators.dedup import band_index
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="num_bands"):
+            band_index(df, num_bands=128)  # rows_per_band would be 0
+        with _pytest.raises(ValueError, match="num_bands"):
+            band_index(df, num_bands=10)  # silently dropped hashes
+
+    def test_components_small_graph_path_accepts_string_ids(self, spark):
+        from stream_loader_spark.operators.dedup import dedup_components
+
+        docs = spark.createDataFrame(
+            [("u1",), ("u2",), ("u3",)], "url string"
+        )
+        pairs = spark.createDataFrame(
+            [("u1", "u2")], "doc_a string, doc_b string"
+        )
+        got = {r["url"]: r["cluster_id"] for r in dedup_components(docs, pairs, "url").collect()}
+        assert got == {"u1": "u1", "u2": "u1", "u3": "u3"}
