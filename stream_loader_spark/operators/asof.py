@@ -45,6 +45,11 @@ def asof_join(
     payload depends on partitioning order and results are
     nondeterministic.
     """
+    # a NULL right_time sorts FIRST under the ascending carry window, so
+    # its payload would be carried onto every left row as a bogus match;
+    # ASOF semantics (and the DuckDB oracle, where NULL <= t is never
+    # true) say such rows can match nothing — drop them up front
+    right = right.where(F.col(right_time).isNotNull())
     if tie_break is not None:
         w_dedup = Window.partitionBy(key, right_time).orderBy(F.desc(tie_break))
         right = (

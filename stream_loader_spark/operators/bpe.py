@@ -176,15 +176,22 @@ def bpe_encode(
                 hit = cache[w] = bpe_segment(w, pairs)
             return hit
 
+        # Tokenize EXACTLY like training (tokens_col = Java \s+ split +
+        # empty filter). Python str.split()/strip() are Unicode-aware
+        # (they split U+00A0 etc.) while Java's \s is ASCII-only — a
+        # divergent tokenizer would emit words the merge table never
+        # saw, silently breaking the train/encode consistency contract.
+        import re
+
+        java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
         def enc(text) -> list[str]:
             if text is None:
                 return []
-            stripped = text.strip()
-            if not stripped:
-                return []
             out: list[str] = []
-            for w in stripped.split():
-                out.extend(enc_word(w))
+            for w in java_ws.split(text):
+                if w:
+                    out.extend(enc_word(w))
             return out
 
         return texts.map(enc)

@@ -60,7 +60,12 @@ def synthetic_media(documents: DataFrame) -> DataFrame:
 
 
 def _byte_histogram(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic fake feature vector: normalized byte histogram."""
+    """Deterministic fake feature vector: normalized byte histogram.
+
+    Not called by the operators (they use ``_batch_histograms``): this
+    per-row form is the INDEPENDENT reference the batched
+    implementation is verified against in tests — an intentional twin,
+    not dead code. Keep the bucket formula in both in sync."""
     if content is None or len(content) == 0:
         return [0.0] * dim
     arr = np.frombuffer(content, dtype=np.uint8)

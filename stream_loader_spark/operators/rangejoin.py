@@ -31,7 +31,21 @@ def binned_range_join(
 
     Columns from both sides are preserved (names must not collide apart
     from ``key``).
+
+    Only ``how='inner'`` is supported: the exact range predicate must
+    run as a post-join filter (the bin equi-join is a superset), and a
+    post-filter silently degrades any outer join to inner semantics —
+    an unmatched left row's NULL interval columns fail the predicate
+    and vanish. Callers needing left semantics should anti-join the
+    matched points back against the full point set explicitly, with an
+    id column that defines row identity.
     """
+    if how != "inner":
+        raise ValueError(
+            f"binned_range_join supports how='inner' only (got {how!r}): "
+            "the exact-range post-filter would silently drop unmatched "
+            "outer rows"
+        )
     p_bin = (F.unix_timestamp(F.col(point_time)) / bin_width_sec).cast("long")
     points_b = points.withColumn("_bin", p_bin)
 

@@ -121,7 +121,13 @@ def kmeans_centroids(
     the driver, so the corpus size is irrelevant to driver memory.
     """
     spark = embeddings.sparkSession
-    dim = len(embeddings.select(vec_col).first()[0])
+    head = embeddings.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError(
+            "kmeans_centroids: no vectors to cluster (empty input or "
+            f"NULL leading {vec_col!r})"
+        )
+    dim = len(head[0])
     # ``initial`` overrides the id-value-based seeds — required when the
     # corpus's ids don't start at 0 (e.g. a stream's first micro-batch)
     centroids = (
@@ -223,13 +229,20 @@ def assign_clusters(
     scored = scatter(embeddings).crossJoin(F.broadcast(centroids)).withColumn(
         "cos", cosine_col(F.col(vec_col), F.col("centroid_vec"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("centroid_id"))
+    # argmax via max(struct): map-side-combinable, same tie-break as the
+    # k-means update step (highest cosine, then lowest centroid_id). The
+    # previous row_number window shuffled and sorted corpus × centroids
+    # rows with no partial aggregation — strictly worse for the
+    # identical result, and a second argmax implementation to keep
+    # tie-break-consistent by hand.
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") == 1)
-        .select(id_col, vec_col, F.col("centroid_id").alias("cluster_id"))
+        scored.groupBy(id_col, vec_col)
+        .agg(
+            F.max(
+                F.struct(F.col("cos"), (-F.col("centroid_id")).alias("neg_id"))
+            ).alias("m")
+        )
+        .select(id_col, vec_col, (-F.col("m.neg_id")).alias("cluster_id"))
     )
 
 

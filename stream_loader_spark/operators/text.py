@@ -31,10 +31,16 @@ PUNCT_CLASS = r"[.,!?;:]"
 
 
 def tokens_col(text: Column) -> Column:
-    """Whitespace tokenization of trimmed text (empty text → [])."""
-    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(text), r"\s+")
-    )
+    """Whitespace tokenization: split on \\s+ and DROP empty tokens.
+
+    The filter (not a trim) is what makes the edges correct: Spark's
+    ``trim`` strips only spaces (0x20), so text with leading/trailing
+    newlines or tabs produced phantom '' tokens that inflated every
+    count downstream (quality ratios, word frequencies, BPE training,
+    frequent tokens). Splitting first and filtering '' handles every
+    whitespace class and makes empty/all-whitespace text → [] fall out
+    naturally. NULL text stays NULL."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
 
 
 
@@ -45,10 +51,10 @@ def tokens_sql(text_col: str) -> str:
     ONE definition — the double-backslash escaping subtlety (Spark SQL
     unescapes string literals, so the parser must SEE \\\\s to yield
     the regex \\s+) previously lived copy-pasted in three modules."""
-    return (
-        "CASE WHEN length(trim({c})) = 0 THEN CAST(array() AS array<string>) "
-        "ELSE split(trim({c}), '\\\\s+') END"
-    ).format(c=text_col)
+    # the parser unescapes string literals, so it must SEE \\\\s to
+    # yield the regex \\s+; x != '' drops the edge artifacts (see
+    # tokens_col — trim() strips only 0x20)
+    return "filter(split({c}, '\\\\s+'), x -> x != '')".format(c=text_col)
 
 
 def normalized_text(text: Column) -> Column:
@@ -403,12 +409,17 @@ def approx_frequent_tokens(
             }
         )
 
-    # Materialize the MG pass ONCE (persist: the summary is referenced
-    # by both the guard total and the candidate set, and mapInPandas
-    # subtrees are not deduplicated by exchange reuse — without this
-    # the most expensive phase would run twice). The persisted summary
-    # is O(partitions × capacity) rows, not corpus-sized.
-    cand = toks.mapInPandas(mg_partition, "token string, n_local bigint").persist()
+    # Materialize the MG pass ONCE: the summary feeds both the guard
+    # total and the candidate set, and mapInPandas subtrees are not
+    # deduplicated by exchange reuse — without materialization the most
+    # expensive phase would run twice. localCheckpoint (not persist):
+    # checkpointed blocks are auto-released by the ContextCleaner when
+    # the result DataFrame is garbage-collected, while a persist here
+    # had no owner to unpersist it and leaked one O(partitions ×
+    # capacity) cached relation per call for the session's life.
+    cand = toks.mapInPandas(
+        mg_partition, "token string, n_local bigint"
+    ).localCheckpoint(eager=True)
     # Enforce the superset guarantee EAGERLY on the 1-row total — not
     # as a predicate on the result rows, where an empty result (the
     # exact regime eviction causes) would mean the guard is evaluated
@@ -462,12 +473,16 @@ def hashed_linear_quality(
     scored = tok.select(id_col, bucket).select(
         id_col, weight.alias("w_milli")
     )
-    return scored.groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("w_milli").alias("logit_milli"),
-    ).select(
+    )
+    # zero-token documents produce no exploded rows: join the verdicts
+    # back onto the full corpus so they get an EXPLICIT keep=false
+    # (logit 0 ≤ 0) instead of silently vanishing from the gate output
+    return documents.select(F.col(id_col)).join(agg, id_col, "left").select(
         id_col,
-        "n_tokens",
-        "logit_milli",
-        (F.col("logit_milli") > 0).alias("keep"),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("logit_milli", F.lit(0)).cast("bigint").alias("logit_milli"),
+        (F.coalesce("logit_milli", F.lit(0)) > 0).alias("keep"),
     )

@@ -535,14 +535,14 @@ _STOP_DE = "'der','die','das','und','ist','ein','zu','nicht'"
 _STOP_FR = "'le','la','et','les','des','est','un','une'"
 _STOP_ES = "'el','la','los','las','es','un','una','y'"
 
-_TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+_TOKENS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
 
 
 @query(
     "text_stats",
     f"""WITH t AS (
       SELECT doc_id, text,
-             CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKENS_SQL} END AS toks
+             {_TOKENS_SQL} AS toks
       FROM documents),
     m AS (
       SELECT doc_id,
@@ -582,7 +582,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang_id",
     f"""WITH t AS (
       SELECT doc_id, lang,
-             CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKENS_SQL} END AS toks
+             {_TOKENS_SQL} AS toks
       FROM documents),
     h AS (
       SELECT doc_id, lang,
@@ -620,8 +620,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "repetition_stats",
     """WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
-      FROM documents WHERE length(trim(text)) > 0),
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token
+      FROM documents WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) > 0),
     pt AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
     SELECT doc_id,
            CAST(SUM(cnt) AS BIGINT) AS token_count,
@@ -746,8 +746,7 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_sequences_spans",
     f"""WITH t AS (
       SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens,
              md5('ep1' || CAST(doc_id AS VARCHAR)) AS k,
              {_MD5_BUCKET_SQL.format(e="'ep1' || CAST(doc_id AS VARCHAR)")} AS shard
       FROM documents),
@@ -785,8 +784,7 @@ def pack_sequences_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE {_MD5_BUCKET_SQL.format(e="CAST(d.doc_id AS VARCHAR)")} < t.keep_thr),
     tok AS (
       SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens,
              md5('mix1' || CAST(doc_id AS VARCHAR)) AS k,
              {_MD5_BUCKET_SQL.format(e="'mix1' || CAST(doc_id AS VARCHAR)")} AS shard
       FROM kept),
@@ -815,8 +813,8 @@ def training_mix_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "unigram_logprob",
     """WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
-      FROM documents WHERE length(trim(text)) > 0),
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token
+      FROM documents WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) > 0),
     freq AS MATERIALIZED (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
     tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq),
     scored AS (
@@ -840,17 +838,21 @@ def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "quality_model_scores",
     """WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
-      FROM documents WHERE length(trim(text)) > 0),
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token
+      FROM documents),
     b AS (
       SELECT doc_id,
              (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
              + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) AS bucket
-      FROM tok)
-    SELECT doc_id, COUNT(*) AS n_tokens,
-           CAST(SUM((bucket * 2654435761) % 1001 - 500) AS BIGINT) AS logit_milli,
-           SUM((bucket * 2654435761) % 1001 - 500) > 0 AS keep
-    FROM b GROUP BY doc_id""",
+      FROM tok),
+    g AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM((bucket * 2654435761) % 1001 - 500) AS BIGINT) AS s
+      FROM b GROUP BY doc_id)
+    SELECT d.doc_id, CAST(COALESCE(g.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(g.s, 0) AS BIGINT) AS logit_milli,
+           COALESCE(g.s, 0) > 0 AS keep
+    FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id""",
 )
 def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear quality classifier (fasttext-filter shape):
@@ -923,7 +925,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ngram_jaccard_pairs",
     """WITH t AS (
-      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+      SELECT doc_id, lang, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
       FROM documents),
     d AS (
       SELECT doc_id, lang,
@@ -984,7 +986,7 @@ def _jaccard_pairs_ctes(src: str = "documents", threshold: float = 0.5) -> str:
     lists per candidate pair and took 127 s at sf0.1 where this
     aggregate runs in ~1 s (same 256 rows)."""
     return f"""jt AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM {src}),
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks FROM {src}),
     jd AS (
       SELECT doc_id,
              CASE WHEN len(toks) >= 3 THEN
@@ -1021,8 +1023,8 @@ def _simhash_sig_ctes(src: str = "documents") -> str:
         for i in range(64)
     )
     return f"""stok AS (
-      SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
-      FROM {src} WHERE length(trim(text)) > 0),
+      SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))) AS token
+      FROM {src} WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) > 0),
     shx AS (SELECT doc_id, md5(token) AS h FROM stok),
     snib AS (SELECT doc_id, {nibs} FROM shx),
     scnt AS (SELECT doc_id, COUNT(*) AS n, {cs} FROM snib GROUP BY doc_id),
@@ -1685,8 +1687,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "token_counts_bpe",
     f"""SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS ws_tokens,
            len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens
     FROM documents""",
 )
@@ -2137,7 +2138,7 @@ from stream_loader_spark.operators.corpus import clean_corpus, CorpusCleanConfig
 
 _CLEAN_CORPUS_SQL = f"""WITH RECURSIVE c0 AS (
   SELECT doc_id, text,
-         CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
   FROM documents),
 c1 AS (
   SELECT doc_id, text, toks,
@@ -2550,8 +2551,8 @@ def order_age_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "token_frequencies",
     """WITH toks AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
-      FROM documents WHERE length(trim(text)) > 0),
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token
+      FROM documents WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) > 0),
     counts AS (
       SELECT token, COUNT(*) AS freq FROM toks GROUP BY token)
     SELECT token, freq FROM counts
@@ -3001,8 +3002,8 @@ def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "chunk_documents",
     """WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-      FROM documents WHERE length(trim(text)) > 0)
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+      FROM documents WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) > 0)
     SELECT doc_id,
            CAST(k AS INT) AS chunk_index,
            CAST(len(list_slice(toks, k * 24 + 1, k * 24 + 32)) AS INT) AS n_tokens,
@@ -3024,7 +3025,7 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "benchmark_contamination",
     """WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
       FROM documents),
     d AS (
       SELECT doc_id,
@@ -3084,8 +3085,8 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tfidf_top_terms",
     """WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
-      FROM documents WHERE length(trim(text)) > 0),
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token
+      FROM documents WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) > 0),
     tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
     dfreq AS MATERIALIZED (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
     n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tok),
@@ -3114,8 +3115,7 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REPEATED_SPAN_CTES = """WITH t AS (
       SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN []
-                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+             list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
       FROM documents),
     gx AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS start FROM t),
     g AS (SELECT doc_id, CAST(start AS INT) AS start,
@@ -3166,8 +3166,7 @@ def repeated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM spans GROUP BY doc_id),
     base AS (
       SELECT doc_id,
-             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                       ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT)
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS INT)
                AS n_tokens
       FROM documents)
     SELECT b.doc_id, b.n_tokens, COALESCE(p.dup_tokens, 0) AS dup_tokens,
@@ -3334,7 +3333,7 @@ def embedding_quantization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE old.doc_id IS NULL OR old.text <> new.text),
     t AS (
       SELECT doc_id, status, text,
-             CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKENS_SQL} END AS toks
+             {_TOKENS_SQL} AS toks
       FROM delta),
     h AS (
       SELECT doc_id, status, text, toks,
@@ -3559,7 +3558,7 @@ def cluster_label_purity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY d.doc_id),
     t AS (
       SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKENS_SQL} END AS toks,
+             {_TOKENS_SQL} AS toks,
              text
       FROM documents),
     m AS (
@@ -4174,7 +4173,7 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gopher_quality_flags",
     f"""WITH t AS (
       SELECT doc_id, text,
-             CASE WHEN length(trim(text)) = 0 THEN [] ELSE {_TOKENS_SQL} END AS toks
+             {_TOKENS_SQL} AS toks
       FROM documents),
     m AS (
       SELECT doc_id,
@@ -4216,8 +4215,8 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "frequent_tokens",
     """WITH tok AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
-      FROM documents WHERE length(trim(text)) > 0)
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token
+      FROM documents WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) > 0)
     SELECT token, CAST(COUNT(*) AS BIGINT) AS n
     FROM tok GROUP BY token HAVING COUNT(*) >= 100""",
 )
