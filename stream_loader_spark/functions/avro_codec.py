@@ -252,6 +252,33 @@ def _union_branch(value: Any, branches: list[AvroSchema]) -> int:
             if b.kind == "null":
                 return i
         raise ValueError("None for union without null branch")
+    # match the value's Python type to a branch — first-non-null chose
+    # branch 0 regardless of type, silently stringifying an int in a
+    # ['string','int'] union (and crashing on the reverse order). bool
+    # is checked before int (bool IS int in Python).
+    type_order = [
+        ("boolean", bool),
+        ("long", int),
+        ("int", int),
+        ("double", float),
+        ("float", float),
+        ("string", str),
+        ("bytes", (bytes, bytearray)),
+    ]
+    for kind, pytypes in type_order:
+        if isinstance(value, pytypes) and not (
+            kind != "boolean" and isinstance(value, bool)
+        ):
+            for i, b in enumerate(branches):
+                if b.kind == kind:
+                    return i
+    # complex values (records/arrays/maps/enums/fixed): take the first
+    # structurally-plausible non-null branch, as before
+    for i, b in enumerate(branches):
+        if b.kind != "null" and b.kind not in {
+            k for k, _ in type_order
+        }:
+            return i
     for i, b in enumerate(branches):
         if b.kind != "null":
             return i

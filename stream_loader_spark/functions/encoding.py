@@ -93,7 +93,19 @@ def checked_decimal(col: Column, precision: int, scale: int, on_overflow: str = 
     if on_overflow == "null":
         return col.try_cast(target)
     if on_overflow == "error":
-        return col.cast(target)  # ANSI mode (Spark 4 default) raises on overflow
+        # ANSI-independent strictness: a bare cast raises only while
+        # spark.sql.ansi.enabled is true — under ANSI-off (common 3.x
+        # compat setting) it silently NULLs, the exact behavior the
+        # caller opted out of. try_cast + explicit raise keeps the
+        # contract under ANY session config.
+        tried = col.try_cast(target)
+        err = F.raise_error(
+            F.concat(
+                F.lit(f"decimal({precision},{scale}) overflow: "),
+                col.cast("string"),
+            )
+        ).cast(target)
+        return F.when(col.isNotNull() & tried.isNull(), err).otherwise(tried)
     raise ValueError(f"unknown overflow policy {on_overflow!r}")
 
 
@@ -154,7 +166,13 @@ def csv_writer_options() -> dict[str, str]:
 
 def csv_line(*cols: Column, sep: str = "\t") -> Column:
     """Single-column CSV/TSV line: nulls → empty string (concat_ws skips
-    nulls only between separators, so nulls are coalesced explicitly)."""
+    nulls only between separators, so nulls are coalesced explicitly).
+
+    Columns are stringified with Spark's CANONICAL cast (timestamps
+    print with their natural precision) — NOT the fixed .SSS contract
+    ``csv_writer_options`` configures on the writer path. A caller that
+    needs a fixed timestamp format must pre-format explicitly:
+    ``csv_line(F.date_format(ts, CSV_TIMESTAMP_FORMAT), ...)``."""
     safe = [F.coalesce(c.cast("string"), F.lit("")) for c in cols]
     return F.concat_ws(sep, *safe)
 

@@ -235,9 +235,12 @@ def _decode_scalar(buf: bytes, pos: int, base: str, wt: int) -> tuple[Any, int]:
             return _unzigzag(raw), pos
         if base == "bool":
             return raw != 0, pos
-        if base in ("int32", "int64"):
+        if base in ("int32", "int64", "enum"):
+            # enums are wire-encoded like int32: a negative value is the
+            # 10-byte sign-extended varint, so skipping the sign fold
+            # returned 2^64-1 for -1 (then overflowed the int column)
             return _to_signed64(raw), pos
-        return raw, pos  # uint32/uint64/enum
+        return raw, pos  # uint32/uint64
     if wt == _WIRE_FIXED64:
         if base == "double":
             return struct.unpack_from("<d", buf, pos)[0], pos + 8

@@ -153,9 +153,16 @@ class CHType:
                 or (isinstance(v, float) and pd.isna(v))
             ):
                 return b"\x01"
-            return b"\x00" + _encode_value(self.name, v)
+            # the null marker prefixes the SAME payload encoding as the
+            # non-nullable branch — bypassing it dropped the
+            # fixed_bytes/max_bytes String constraints, misframing every
+            # later column of a Nullable(FixedString) table
+            return b"\x00" + self._payload(v)
         if v is None:
             raise ValueError(f"NULL in non-nullable {self.name} column")
+        return self._payload(v)
+
+    def _payload(self, v) -> bytes:
         if self.name == "String":
             if self.fixed_bytes is not None:
                 return write_fixed_string(str(v), self.fixed_bytes, self.truncate)
@@ -166,7 +173,15 @@ class CHType:
 
 def _encode_value(name: str, v) -> bytes:
     if name == "String":
-        b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        # bytes/bytearray pass through raw; anything else stringifies —
+        # bytes(int) would allocate N NUL bytes, silently loading
+        # garbage for a numeric value in a String column
+        if isinstance(v, str):
+            b = v.encode("utf-8")
+        elif isinstance(v, (bytes, bytearray)):
+            b = bytes(v)
+        else:
+            b = str(v).encode("utf-8")
         return leb128(len(b)) + b
     if name == "Int8":
         return struct.pack("<b", int(v))
@@ -194,7 +209,12 @@ def _encode_value(name: str, v) -> bytes:
         ts = v if isinstance(v, datetime) else v.to_pydatetime()
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=timezone.utc)
-        return struct.pack("<q", int(ts.timestamp() * 1000))
+        # exact integer arithmetic: float timestamp()*1000 drops a
+        # millisecond beyond ~2264 (and far-future sentinels are worse)
+        from datetime import timedelta as _td
+
+        epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+        return struct.pack("<q", (ts - epoch) // _td(milliseconds=1))
     if name.startswith("Decimal"):
         # Decimal(p<=18, s) → Int64 of value * 10^s
         scale = int(name.split(",")[1].rstrip(") "))
@@ -259,7 +279,15 @@ class RowBinaryEncoder:
 
             out = np.empty(len(pdf), dtype=dtype)
             for col, _ in self.schema:
-                out[col] = pdf[col].to_numpy()
+                vals = pdf[col].to_numpy()
+                # pandas surfaces nulls in these columns as NaN/NaT; the
+                # unsafe numpy cast would silently load them as int64
+                # min — the ROW path raises for the same data, and the
+                # two paths must agree (which one runs depends only on
+                # whether the schema happens to be all-fixed-width)
+                if pdf[col].isna().any():
+                    raise ValueError(f"NULL in non-nullable {col} column")
+                out[col] = vals
             return out.tobytes()
         return self.encode_rows(pdf.to_dict("records"))
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import struct
 from dataclasses import dataclass
-from datetime import date, datetime, timezone
+from datetime import date, datetime, timedelta, timezone
 from typing import Iterator
 
 import pandas as pd
@@ -129,7 +129,10 @@ class VColumn:
             ts = v if isinstance(v, datetime) else v.to_pydatetime()
             if ts.tzinfo is None:
                 ts = ts.replace(tzinfo=timezone.utc)
-            micros = int((ts - VERTICA_EPOCH).total_seconds() * 1_000_000)
+            # exact integer arithmetic: float total_seconds()*1e6 is off
+            # by 1µs from ~2136 and far worse for 9999-12-31 sentinels
+            # (the same float-precision trap avro_codec documents)
+            micros = (ts - VERTICA_EPOCH) // timedelta(microseconds=1)
             return struct.pack("<q", micros)
         raise ValueError(f"unsupported Vertica type {self.vtype!r}")
 

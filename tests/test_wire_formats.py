@@ -504,3 +504,75 @@ class TestAvroLogicalTypeRoundtrip:
         assert ac.encode(raw, s) == ac.encode(
             datetime(9999, 12, 31, 23, 59, 59, 999999, tzinfo=_UTC), s
         )
+
+
+class TestWireFormatReviewRegressions:
+    def test_nullable_fixed_string_keeps_width(self):
+        """The nullable branch bypassed the fixed/max byte writers,
+        misframing every later column of a Nullable(FixedString)."""
+        from stream_loader_spark.functions.rowbinary import CHType
+
+        t = CHType("String", nullable=True, fixed_bytes=6)
+        assert t.encode("ab") == b"\x00ab\x00\x00\x00\x00"
+        assert t.encode(None) == b"\x01"
+
+    def test_string_column_stringifies_non_str(self):
+        from stream_loader_spark.functions.rowbinary import CHType
+
+        assert CHType("String").encode(5) == b"\x015"  # '5', not 5 NUL bytes
+
+    def test_datetime64_exact_beyond_float_precision(self):
+        from datetime import datetime, timezone
+
+        from stream_loader_spark.functions.rowbinary import CHType
+        import struct
+
+        ts = datetime(2264, 6, 1, 0, 56, 14, 786000, tzinfo=timezone.utc)
+        (ms,) = struct.unpack("<q", CHType("DateTime64(3)").encode(ts))
+        assert ms % 1000 == 786  # float *1000 rounded this to 785
+
+    def test_vertica_timestamp_exact_for_sentinels(self):
+        from datetime import datetime, timedelta, timezone
+
+        from stream_loader_spark.functions.vertica_native import (
+            VERTICA_EPOCH,
+            VColumn,
+        )
+        import struct
+
+        ts = datetime(9999, 12, 31, 23, 59, 59, tzinfo=timezone.utc)
+        (us,) = struct.unpack("<q", VColumn("t", "timestamp").encode(ts))
+        assert us == (ts - VERTICA_EPOCH) // timedelta(microseconds=1)
+
+    def test_proto_negative_enum_roundtrip(self):
+        from stream_loader_spark.functions.proto_codec import decode, encode
+
+        spec = {1: ("e", "enum")}
+        assert decode(encode({"e": -1}, spec), spec)["e"] == -1
+
+    def test_avro_union_matches_value_type(self):
+        from stream_loader_spark.functions.avro_codec import (
+            decode,
+            encode,
+            parse_schema,
+        )
+
+        s = parse_schema(["string", "int"])
+        assert decode(encode(5, s), s) == 5  # was encoded as the string '5'
+        assert decode(encode("abc", s), s) == "abc"
+        s2 = parse_schema(["int", "string"])
+        assert decode(encode("abc", s2), s2) == "abc"  # was int('abc') crash
+
+    def test_batch_path_raises_on_null_like_row_path(self, spark):
+        import pandas as pd
+        import pytest as _pytest
+
+        from stream_loader_spark.functions.rowbinary import (
+            CHType,
+            RowBinaryEncoder,
+        )
+
+        enc = RowBinaryEncoder([("a", CHType("Int64"))])
+        pdf = pd.DataFrame({"a": [1.0, float("nan")]})
+        with _pytest.raises(ValueError, match="non-nullable"):
+            enc.encode_batch(pdf)
