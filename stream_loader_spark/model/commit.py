@@ -66,6 +66,17 @@ class FuzzyReachedAnyOf:
     max_record_count: int | None = None
     spread: float = 0.1
 
+    def __post_init__(self) -> None:
+        # fail at CONSTRUCTION like ReachedAnyOf does — deferring to the
+        # first sample() surfaces the misconfiguration mid-stream with
+        # an error message naming the wrong class
+        if (
+            self.max_open_duration_ms is None
+            and self.max_file_size is None
+            and self.max_record_count is None
+        ):
+            raise ValueError("at least one threshold must be set")
+
     def sample(self, rng: random.Random) -> ReachedAnyOf:
         def jitter(mean: int | None) -> int | None:
             if mean is None:

@@ -71,7 +71,11 @@ class StreamRangeBuilder:
         self._observed = False
 
     def observe(self, offset: int, watermark_ms: int) -> None:
-        if offset < self._end_offset and self._observed:
+        # the FIRST observation is checked against the range start, not
+        # skipped: a first offset below start would otherwise build an
+        # inverted range (end < start) that corrupts coverage math and
+        # dedup tokens downstream instead of failing fast here
+        if offset < self._end_offset:
             raise ValueError(
                 f"offsets must be non-decreasing: got {offset} after {self._end_offset}"
             )

@@ -41,10 +41,21 @@ def dedup_tokens(records: DataFrame) -> DataFrame:
             F.col("topic"), F.col("partition"), F.col("start_offset"), F.col("end_offset")
         ).alias("range_token"),
     )
-    batch = with_token.agg(
-        F.array_join(F.array_sort(F.collect_list("range_token")), ";").alias("batch_token")
+    # batch token via a global window over the (partition-count-sized)
+    # token frame: the previous agg + crossJoin re-ran the whole
+    # stream_ranges aggregation on the broadcast side (verified: two
+    # FileScans, no exchange reuse across the broadcast boundary) —
+    # the window keeps ONE branch and one scan, and the frame it sorts
+    # is #partitions rows, never record-sized
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return with_token.crossJoin(F.broadcast(batch))
+    return with_token.withColumn(
+        "batch_token",
+        F.array_join(F.array_sort(F.collect_list("range_token").over(w)), ";"),
+    )
 
 
 def deterministic_file_names(
@@ -57,6 +68,14 @@ def deterministic_file_names(
     Mirrors the idempotent-overwrite trick of the reference's
     TimePartitioningFilePathFormatter.scala:39-47 (UUID from range hash)
     with a cross-engine-stable hash (sha256 hex).
+
+    NAMESPACE WARNING: this is the per-(topic, partition) QUERY form;
+    ``model/idempotence.batch_file_name`` is the per-BATCH sink form
+    (one UUID-shaped name over the whole ranges signature). They hash
+    different inputs with different encodings and are NOT
+    interchangeable — a sink must pick one naming scheme and keep it,
+    or a replay under the other scheme writes a second file instead of
+    overwriting.
     """
     group_cols = ["topic", "partition"]
     df = records

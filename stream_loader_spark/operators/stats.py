@@ -39,6 +39,11 @@ def grouped_moment_stats(
     """
     xd = F.col(x_col).cast("decimal(18,6)")
     yd = F.col(y_col).cast("decimal(18,6)")
+    # pairwise-complete rows only: the decimal SUMs skip NULLs while
+    # count(1) would count them, silently deflating means and inflating
+    # variances (corr requires both-present rows anyway; built-in
+    # corr/covar agree on this filtering)
+    df = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     agg = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(xd).cast("double").alias("sx"),
@@ -101,9 +106,22 @@ def stream_anomaly_stats(
         group_col,
         "n",
         (F.col("sx") / nd).alias("_mean"),
-        F.when(F.col("n") > 1, F.sqrt(dx / (nd * (nd - 1)))).alias("_std"),
+        # dx > 0 guard (same rationale as grouped_moment_stats): for a
+        # near-constant group the double round-off can push dx slightly
+        # negative, sqrt gives NaN, and NaN compares GREATER than
+        # everything in Spark — every record would then count as an
+        # outlier, the opposite of the documented zero-variance contract
+        F.when((F.col("n") > 1) & (dx > 0), F.sqrt(dx / (nd * (nd - 1)))).alias(
+            "_std"
+        ),
     )
-    scored = records.join(F.broadcast(stats), group_col).withColumn(
+    # null-safe group join: a NULL group key is a real cohort (often the
+    # malformed-record cohort this monitor exists to flag) — an inner
+    # equi-join would drop its records from the output entirely
+    stats_r = stats.withColumnRenamed(group_col, "_st_g")
+    scored = records.join(
+        F.broadcast(stats_r), F.col(group_col).eqNullSafe(F.col("_st_g"))
+    ).drop("_st_g").withColumn(
         "_z",
         F.when(
             F.col("_std").isNotNull() & (F.col("_std") > 0),

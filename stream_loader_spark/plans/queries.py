@@ -3198,7 +3198,9 @@ def repeated_ngram_doc_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy,
              CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
                       * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
-      FROM lineitem GROUP BY l_returnflag)
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      GROUP BY l_returnflag)
     SELECT l_returnflag, n,
            CAST(CAST(sx / CAST(n AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_x,
            CAST(CAST(sy / CAST(n AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_y,
@@ -3620,7 +3622,7 @@ def semantic_dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     st AS (
       SELECT topic, n,
              sx / CAST(n AS DOUBLE) AS m,
-             CASE WHEN n > 1 THEN
+             CASE WHEN n > 1 AND CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
                sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) END AS sd
       FROM a),
@@ -3628,7 +3630,7 @@ def semantic_dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT k.topic,
              CASE WHEN st.sd IS NOT NULL AND st.sd > 0
                   THEN (CAST(k.value AS DOUBLE) - st.m) / st.sd END AS zv
-      FROM kafka k JOIN st USING (topic))
+      FROM kafka k JOIN st ON k.topic IS NOT DISTINCT FROM st.topic)
     SELECT topic,
            COUNT(*) AS n_events,
            CAST(SUM(CASE WHEN abs(zv) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)

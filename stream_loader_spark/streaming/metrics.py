@@ -147,6 +147,7 @@ class KafkaSourceMetricsBridge(StreamingQueryListener):
 
     def __init__(self, registry: MetricsRegistry | None = None) -> None:
         self.registry = registry or MetricsRegistry()
+        self._seen_partitions: set[tuple[str, int]] = set()
 
     def onQueryStarted(self, event) -> None:  # noqa: N802
         pass
@@ -176,6 +177,16 @@ class KafkaSourceMetricsBridge(StreamingQueryListener):
                     max(latest[(topic, partition)] - off, 0),
                     tags,
                 )
+        # partitions that left the subscription (rebalance, topic
+        # deletion) must stop exporting: a frozen last-value lag gauge
+        # is a lie an alerting pipeline acts on (the reference's
+        # KafkaMetricsReporter.scala:70-79 handles removal explicitly)
+        current = set(end)
+        for topic, partition in self._seen_partitions - current:
+            tags = {"topic": topic, "partition": str(partition)}
+            reg.remove_gauge("kafka.source.end-offset.by.partition.topic", tags)
+            reg.remove_gauge("kafka.source.records-lag.by.partition.topic", tags)
+        self._seen_partitions = current
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         pass

@@ -105,8 +105,13 @@ def with_clamped_watermark(
     deliberate semantic narrowing, applied only to rows beyond
     ``valid_diff`` of the processing-time clock.
     """
+    # NULL event times are neither future nor invalid — the reference
+    # delivers them — so they must pass the clamp (a bare comparison
+    # evaluates NULL and where() would silently drop the row: lost data
+    # with no metric or dead-letter path)
     clamped = stream.where(
-        valid_event_time(F.col(ts_col), F.current_timestamp(), valid_diff)
+        F.col(ts_col).isNull()
+        | valid_event_time(F.col(ts_col), F.current_timestamp(), valid_diff)
     )
     return clamped.withWatermark(ts_col, delay)
 
