@@ -251,6 +251,25 @@ class TestKafkaSourceMetricsBridge:
         assert snap["kafka.source.records-consumed"] == 42
         assert not any("by.partition.topic" in k for k in snap)
 
+    def test_departed_partition_gauges_zero_not_frozen(self):
+        """A partition leaving the subscription must stop exporting its
+        last lag (KafkaMetricsReporter.scala:70-79 removal parity)."""
+        from stream_loader_spark.streaming.metrics import (
+            KafkaSourceMetricsBridge,
+            MetricsRegistry,
+        )
+
+        bridge = KafkaSourceMetricsBridge(MetricsRegistry())
+        bridge.onQueryProgress(self._Event(self._Progress([self._Src()])))
+        src2 = self._Src()
+        src2.endOffset = '{"t": {"0": 120}}'  # partition 1 departed
+        src2.latestOffset = '{"t": {"0": 125}}'
+        bridge.onQueryProgress(self._Event(self._Progress([src2])))
+        snap = bridge.registry.snapshot()
+        assert snap["kafka.source.records-lag.by.partition.topic{partition=0,topic=t}"] == 5
+        assert snap["kafka.source.records-lag.by.partition.topic{partition=1,topic=t}"] == 0.0
+        assert snap["kafka.source.end-offset.by.partition.topic{partition=1,topic=t}"] == 0.0
+
     def test_registry_removal_pins_zero(self):
         from stream_loader_spark.streaming.metrics import MetricsRegistry
 

@@ -1372,3 +1372,27 @@ class TestOperatorReviewRegressions:
         df = spark.range(100).orderBy(F.pmod("id", F.lit(7)))
         df.write.format("noop").mode("overwrite").save()
         assert exchange_count(df) >= 1  # rangepartitioning counted now
+
+
+class TestClampNullEventTime:
+    def test_null_ts_rows_pass_the_streaming_clamp(self, spark, tmp_path):
+        """NULL event times are neither future nor invalid — the clamp
+        must deliver them, not silently drop them (lost data)."""
+        from stream_loader_spark.streaming.pipeline import with_clamped_watermark
+
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(0, "2024-01-01 00:00:00"), (1, None)],
+            "offset long, ts_s string",
+        ).select("offset", F.col("ts_s").cast("timestamp").alias("ts")).write.parquet(src)
+        stream = spark.readStream.schema("offset long, ts timestamp").parquet(src)
+        out = with_clamped_watermark(stream, "ts")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("clamp_null_ts")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM clamp_null_ts").collect()
+        assert sorted(r["offset"] for r in rows) == [0, 1]
