@@ -64,6 +64,44 @@ class TestPartitionGrouping:
         assert set(sinks["odd"].committed_positions()) == {("t", 1), ("t", 3)}
 
 
+    def test_failing_group_never_blocks_healthy_groups(self, spark, tmp_path):
+        """The isolation contract under failure: one group's broken sink
+        collects into the summary error while every other group drains
+        fully — and since the drain is concurrent (start all, await
+        each), a hung group cannot delay healthy ones by its timeout."""
+        src = str(tmp_path / "src")
+        from datetime import datetime
+
+        ts = datetime(2024, 1, 1)
+        write_source(
+            spark,
+            src,
+            [("t", p, o, ts) for p in range(2) for o in range(10)],
+        )
+        good = ManifestFileSink(str(tmp_path / "out-good"))
+
+        def sink_factory(group):
+            if group == "bad":
+                def boom(df, bid):
+                    raise RuntimeError("sink exploded")
+
+                return boom
+            return good
+
+        pg = PartitionGroupingPipeline(
+            spark,
+            source_factory=lambda p: p.from_file_stream(src, SCHEMA),
+            grouping={
+                "bad": F.col("partition") == 0,
+                "good": F.col("partition") == 1,
+            },
+            sink_factory=sink_factory,
+            checkpoint_root=str(tmp_path / "cp"),
+        )
+        with pytest.raises(RuntimeError, match="bad"):
+            pg.run_available_all(timeout_sec=120)
+        assert good.committed_data(spark).count() == 10  # healthy group drained
+
 class TestStreamingDedup:
     def test_duplicates_within_watermark_dropped(self, spark, tmp_path):
         from datetime import datetime, timedelta

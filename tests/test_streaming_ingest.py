@@ -401,3 +401,54 @@ class TestCompactionHardening:
         sink(TestIvfIngest()._vecs(spark, 0, 20), 0)  # trains + publishes
         assert sink.centroids(spark) is not None
         assert sink.assignments(spark).count() == 20
+
+
+class TestCompactionModelBased:
+    def test_random_write_compact_sequences_match_reference(self, spark, tmp_path):
+        """Model-based durability: ANY interleaving of batch writes,
+        replays, and compactions leaves the readable state equal to a
+        dict model of committed batches (minus the replay-excluded
+        one). The generation fold must be invisible to readers."""
+        import random
+
+        from stream_loader_spark.streaming.ingest import BatchDirState
+
+        rng = random.Random(814)
+        for trial in range(3):
+            state = BatchDirState(str(tmp_path / f"s{trial}"))
+            model: dict[int, list[str]] = {}
+            next_batch = 0
+            for _ in range(10):
+                op = rng.random()
+                if op < 0.6 or not model:
+                    rows = [f"b{next_batch}r{i}" for i in range(rng.randint(0, 3))]
+                    state.write_batch(
+                        spark.createDataFrame(
+                            [(v,) for v in rows], "val string"
+                        ),
+                        next_batch,
+                    )
+                    model[next_batch] = rows
+                    next_batch += 1
+                elif op < 0.8:
+                    state.compact(spark)  # fold: must not change reads
+                else:
+                    # replay-overwrite of the latest (in-flight) batch
+                    b = next_batch - 1
+                    state.write_batch(
+                        spark.createDataFrame(
+                            [(v,) for v in model[b]], "val string"
+                        ),
+                        b,
+                    )
+                got = state.read(spark)
+                got_vals = sorted(r["val"] for r in got.collect()) if got is not None else []
+                want = sorted(v for vs in model.values() for v in vs)
+                assert got_vals == want, f"trial {trial} diverged"
+                # and the exclude-latest view (what a replay sees)
+                excl = state.read(spark, exclude_batch=next_batch - 1)
+                evals = sorted(r["val"] for r in excl.collect()) if excl is not None else []
+                ewant = sorted(
+                    v for b, vs in model.items() if b != next_batch - 1 for v in vs
+                )
+                assert evals == ewant, f"trial {trial} exclude-view diverged"
