@@ -145,7 +145,11 @@ BENCH_QUERIES = [
     "label_centroids",
     "profile_documents",
     "hierarchy_rollup",
+    "region_chain_rollup",
     "lateral_top_orders",
+    # round 6: the count-aggregated rewrite made the exact-Jaccard
+    # baseline benchable (was the one declared query without a timing)
+    "ngram_jaccard_pairs",
 ]
 
 

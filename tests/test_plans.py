@@ -174,11 +174,10 @@ class TestRegistryInvariants:
         import bench
         from stream_loader_spark.plans.queries import QUERIES
 
-        # heavyweight pair-finders benched once via the end-to-end forms
-        # the one deliberately-quadratic baseline pair-finder (the LSH
-        # operators are its scale path) stays out of the headline set
-        waived = {"ngram_jaccard_pairs"}
-        assert set(bench.BENCH_QUERIES) | waived == set(QUERIES)
+        # round 6: no waivers — every registered query is benched (the
+        # count-aggregated ngram_jaccard_pairs rewrite retired the one
+        # quadratic exclusion)
+        assert set(bench.BENCH_QUERIES) == set(QUERIES)
         assert not set(bench.BENCH_QUERIES) - set(QUERIES)
         # ratio-skip entries must still be real queries
         assert bench.RATIO_SKIP <= set(QUERIES)
@@ -401,15 +400,39 @@ class TestRound5QueryPlans:
         assert "lang" not in read_schema and "source" not in read_schema
 
     def test_frequent_tokens_recount_is_broadcast_semi_shape(self, spark, sf_small):
-        """Phase 2 recounts only the candidate set: the corpus side joins
-        the (bounded) candidates via broadcast hash, then a two-phase
-        count — the vocabulary never shuffles in full."""
-        plan = plan_of(spark, "frequent_tokens", sf_small)
+        """Phase 2 (the evicted regime — at-scale vocabulary) recounts
+        only the candidate set: the corpus side joins the (bounded)
+        candidates via broadcast hash, then a two-phase count — the
+        vocabulary never shuffles in full. Forced here with a capacity
+        below the fixture vocabulary so eviction actually happens."""
+        import contextlib
+        import io
+        import os
+
+        from stream_loader_spark.operators.text import approx_frequent_tokens
+
+        docs = spark.read.parquet(os.path.join(sf_small, "documents.parquet"))
+        n_tokens = docs.selectExpr(
+            "sum(size(filter(split(text, '\\\\s+'), x -> x != ''))) AS n"
+        ).first()["n"]
+        df = approx_frequent_tokens(docs, min_count=int(n_tokens), capacity=4)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        plan = buf.getvalue()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         # partial+final for the recount AND for the candidate distinct
         assert plan.count("HashAggregate") == 4
         assert "partial_count" in plan  # map-side combine on the recount
+
+    def test_frequent_tokens_fast_path_skips_recount_scan(self, spark, sf_small):
+        """No-eviction regime (fixture vocabulary < capacity): the
+        answer sums the materialized MG summaries — no broadcast
+        recount join, no second corpus scan in the final plan."""
+        plan = plan_of(spark, "frequent_tokens", sf_small)
+        assert "BroadcastHashJoin" not in plan
+        assert "FileScan" not in plan  # reads only the checkpointed summary
 
     def test_label_centroids_single_aggregation_chain(self, spark, sf_small):
         """posexplode → ONE map-side-combinable (label, pos) aggregate →

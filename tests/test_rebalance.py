@@ -161,3 +161,61 @@ class TestRebalanceRevoke:
         # union of both loaders = every message exactly once
         union = a_data.unionByName(b_data).select("topic", "partition", "offset")
         assert union.count() == 17 and union.distinct().count() == 17
+
+
+class TestRebalanceAssignLive:
+    def test_partition_added_while_query_runs_loads_without_restart(
+        self, spark, tmp_path
+    ):
+        """The reference's assign scenario adds the partition while the
+        loader KEEPS RUNNING (RebalanceBehaviors.scala:39-115 — one
+        loader instance, admin increaseTo(2) mid-flight, no restart).
+        The earlier assign test covers the checkpoint-restart
+        equivalent; this one holds a live processingTime-triggered
+        query open, lands new-partition rows mid-run, and requires the
+        SAME query instance to load them — continuing the old
+        partition, no loss, no duplication."""
+        import time
+
+        src = str(tmp_path / "src")
+        cp = str(tmp_path / "cp")
+        sink = ManifestFileSink(str(tmp_path / "out"))
+
+        # 1. one partition, some data, query running continuously
+        write_source(spark, src, rows_for(0, range(5)))
+        q = (
+            StreamPipeline(spark)
+            .from_file_stream(src, SCHEMA)
+            .sink(sink, cp)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+        def wait_for(n, deadline_sec=90):
+            end = time.time() + deadline_sec
+            while time.time() < end:
+                if sink.committed_data(spark).count() >= n:
+                    return
+                time.sleep(0.5)
+            raise TimeoutError(
+                f"sink never reached {n} rows; "
+                f"last={sink.committed_data(spark).count()}"
+            )
+
+        try:
+            wait_for(5)
+            # 2.+3. partition 1 appears and both partitions get more
+            # data WHILE the query is live
+            write_source(spark, src, rows_for(0, range(5, 10)))
+            write_source(spark, src, rows_for(1, range(5)))
+            wait_for(15)
+        finally:
+            q.stop()
+
+        # 4. both partitions fully loaded, exactly once
+        data = sink.committed_data(spark)
+        assert data.count() == 15
+        assert data.select("topic", "partition", "offset").distinct().count() == 15
+        pos = sink.committed_positions()
+        assert pos[("t", 0)].offset == 10
+        assert pos[("t", 1)].offset == 5

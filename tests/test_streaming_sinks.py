@@ -550,23 +550,35 @@ class TestClickHouseHttpStorage:
 
         requests = []
         select_response = {"data": []}
+        # fault injection: fail the next N INSERTs with HTTP 500 (the
+        # "ClickHouse died mid-batch" scenario); SELECTs never fail
+        control = {"fail_next_inserts": 0}
 
         class Handler(BaseHTTPRequestHandler):
             def do_POST(self):
                 q = parse_qs(urlparse(self.path).query)
                 body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                query = q.get("query", [""])[0]
                 requests.append(
                     {
-                        "query": q.get("query", [""])[0],
+                        "query": query,
                         "token": q.get("insert_deduplication_token", [None])[0],
                         "body": body,
                         "encoding": self.headers.get("Content-Encoding"),
                         "params": q,
                     }
                 )
+                if query.startswith("INSERT") and control["fail_next_inserts"] > 0:
+                    control["fail_next_inserts"] -= 1
+                    err = b"Code: 999. DB::Exception: injected mid-insert failure"
+                    self.send_response(500)
+                    self.send_header("Content-Length", str(len(err)))
+                    self.end_headers()
+                    self.wfile.write(err)
+                    return
                 payload = (
                     json.dumps(select_response).encode()
-                    if q.get("query", [""])[0].startswith("SELECT")
+                    if query.startswith("SELECT")
                     else b""
                 )
                 self.send_response(200)
@@ -584,6 +596,7 @@ class TestClickHouseHttpStorage:
             "url": f"http://127.0.0.1:{srv.server_address[1]}",
             "requests": requests,
             "select_response": select_response,
+            "control": control,
         }
         srv.shutdown()
 
@@ -666,6 +679,45 @@ class TestClickHouseHttpStorage:
             spark.conf.set("spark.sql.shuffle.partitions", before)
         second = sorted(r["token"] for r in ch_server["requests"])
         assert first == second
+
+    def test_http_500_mid_insert_then_token_replay_is_idempotent(
+        self, spark, ch_server
+    ):
+        """K7 fault injection: one of the batch's blocks lands, the
+        other dies with an HTTP 500. The sink must (a) surface the
+        failure so the streaming engine retries the batch, (b) drop its
+        driver-side position cache and re-run the A1 recovery query on
+        the retry, and (c) re-send the retried batch with byte-identical
+        dedup tokens so ClickHouse silently drops the block that already
+        landed — the reference's deduplicationToken(recordRanges)
+        semantics (ClickHouseFileStorage.scala:67-75): a replay is a
+        server-side no-op, never a duplicate."""
+        storage = self._storage(ch_server["url"])
+        batch = self._batch(spark)
+        ch_server["control"]["fail_next_inserts"] = 1
+
+        with pytest.raises(Exception):
+            storage(batch, 0)
+        assert ch_server["control"]["fail_next_inserts"] == 0  # injected
+        first_tokens = {
+            r["token"]
+            for r in ch_server["requests"]
+            if r["query"].startswith("INSERT")
+        }
+        assert first_tokens  # at least the failed block was attempted
+        assert storage._positions_cache is None  # cache dropped on failure
+        ch_server["requests"].clear()
+
+        # retried batch: recovery re-runs, then BOTH blocks re-post
+        # with the same tokens and commit
+        storage(batch, 0)
+        replay = ch_server["requests"]
+        selects = [r for r in replay if r["query"].startswith("SELECT")]
+        inserts = [r for r in replay if r["query"].startswith("INSERT")]
+        assert selects, "retry must re-seed positions via the A1 recovery query"
+        assert len(inserts) == 2  # one block per (topic, partition)
+        assert first_tokens <= {r["token"] for r in inserts}
+        assert storage._positions_cache  # cache re-seeded and advanced
 
     def test_insert_sends_dedup_settings(self, spark, ch_server):
         storage = self._storage(ch_server["url"])

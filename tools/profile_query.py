@@ -1,0 +1,71 @@
+"""Per-query profiling loop for the bench weak tail.
+
+Runs the named queries with the EXACT bench.py session config (split
+sizing, advisory partition size, Arrow batch size, warm-up), prints
+min-of-3 timings plus plan-shape counters (exchanges / scans /
+subqueries), and optionally the formatted plan. This is the iterate
+fast feedback loop bench.py is too heavy for.
+
+Usage: python tools/profile_query.py [--explain] name [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import split_bytes_for  # noqa: E402
+from stream_loader_spark.session import get_spark  # noqa: E402
+from stream_loader_spark.plans.queries import QUERIES  # noqa: E402
+
+
+def plan_counters(df) -> str:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(r"Exchange ", plan))
+    n_scan = len(re.findall(r"Scan parquet", plan))
+    n_reuse = len(re.findall(r"ReusedExchange", plan))
+    n_py = len(re.findall(r"MapInPandas|ArrowEvalPython|BatchEvalPython", plan))
+    return f"exchanges={n_ex} reused={n_reuse} scans={n_scan} python={n_py}"
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    explain = "--explain" in args
+    names = [a for a in args if not a.startswith("--")]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    split = split_bytes_for(sf_dir)
+    spark = get_spark(
+        "profile",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(split),
+            "spark.sql.files.openCostInBytes": str(min(split, 1 << 20)),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+        },
+    )
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    spark.range(64).repartition(64).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    for name in names:
+        fn = QUERIES[name]
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            took = time.time() - t0
+            best = took if best is None or took < best else best
+        df = fn(spark, sf_dir)
+        print(f"{name}: {best:.3f}s  {plan_counters(df)}")
+        if explain:
+            df.explain("formatted")
+
+
+if __name__ == "__main__":
+    main()
