@@ -494,37 +494,54 @@ def ngram_jaccard_pairs(
             f"ngram_jaccard_pairs requires threshold > 0, got {threshold}"
         )
     block = [block_col] if block_col else []
+    # The shingle set size rides INSIDE the generator input (zip_with
+    # pairing each shingle with the array length): expressions placed
+    # NEXT TO an explode (``size(sh) …, explode(sh)``) end up in the
+    # Project above Generate and are re-evaluated per OUTPUT row — the
+    # whole shingle HOF re-ran once per exploded shingle, a measured
+    # 30× on this pipeline. Inside the generator everything evaluates
+    # once per input row.
+    sh = shingles_sql(text_col, shingle_size)
     ex = (
         scatter(documents)
-        .select(
-            F.col(id_col),
-            *[F.col(c) for c in block],
-            shingles_col(F.col(text_col), shingle_size).alias("shingles"),
-        )
-        .select(
+        .selectExpr(
             id_col,
             *block,
-            F.size("shingles").alias("nsh"),
-            F.explode("shingles").alias("shingle"),
+            f"""explode(
+                  zip_with({sh}, array_repeat(size({sh}), size({sh})),
+                           (s, n) -> struct(s AS shingle, n AS nsh))
+                ) AS z""",
         )
+        .select(id_col, *block, "z.shingle", "z.nsh")
     )
-    left, right = ex.alias("l"), ex.alias("r")
-    cond = (F.col("l.shingle") == F.col("r.shingle")) & (
-        F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    # Group-then-expand, not a self-join: a shingle self-join shuffles
+    # the exploded shingle table TWICE and sort-merges string keys;
+    # grouping to (shingle → sorted doc list) shuffles it once, and the
+    # co-occurring pairs expand locally per bucket with a generator
+    # expression — the same pairs the join would emit, since both
+    # enumerate each bucket's B·(B−1)/2 combinations (a pathological
+    # mega-bucket is quadratic either way; the join would colocate it
+    # on one key too). Docs sort by id inside the bucket so pair
+    # orientation (doc_a < doc_b) is positional, not re-compared.
+    buckets = ex.groupBy(*block, "shingle").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("nsh").alias("nsh")))
+        ).alias("docs")
     )
-    if block_col:
-        cond = cond & (F.col(f"l.{block_col}") == F.col(f"r.{block_col}"))
-    inter = (
-        left.join(right, cond)
-        .groupBy(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("ninter"),
-            F.any_value(F.col("l.nsh")).alias("na"),
-            F.any_value(F.col("r.nsh")).alias("nb"),
-        )
+    pairs = buckets.where(F.size("docs") > 1).selectExpr(
+        """explode(
+             flatten(
+               transform(sequence(1, size(docs) - 1),
+                 i -> transform(sequence(0, i - 1),
+                   j -> struct(docs[j].id AS doc_a, docs[i].id AS doc_b,
+                               docs[j].nsh AS na, docs[i].nsh AS nb)))
+             )
+           ) AS p"""
+    )
+    inter = pairs.groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")).agg(
+        F.count(F.lit(1)).alias("ninter"),
+        F.any_value(F.col("p.na")).alias("na"),
+        F.any_value(F.col("p.nb")).alias("nb"),
     )
     return inter.select(
         "doc_a",

@@ -68,6 +68,87 @@ def grouped_moment_stats(
         F.sum(yd * yd).cast("double").alias("syy"),
         F.sum(xd * yd).cast("double").alias("sxy"),
     )
+    return _moments_from_sums(agg, group_col)
+
+
+def grouped_moment_stats_cents(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    split_bits: int = 28,
+) -> DataFrame:
+    """``grouped_moment_stats`` for inputs known to be exact 2-decimal
+    values (currency, quantities): identical output, integer-only
+    per-row arithmetic.
+
+    Values scale to BIGINT cents (exact: a 2-decimal rational stored
+    as double is within 1e-9 of its cent integer, so ``round`` recovers
+    it); products of cents are exact bigints ≤ ~1e14. The per-row hot
+    path is then pure long arithmetic — no per-row decimal objects,
+    which cost a measured ~0.45 s per product-sum on a 600k-row
+    aggregate even on Spark's compact-long decimal path (ANSI overflow
+    checks on every op). Product sums would overflow bigint, so each
+    product splits hi = p div 2^split_bits, lo = p % split_bits-mask;
+    Σhi and Σlo are plain bigint sums and recombine EXACTLY in decimal
+    on the grouped rows only (groups × 3 values, not rows). The final
+    decimal → double conversions divide in decimal first (scale-6
+    division is exact for these scale-4/2 rationals), so each double
+    is the correctly-rounded value of the exact sum — bit-identical to
+    the wide-decimal path and to the DuckDB oracle.
+
+    Bounds (ANSI errors loudly, never silently wrong): cents ≤ ~1e7
+    (values < 10^5), so with split_bits=28 Σlo stays in bigint to
+    ~6×10^9 input rows per group and Σhi far beyond; past that scale
+    use ``grouped_moment_stats`` (decimal sums, any N).
+    """
+    shift = F.lit(1 << split_bits)
+    xc = F.round(F.col(x_col).cast("double") * 100).cast("bigint")
+    yc = F.round(F.col(y_col).cast("double") * 100).cast("bigint")
+    df = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    prod = df.select(
+        group_col,
+        xc.alias("xc"),
+        yc.alias("yc"),
+        (xc * xc).alias("pxx"),
+        (yc * yc).alias("pyy"),
+        (xc * yc).alias("pxy"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("xc").alias("sxc"), F.sum("yc").alias("syc")]
+    for p in ("pxx", "pyy", "pxy"):
+        aggs.append(F.sum(F.expr(f"{p} div {1 << split_bits}")).alias(f"{p}_hi"))
+        aggs.append(F.sum(F.col(p) % shift).alias(f"{p}_lo"))
+    agg = prod.groupBy(group_col).agg(*aggs)
+
+    def centsum_to_double(col: str):
+        # exact: bigint cents → decimal, scale-6 division (exact for
+        # 2-decimal rationals), ONE correctly-rounded double conversion
+        return (F.col(col).cast("decimal(38,0)") / 100).cast("double")
+
+    def split_to_double(p: str):
+        # recombine hi·2^bits + lo in decimal (exact at any magnitude),
+        # then the exact scale-6 division by 10^4 (cents² units)
+        total = F.col(f"{p}_hi").cast("decimal(28,0)") * (1 << split_bits) + F.col(
+            f"{p}_lo"
+        ).cast("decimal(38,0)")
+        return (total / 10000).cast("double")
+
+    sums = agg.select(
+        group_col,
+        "n",
+        centsum_to_double("sxc").alias("sx"),
+        centsum_to_double("syc").alias("sy"),
+        split_to_double("pxx").alias("sxx"),
+        split_to_double("pyy").alias("syy"),
+        split_to_double("pxy").alias("sxy"),
+    )
+    return _moments_from_sums(sums, group_col)
+
+
+def _moments_from_sums(agg: DataFrame, group_col: str) -> DataFrame:
+    """Derive (mean/stddev/covar/corr) from exact double sufficient
+    sums with the engine-identical expression tree (module docstring);
+    shared by the wide-decimal and integer-split aggregation paths."""
     nd = F.col("n").cast("double")
     dx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
     dy = nd * F.col("syy") - F.col("sy") * F.col("sy")

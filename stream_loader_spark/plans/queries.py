@@ -3228,17 +3228,16 @@ def stats_moments_returnflag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag, derived from exact decimal sufficient statistics and
     an engine-identical double expression tree (see operators/stats.py
     for why the built-in one-pass aggregates can't be hash-compared)."""
-    from stream_loader_spark.operators.stats import grouped_moment_stats
+    from stream_loader_spark.operators.stats import grouped_moment_stats_cents
 
     li = load_table(spark, sf_dir, "lineitem")
-    # decimal(8,2) sufficient statistics: TPC-H quantity/extendedprice
-    # are exact 2-decimal values bounded by 105000 at ANY scale factor
-    # (quantity <= 50, retailprice <= ~2100), so the narrow type loses
-    # nothing while keeping every product/sum on Spark's compact-long
-    # decimal path (ANSI would error loudly if the bound ever broke)
-    out = grouped_moment_stats(
-        li, "l_returnflag", "l_quantity", "l_extendedprice", input_decimal="decimal(8,2)"
-    )
+    # integer-split exact sums: TPC-H quantity/extendedprice are exact
+    # 2-decimal values bounded by 105000 at ANY scale factor
+    # (quantity <= 50, retailprice <= ~2100), so the cents fast path
+    # (pure bigint per-row arithmetic, decimal recombination on the 3
+    # grouped rows only) is exact and bit-identical to the generic
+    # decimal path — see grouped_moment_stats_cents
+    out = grouped_moment_stats_cents(li, "l_returnflag", "l_quantity", "l_extendedprice")
     # Snap every derived double to scale-6 decimal (values <= ~1e5, so
     # the scaled integer sits far inside 2^53 where Spark's and
     # DuckDB's decimal->double conversions agree bit-for-bit); the raw

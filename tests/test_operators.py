@@ -622,6 +622,38 @@ class TestGroupedMoments:
             assert o.stddev_y == pytest.approx(b.sy, rel=1e-9)
             assert o.mean_x == pytest.approx(b.mx, rel=1e-12)
 
+    def test_cents_fast_path_is_bit_identical_to_decimal_path(self, spark):
+        """The integer-split cents aggregation must produce EXACTLY the
+        doubles of the wide-decimal path (not approximately): both
+        compute the same exact sufficient sums and convert to double
+        once, so every derived moment is the same bit pattern. Includes
+        negative values (div/% recombination identity) and a
+        zero-variance group (NULL guard parity)."""
+        from stream_loader_spark.operators.stats import (
+            grouped_moment_stats,
+            grouped_moment_stats_cents,
+        )
+
+        rows = [
+            ("a", 1.25, -3.50),
+            ("a", 2.00, 7.75),
+            ("a", -0.75, 0.01),
+            ("b", 5.00, 5.00),
+            ("b", 5.00, 5.00),  # zero variance
+            ("c", 99999.99, -99999.99),  # single row: NULL stddev/corr
+        ]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        wide = {r.g: r for r in grouped_moment_stats(df, "g", "x", "y").collect()}
+        cents = {r.g: r for r in grouped_moment_stats_cents(df, "g", "x", "y").collect()}
+        assert set(wide) == set(cents)
+        for g, w in wide.items():
+            c = cents[g]
+            for field in (
+                "n", "mean_x", "mean_y", "stddev_x", "stddev_y",
+                "covar_pop_xy", "corr_xy",
+            ):
+                assert getattr(w, field) == getattr(c, field), (g, field)
+
     def test_single_row_group_yields_null_stddev_and_corr(self, spark):
         from stream_loader_spark.operators.stats import grouped_moment_stats
 
