@@ -248,28 +248,54 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
     Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+
+    Candidate generation is group-then-expand over the band buckets,
+    not a band-table self-join: both join sides would rebuild the full
+    minhash pipeline (exchange reuse does not collapse the two-sided
+    shape — the measured plan banded the corpus twice), while the
+    bucket aggregate shuffles it once and expands each bucket's
+    B·(B−1)/2 collisions locally — the same pairs a join on the bucket
+    key would colocate anyway. Candidates and the collision-touched
+    shingle sets are ``localCheckpoint``-ed: they feed 2-3 consumers
+    each, and both scale with the DUPLICATE population (the operator's
+    output magnitude — the same working set ``dedup_components``
+    persists downstream), never with corpus size; the verify shingles
+    only candidate-touched documents, so untouched corpus text never
+    leaves the scan.
     """
     bands = band_index(documents, text_col, id_col, num_bands)
-
-    left = bands.alias("l")
-    right = bands.alias("r")
+    buckets = bands.groupBy("band", "band_hash").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    )
     candidates = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        buckets.where(F.size("ids") > 1)
+        .selectExpr(
+            """explode(
+                 flatten(
+                   transform(sequence(1, size(ids) - 1),
+                     i -> transform(sequence(0, i - 1),
+                       j -> struct(ids[j] AS doc_a, ids[i] AS doc_b)))
+                 )
+               ) AS p"""
         )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-        )
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint(eager=True)
     )
 
-    # Verify only candidate pairs with true Jaccard on the shingle sets.
-    shingle_sets = scatter(documents).selectExpr(
-        id_col, f"{shingles_sql(text_col)} AS shingles"
+    # Verify only candidate pairs with true Jaccard on the shingle
+    # sets, derived solely for the touched documents.
+    touched = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .union(candidates.select("doc_b"))
+        .distinct()
+    )
+    shingle_sets = (
+        scatter(documents)
+        .select(id_col, text_col)
+        .join(touched, id_col)
+        .selectExpr(id_col, f"{shingles_sql(text_col)} AS shingles")
+        .localCheckpoint(eager=True)
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
@@ -777,22 +803,31 @@ def simhash_pairs(
         ).alias("cv"),
     ).select(id_col, "simhash", "cv.chunk", "cv.chunk_val")
 
-    left, right = chunks.alias("l"), chunks.alias("r")
-    hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
-    # the Hamming filter runs INSIDE the join, before the dedup shuffle —
-    # far fewer candidate rows survive to the dropDuplicates exchange
+    # Group-then-expand over the chunk buckets, not a self-join: the
+    # join's two sides would each rebuild the simhash pipeline (the
+    # measured plan computed it twice — exchange reuse does not fire
+    # across the two-sided shape), while the bucket aggregate shuffles
+    # it once. The Hamming filter runs INSIDE the expansion, so only
+    # true near-pairs survive to the dropDuplicates exchange — the
+    # same pruning the join-side filter provided.
+    buckets = chunks.groupBy("chunk", "chunk_val").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("s")))
+        ).alias("ds")
+    )
+    pairs = buckets.where(F.size("ds") > 1).selectExpr(
+        f"""explode(
+              filter(
+                flatten(
+                  transform(sequence(1, size(ds) - 1),
+                    i -> transform(sequence(0, i - 1),
+                      j -> struct(ds[j].id AS doc_a, ds[i].id AS doc_b,
+                                  bit_count(ds[j].s ^ ds[i].s) AS hamming)))
+                ),
+                p -> p.hamming <= {max_hamming})
+            ) AS p"""
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .where(hamming <= max_hamming)
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
+        pairs.select("p.doc_a", "p.doc_b", "p.hamming")
         .dropDuplicates(["doc_a", "doc_b"])
     )
