@@ -191,15 +191,20 @@ class TestRebalanceAssignLive:
             .start()
         )
 
+        def committed_count():
+            try:
+                return sink.committed_data(spark).count()
+            except ValueError:  # no committed batches yet
+                return 0
+
         def wait_for(n, deadline_sec=90):
             end = time.time() + deadline_sec
             while time.time() < end:
-                if sink.committed_data(spark).count() >= n:
+                if committed_count() >= n:
                     return
                 time.sleep(0.5)
             raise TimeoutError(
-                f"sink never reached {n} rows; "
-                f"last={sink.committed_data(spark).count()}"
+                f"sink never reached {n} rows; last={committed_count()}"
             )
 
         try:
