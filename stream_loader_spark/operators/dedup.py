@@ -152,19 +152,57 @@ def shingles_col(text: Column, size: int = SHINGLE_SIZE) -> Column:
     )
 
 
+def shingles_over(toks_expr: str, size: int = SHINGLE_SIZE) -> str:
+    """The shingle-window SQL expression over an EXISTING token-array
+    expression (usually a column reference — see ``with_shingles``)."""
+    t = toks_expr
+    return (
+        f"CASE WHEN size({t}) >= {size} THEN "
+        f"array_distinct(transform(sequence(1, size({t}) - {size - 1}), "
+        f"i -> array_join(slice({t}, i, {size}), ' '))) "
+        f"ELSE array(array_join({t}, ' ')) END"
+    )
+
+
 def shingles_sql(text_col: str = "text", size: int = SHINGLE_SIZE) -> str:
     """``shingles_col`` as ONE SQL expression string. Hot query builders
     use this instead of the Column composition: python-lambda
     higher-order functions cost hundreds of ms of py4j round-trips per
     construction (measured ~0.8 s for the shingle expression alone at
     build time), while parsing one expr string is ~free. Semantics are
-    identical — same split, same windows, same distinct."""
-    toks = tokens_sql(text_col)
-    return (
-        f"CASE WHEN size({toks}) >= {size} THEN "
-        f"array_distinct(transform(sequence(1, size({toks}) - {size - 1}), "
-        f"i -> array_join(slice({toks}, i, {size}), ' '))) "
-        f"ELSE array(array_join({toks}, ' ')) END"
+    identical — same split, same windows, same distinct.
+
+    Prefer ``with_shingles`` in per-row hot paths: this inline form
+    embeds the tokenizer inside the window expression FOUR times, and
+    interpreted HOF evaluation re-runs it per reference."""
+    return shingles_over(tokens_sql(text_col), size)
+
+
+def with_shingles(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+    size: int = SHINGLE_SIZE,
+) -> DataFrame:
+    """(id, *extra_cols, shingles) with the tokenizer HOISTED into its
+    own projection.
+
+    The shingle window expression references the token array four
+    times, and interpreted higher-order functions have no common-
+    subexpression elimination — inlining the tokenizer re-ran the
+    regex split 4× per row (a measured ~2× on the shingle explode).
+    Aliasing the token array in a child projection fixes it durably:
+    CollapseProject keeps a NON-CHEAP alias that is referenced more
+    than once in its own Project, so the tokenize runs once per row
+    and every shingle consumer (explode generators included) sees the
+    attribute, not the expression."""
+    toks = (
+        scatter(documents)
+        .selectExpr(id_col, *extra_cols, f"{tokens_sql(text_col)} AS _toks")
+    )
+    return toks.selectExpr(
+        id_col, *extra_cols, f"{shingles_over('_toks', size)} AS shingles"
     )
 
 
@@ -183,8 +221,8 @@ def with_minhash(
     shuffle carries only one 64-long signature per document regardless
     of document length, which is what survives a 100 TB corpus.
     """
-    ex = scatter(documents).selectExpr(
-        id_col, f"explode({shingles_sql(text_col)}) AS shingle"
+    ex = with_shingles(documents, text_col, id_col).selectExpr(
+        id_col, "explode(shingles) AS shingle"
     )
     hashed = ex.selectExpr(
         id_col, *[f"xxhash64(shingle, {i}) AS h{i}" for i in range(num_hashes)]
@@ -294,7 +332,8 @@ def minhash_lsh_pairs(
         scatter(documents)
         .select(id_col, text_col)
         .join(touched, id_col)
-        .selectExpr(id_col, f"{shingles_sql(text_col)} AS shingles")
+        .selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
+        .selectExpr(id_col, f"{shingles_over('_toks')} AS shingles")
         .localCheckpoint(eager=True)
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
@@ -385,7 +424,8 @@ def incremental_near_dup_pairs(
     )
     shingle_sets = (
         all_docs.join(touched, id_col)
-        .selectExpr(id_col, f"{shingles_sql(text_col)} AS shingles")
+        .selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
+        .selectExpr(id_col, f"{shingles_over('_toks')} AS shingles")
         .localCheckpoint(eager=True)
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
@@ -464,7 +504,8 @@ def near_dup_pairs_touching(
     shingle_sets = (
         documents.select(id_col, text_col)
         .join(touched, id_col)
-        .selectExpr(id_col, f"{shingles_sql(text_col)} AS shingles")
+        .selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
+        .selectExpr(id_col, f"{shingles_over('_toks')} AS shingles")
         .localCheckpoint(eager=True)
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
@@ -527,14 +568,13 @@ def ngram_jaccard_pairs(
     # whole shingle HOF re-ran once per exploded shingle, a measured
     # 30× on this pipeline. Inside the generator everything evaluates
     # once per input row.
-    sh = shingles_sql(text_col, shingle_size)
     ex = (
-        scatter(documents)
+        with_shingles(documents, text_col, id_col, tuple(block), shingle_size)
         .selectExpr(
             id_col,
             *block,
-            f"""explode(
-                  zip_with({sh}, array_repeat(size({sh}), size({sh})),
+            """explode(
+                  zip_with(shingles, array_repeat(size(shingles), size(shingles)),
                            (s, n) -> struct(s AS shingle, n AS nsh))
                 ) AS z""",
         )

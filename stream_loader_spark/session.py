@@ -39,6 +39,20 @@ def get_spark(
         # setting at any scale, per the AQE docs
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate turns every explode(<expr>) into a
+        # pushed-down `size(<expr>) > 0` filter. For this engine's
+        # generators the input is always an interpreted higher-order
+        # expression (shingle windows, band structs), so the inferred
+        # filter re-evaluates the FULL pipeline per row — and predicate
+        # pushdown carries it through the hoisted-alias projections and
+        # the scatter repartition onto the raw single-split scan, where
+        # it runs single-threaded (measured 4× on the minhash pipeline).
+        # explode already drops empty/null inputs, so the filter buys
+        # correctness nothing; excluded engine-wide.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # pinned explicitly: the engine's cast/overflow contract (e.g.
         # checked_decimal's 'error' policy) assumes ANSI semantics and
         # must not drift with a deployment's spark-defaults
