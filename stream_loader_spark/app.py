@@ -66,6 +66,27 @@ _SINK_TYPES: dict[str, dict[str, set[str]]] = {
         "required": {"path"},
         "optional": {"num-centroids", "kmeans-iterations", "id-column", "vector-column"},
     },
+    # The reference's raison d'être storages (SURVEY §2.8 K6-K9) were
+    # assemblable only in code until round 6 — a reference user
+    # switching via config couldn't wire their actual target.
+    "clickhouse": {
+        "required": {"url", "table", "columns"},
+        "optional": {
+            "compress", "topic-column", "partition-column", "offset-column",
+            "ts-column", "verify-dedup", "insert-settings", "max-rows-per-block",
+        },
+    },
+    "jdbc-txn": {
+        "required": {"data-table", "offsets-table", "consumer-group", "data-columns"},
+        "optional": {
+            "connect", "driver", "database", "param-token", "topic-column",
+            "partition-column", "offset-column", "ts-column", "data-column-types",
+        },
+    },
+    "iceberg": {
+        "required": {"table", "consumer-group"},
+        "optional": set(),
+    },
 }
 
 
@@ -103,9 +124,48 @@ def _validate_sink(cfg: dict) -> None:
     spec = _SINK_TYPES[kind]
     _check_keys(cfg, {"type"} | spec["required"] | spec["optional"], f"{kind} sink")
     _required_keys(cfg, spec["required"], f"{kind} sink")
+    if kind == "jdbc-txn":
+        # the connection factory comes from exactly one place: a
+        # dotted "module:attr" import path, or the built-in sqlite
+        # driver + database pair (tests, embedded deployments)
+        has_connect = "connect" in cfg
+        has_driver = "driver" in cfg or "database" in cfg
+        if has_connect == has_driver:
+            raise ValueError(
+                "jdbc-txn sink requires exactly one of 'connect' "
+                "(module:attr factory) or 'driver'+'database'"
+            )
+        if has_driver:
+            _required_keys(cfg, {"driver", "database"}, "jdbc-txn sink")
+            if cfg["driver"] != "sqlite":
+                raise ValueError(
+                    f"unknown jdbc-txn driver {cfg['driver']!r}; allowed: sqlite "
+                    "(use 'connect' for any other DB-API module)"
+                )
 
 
-def _build_sink(cfg: dict):
+def _resolve_connect(cfg: dict):
+    """Connection factory for jdbc-txn: built-in sqlite, or an imported
+    ``module:attr`` callable (how a deployment supplies psycopg2 /
+    vertica-python / anything DB-API without this module importing it)."""
+    if "connect" in cfg:
+        import importlib
+
+        mod_name, _, attr = cfg["connect"].partition(":")
+        if not attr:
+            raise ValueError(
+                f"jdbc-txn 'connect' must be 'module:attr', got {cfg['connect']!r}"
+            )
+        factory = getattr(importlib.import_module(mod_name), attr)
+        if not callable(factory):
+            raise ValueError(f"jdbc-txn connect {cfg['connect']!r} is not callable")
+        return factory
+    from stream_loader_spark.sinks.dbtxn import sqlite_connect
+
+    return sqlite_connect(cfg["database"])
+
+
+def _build_sink(cfg: dict, spark: SparkSession | None = None):
     kind = cfg["type"]
     if kind == "manifest":
         from stream_loader_spark.sinks.manifest import ManifestFileSink
@@ -142,6 +202,51 @@ def _build_sink(cfg: dict):
             id_col=cfg.get("id-column", "vec_id"),
             vec_col=cfg.get("vector-column", "embedding"),
         )
+    if kind == "clickhouse":
+        from stream_loader_spark.functions.rowbinary import CHType, RowBinaryEncoder
+        from stream_loader_spark.sinks.clickhouse import ClickHouseHttpStorage
+
+        encoder = RowBinaryEncoder(
+            [(name, CHType(ch_type)) for name, ch_type in cfg["columns"]]
+        )
+        return ClickHouseHttpStorage(
+            cfg["url"],
+            cfg["table"],
+            encoder,
+            compress=bool(cfg.get("compress", False)),
+            topic_col=cfg.get("topic-column", "topic"),
+            partition_col=cfg.get("partition-column", "partition"),
+            offset_col=cfg.get("offset-column", "offset"),
+            ts_col=cfg.get("ts-column", "ts"),
+            verify_dedup=bool(cfg.get("verify-dedup", True)),
+            insert_settings=cfg.get("insert-settings"),
+            max_rows_per_block=int(cfg.get("max-rows-per-block", 1_000_000)),
+        )
+    if kind == "jdbc-txn":
+        from stream_loader_spark.sinks.dbtxn import DbTransactionalSink
+
+        sink = DbTransactionalSink(
+            _resolve_connect(cfg),
+            cfg["data-table"],
+            cfg["offsets-table"],
+            cfg["consumer-group"],
+            list(cfg["data-columns"]),
+            topic_col=cfg.get("topic-column", "topic"),
+            partition_col=cfg.get("partition-column", "partition"),
+            offset_col=cfg.get("offset-column", "offset"),
+            ts_col=cfg.get("ts-column", "ts"),
+            param_token=cfg.get("param-token", "?"),
+            data_col_types=cfg.get("data-column-types"),
+        )
+        # create-if-missing at assembly: the deployment artifact alone
+        # must yield a runnable loader (the reference's storages
+        # likewise touch the target at init for position recovery)
+        sink.ensure_tables()
+        return sink
+    if kind == "iceberg":
+        from stream_loader_spark.sinks.iceberg import IcebergOffsetsSink
+
+        return IcebergOffsetsSink(spark, cfg["table"], cfg["consumer-group"])
     from stream_loader_spark.sinks.upsert import UpsertSink
 
     return UpsertSink(
@@ -248,7 +353,7 @@ def build_app(spark: SparkSession, config: dict) -> LoaderApp:
     if "dedup" in config:
         pipe.dedup_within_watermark(*config["dedup"]["keys"])
 
-    sink = _build_sink(config["sink"])
+    sink = _build_sink(config["sink"], spark)
     pipe.sink(sink, config["checkpoint"])
     if "trigger" in config:
         pipe.trigger(**config["trigger"])

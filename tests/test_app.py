@@ -324,3 +324,147 @@ class TestMaintainCli:
         assert (
             main(["--config", cfg_path, "--maintain", "--vacuum-keep-last", "1"]) == 0
         )
+
+
+class TestDbSinksFromConfig:
+    """The reference's raison d'être storages (K7-K9) are deployable
+    through the same config artifact — a reference user's target DB is
+    wired from JSON, not code."""
+
+    def test_jdbc_txn_sqlite_end_to_end_with_restart(self, spark, tmp_path):
+        """Config-assembled K8/K9 loader against real sqlite3: drain,
+        verify data + offsets landed in ONE schema, then re-drain from a
+        fresh checkpoint (full replay) and verify the A3 recovery keeps
+        the target exactly-once."""
+        import sqlite3
+
+        src = str(tmp_path / "src")
+        _write_source(spark, src, n=10)
+        db = str(tmp_path / "target.sqlite")
+        cfg = {
+            "source": {"type": "file", "path": src, "schema": REC_SCHEMA},
+            "sink": {
+                "type": "jdbc-txn",
+                "driver": "sqlite",
+                "database": db,
+                "data-table": "events",
+                "offsets-table": "_offsets",
+                "consumer-group": "cg1",
+                "data-columns": ["topic", "partition", "offset", "props"],
+            },
+            "checkpoint": str(tmp_path / "chk1"),
+        }
+        build_app(spark, cfg).pipeline.run_available()
+        con = sqlite3.connect(db)
+        assert con.execute("SELECT COUNT(*) FROM events").fetchone()[0] == 10
+        assert con.execute("SELECT COUNT(*) FROM _offsets").fetchone()[0] == 1
+        con.close()
+
+        # fresh checkpoint = full source replay; the sink must no-op
+        cfg["checkpoint"] = str(tmp_path / "chk2")
+        build_app(spark, cfg).pipeline.run_available()
+        con = sqlite3.connect(db)
+        assert con.execute("SELECT COUNT(*) FROM events").fetchone()[0] == 10
+        con.close()
+
+    def test_jdbc_txn_connect_source_is_exclusive(self, spark, tmp_path):
+        base = {
+            "source": {"type": "file", "path": str(tmp_path / "s"), "schema": REC_SCHEMA},
+            "checkpoint": str(tmp_path / "chk"),
+        }
+        sink = {
+            "type": "jdbc-txn",
+            "data-table": "d",
+            "offsets-table": "o",
+            "consumer-group": "cg",
+            "data-columns": ["topic"],
+        }
+        # neither connect nor driver+database
+        with pytest.raises(ValueError, match="exactly one"):
+            build_app(spark, {**base, "sink": dict(sink)})
+        # both at once
+        with pytest.raises(ValueError, match="exactly one"):
+            build_app(
+                spark,
+                {**base, "sink": {**sink, "connect": "m:f", "driver": "sqlite", "database": "x"}},
+            )
+        # unknown driver
+        with pytest.raises(ValueError, match="unknown jdbc-txn driver"):
+            build_app(
+                spark,
+                {**base, "sink": {**sink, "driver": "oracle", "database": "x"}},
+            )
+
+    def test_clickhouse_sink_from_config_posts_tokened_inserts(self, spark, tmp_path):
+        """Config-assembled K7 loader drains into the recording HTTP
+        double: RowBinary blocks with dedup tokens, one per stream
+        partition — the same wire behavior the direct-construction
+        tests pin, now reachable from a deployment artifact."""
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        from urllib.parse import parse_qs, urlparse
+
+        requests = []
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                q = parse_qs(urlparse(self.path).query)
+                self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                requests.append(
+                    {
+                        "query": q.get("query", [""])[0],
+                        "token": q.get("insert_deduplication_token", [None])[0],
+                    }
+                )
+                body = b'{"data": []}' if q.get("query", [""])[0].startswith("SELECT") else b""
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            src = str(tmp_path / "src")
+            _write_source(spark, src, n=8)
+            cfg = {
+                "source": {"type": "file", "path": src, "schema": REC_SCHEMA},
+                "sink": {
+                    "type": "clickhouse",
+                    "url": f"http://127.0.0.1:{srv.server_address[1]}",
+                    "table": "db.events",
+                    "columns": [
+                        ["topic", "String"],
+                        ["partition", "Int32"],
+                        ["offset", "Int64"],
+                    ],
+                    "verify-dedup": False,
+                },
+                "checkpoint": str(tmp_path / "chk"),
+            }
+            build_app(spark, cfg).pipeline.run_available()
+            inserts = [r for r in requests if r["query"].startswith("INSERT")]
+            assert inserts, "no INSERT reached the double"
+            assert all(
+                r["query"] == "INSERT INTO db.events FORMAT RowBinary" for r in inserts
+            )
+            assert all(r["token"] for r in inserts)
+        finally:
+            srv.shutdown()
+
+    def test_clickhouse_and_iceberg_config_keys_validated(self, spark, tmp_path):
+        base = {
+            "source": {"type": "file", "path": str(tmp_path / "s"), "schema": REC_SCHEMA},
+            "checkpoint": str(tmp_path / "chk"),
+        }
+        for sink in (
+            {"type": "clickhouse", "url": "http://x", "table": "t"},  # missing columns
+            {"type": "clickhouse", "url": "http://x", "table": "t",
+             "columns": [], "compresz": True},  # typo'd key
+            {"type": "iceberg", "table": "cat.db.t"},  # missing consumer-group
+        ):
+            with pytest.raises(ValueError):
+                build_app(spark, {**base, "sink": sink})
