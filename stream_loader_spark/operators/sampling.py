@@ -202,3 +202,48 @@ def weighted_sample(
         .orderBy("priority", id_col)
         .limit(k)
     )
+
+
+def leakage_free_splits(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_buckets: int = 204,
+    val_buckets: int = 230,
+    salt: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/validation/test assignment: every near-dup
+    CLUSTER lands wholly in one split, so evaluation can't leak through
+    near-duplicates of training documents (the contamination vector a
+    plain per-document hash split leaves open).
+
+    (id, cluster_id, split): connected components over the given
+    near-dup ``pairs`` label each document with its cluster (singletons
+    label themselves — see ``dedup.dedup_components`` for the
+    size-adaptive propagation), then the split is the md5 bucket of the
+    CLUSTER id: train < ``train_buckets`` <= validation <
+    ``val_buckets`` <= test, out of 256 (defaults 80/10/10). Hashing the
+    cluster representative instead of the document id is the entire
+    point — co-clustered documents share the bucket draw, and the
+    assignment stays stable when unrelated documents are added or
+    removed.
+    """
+    if not (0 < train_buckets < val_buckets <= SAMPLE_BUCKETS):
+        raise ValueError(
+            "need 0 < train_buckets < val_buckets <= 256 "
+            f"(got {train_buckets}, {val_buckets})"
+        )
+    # local import: dedup pulls the whole minhash/banding surface, which
+    # plain bucket-sampling users shouldn't pay for at import time
+    from stream_loader_spark.operators.dedup import dedup_components
+
+    comps = dedup_components(documents, pairs, id_col)
+    b = sample_bucket(F.col("cluster_id"), salt)
+    return comps.select(
+        id_col,
+        "cluster_id",
+        F.when(b < train_buckets, F.lit("train"))
+        .when(b < val_buckets, F.lit("validation"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

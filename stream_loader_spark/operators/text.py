@@ -12,7 +12,7 @@ stable hash (sha256/md5 hex).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from stream_loader_spark.sources.tables import scatter
@@ -530,4 +530,76 @@ def hashed_linear_quality(
         F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
         F.coalesce("logit_milli", F.lit(0)).cast("bigint").alias("logit_milli"),
         (F.coalesce("logit_milli", F.lit(0)) > 0).alias("keep"),
+    )
+
+
+def perplexity_buckets(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): label each
+    document head / middle / tail by where its LM score falls within its
+    LANGUAGE's score distribution — the standard quality stratification
+    before mixing web data into a training set.
+
+    The LM is the corpus's own unigram distribution (``unigram_logprob``
+    — CCNet uses a pretrained 5-gram model; the bucketing machinery is
+    identical and the score function is pluggable). ``ppl`` is the
+    negated mean log-likelihood, so higher = more surprising = worse,
+    and head = lowest third, matching CCNet's orientation.
+
+    Tercile cutpoints are EXACT discrete quantiles computed without a
+    global sort: per-(lang, score) histogram counts, a cumulative sum
+    over the histogram (window input is distinct scores per language —
+    at most one row per document, typically far fewer), then
+    ``cut_q = MIN(score WHERE cum >= q * total)`` — percentile_disc
+    semantics, reproducible bit-for-bit by the SQL oracle (both engines
+    compare the same IEEE doubles). At 100 TB the histogram window is
+    the one non-linear stage; if distinct scores per language ever
+    approach corpus size, swap the cutpoint estimate for the KLL sketch
+    (``operators/sketches.py``) and keep the bucketing join unchanged.
+
+    The per-document score table feeds two consumers (the histogram and
+    the final bucketing join), so it is ``localCheckpoint``-ed: the
+    block is three narrow columns PER DOCUMENT — the unavoidable state
+    of any two-pass quantile algorithm, far smaller than re-running the
+    token-scaled scoring pipeline twice, and auto-released by the
+    ContextCleaner when the result goes out of scope.
+
+    Documents with zero tokens have no LM score and are excluded (the
+    oracle's joins mirror this); languages absent from the corpus can't
+    occur by construction since cutpoints derive from the same rows.
+    """
+    scored = (
+        unigram_logprob(documents, text_col, id_col)
+        .join(documents.select(id_col, lang_col), id_col)
+        .select(id_col, lang_col, (-F.col("mean_logprob")).alias("ppl"))
+        .localCheckpoint(eager=True)
+    )
+    hist = scored.groupBy(lang_col, "ppl").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy(lang_col).orderBy("ppl")
+    w_tot = Window.partitionBy(lang_col)
+    cum = hist.select(
+        lang_col,
+        "ppl",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("tot"),
+    )
+    cuts = cum.groupBy(lang_col).agg(
+        F.min(F.when(F.col("cum") >= F.col("tot") / F.lit(3.0), F.col("ppl"))).alias(
+            "cut1"
+        ),
+        F.min(
+            F.when(F.col("cum") >= (F.col("tot") * 2) / F.lit(3.0), F.col("ppl"))
+        ).alias("cut2"),
+    )
+    return scored.join(F.broadcast(cuts), lang_col).select(
+        id_col,
+        lang_col,
+        F.when(F.col("ppl") <= F.col("cut1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
     )
