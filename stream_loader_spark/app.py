@@ -246,6 +246,13 @@ def _build_sink(cfg: dict, spark: SparkSession | None = None):
     if kind == "iceberg":
         from stream_loader_spark.sinks.iceberg import IcebergOffsetsSink
 
+        if spark is None:
+            # fail as a configuration error here, not as an opaque
+            # AttributeError inside iceberg_available(spark)
+            raise ValueError(
+                "iceberg sink requires an active SparkSession: "
+                "pass spark to _build_sink/build_app"
+            )
         return IcebergOffsetsSink(spark, cfg["table"], cfg["consumer-group"])
     from stream_loader_spark.sinks.upsert import UpsertSink
 

@@ -4382,13 +4382,18 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     it — emitting 0 once per key, exactly like the recursive chain."""
     ancestors = load_table(spark, sf_dir, "customer").selectExpr(
         "c_acctbal",
+        # CAST to BIGINT before shifting: Spark's shiftright inherits
+        # Java shift-count masking, so an IntegerType key would wrap at
+        # k >= 32 (shiftright(x, 32) = x) and emit spurious duplicate
+        # ancestors at levels 32-40; the 64-bit shift is safe to 40.
         """explode(
              filter(
                transform(sequence(0, 40),
-                         k -> named_struct('root', shiftright(c_custkey, k),
-                                           'lvl', k)),
+                         k -> named_struct(
+                           'root', shiftright(CAST(c_custkey AS BIGINT), k),
+                           'lvl', k)),
                s -> s.root >= 1 OR s.lvl = 0
-                    OR shiftright(c_custkey, s.lvl - 1) = 1)
+                    OR shiftright(CAST(c_custkey AS BIGINT), s.lvl - 1) = 1)
            ) AS a""",
     )
     return (
