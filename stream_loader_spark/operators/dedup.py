@@ -27,7 +27,9 @@ training-data pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import itertools
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from stream_loader_spark.operators.text import tokens_col, tokens_sql
@@ -39,6 +41,22 @@ SHINGLE_SIZE = 3         # word shingles
 SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 4
 SMALL_GRAPH_EDGES = 1_000_000  # below this, components resolve driver-side
+# Per-bucket pair-expansion cap: buckets up to this size enumerate all
+# B·(B−1)/2 collisions locally (≤ ~0.5M pair evaluations per bucket —
+# bounded task time AND a bounded collect_list array, far under the 2GB
+# array limit); larger buckets switch to a sub-quadratic strategy — see
+# each generator's docstring. A degenerate bucket (a million-doc
+# boilerplate cluster) would otherwise put the whole cluster in ONE
+# aggregate row and expand quadratically on a single task.
+MAX_BUCKET = 1024
+
+# Unique per-call observation names: Spark rejects duplicate observe()
+# names inside one query, and a plan may compose several generators.
+_OBS_IDS = itertools.count()
+
+
+def _obs_name(prefix: str) -> str:
+    return f"{prefix}_capped_{next(_OBS_IDS)}"
 
 
 def _union_find_labels(spark, edges: list[tuple[int, int]], id_type: str = "bigint"):
@@ -282,6 +300,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     num_bands: int = NUM_BANDS,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -300,13 +319,43 @@ def minhash_lsh_pairs(
     persists downstream), never with corpus size; the verify shingles
     only candidate-touched documents, so untouched corpus text never
     leaves the scan.
+
+    **Bucket cap (the 100 TB guard):** a degenerate band bucket — a
+    boilerplate cluster where millions of documents share a band hash —
+    would otherwise become ONE aggregate row expanding B·(B−1)/2 pairs
+    on a single task. Buckets larger than ``max_bucket`` are instead
+    linked through their representative (the bucket's min id): O(B)
+    star pairs that still pass the exact-Jaccard verify, so the full
+    cluster remains recoverable via ``dedup_components`` while pair
+    ENUMERATION within such a bucket is capped (pairs not involving the
+    representative may be missed if they collide in no other band —
+    acceptable for dedup, whose consumer is the connected-components
+    clustering). The number of star-linked candidates is published as
+    an ``observe()`` metric (``minhash_lsh_capped_*`` in the SQL UI /
+    ``observedMetrics``), so the cap is never silent. Bucket sizes and
+    representatives come from one window over the band table — same
+    single shuffle as the plain aggregate; small buckets are then
+    round-robin repartitioned before expansion so the quadratic work
+    parallelizes instead of landing on whatever few partitions AQE
+    coalesced the (byte-wise tiny) bucket table into.
     """
     bands = band_index(documents, text_col, id_col, num_bands)
-    buckets = bands.groupBy("band", "band_hash").agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    w = Window.partitionBy("band", "band_hash")
+    sized = bands.select(
+        id_col,
+        "band",
+        "band_hash",
+        F.count(F.lit(1)).over(w).alias("bn"),
+        F.min(id_col).over(w).alias("rep"),
     )
-    candidates = (
-        buckets.where(F.size("ids") > 1)
+    small = (
+        sized.where((F.col("bn") >= 2) & (F.col("bn") <= max_bucket))
+        .groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+    )
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    small_pairs = (
+        small.repartition(par)
         .selectExpr(
             """explode(
                  flatten(
@@ -317,6 +366,14 @@ def minhash_lsh_pairs(
                ) AS p"""
         )
         .select("p.doc_a", "p.doc_b")
+    )
+    star_pairs = (
+        sized.where((F.col("bn") > max_bucket) & (F.col(id_col) != F.col("rep")))
+        .select(F.col("rep").alias("doc_a"), F.col(id_col).alias("doc_b"))
+        .observe(_obs_name("minhash_lsh"), F.count(F.lit(1)).alias("star_pairs"))
+    )
+    candidates = (
+        small_pairs.unionByName(star_pairs)
         .dropDuplicates(["doc_a", "doc_b"])
         .localCheckpoint(eager=True)
     )
@@ -533,6 +590,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_col: str | None = None,
     shingle_size: int = SHINGLE_SIZE,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via a count-aggregated shared-shingle
     equi-join.
@@ -584,30 +642,75 @@ def ngram_jaccard_pairs(
     # the exploded shingle table TWICE and sort-merges string keys;
     # grouping to (shingle → sorted doc list) shuffles it once, and the
     # co-occurring pairs expand locally per bucket with a generator
-    # expression — the same pairs the join would emit, since both
-    # enumerate each bucket's B·(B−1)/2 combinations (a pathological
-    # mega-bucket is quadratic either way; the join would colocate it
-    # on one key too). Docs sort by id inside the bucket so pair
-    # orientation (doc_a < doc_b) is positional, not re-compared.
-    buckets = ex.groupBy(*block, "shingle").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("nsh").alias("nsh")))
-        ).alias("docs")
+    # expression — the same pairs the join would emit. Docs sort by id
+    # inside the bucket so pair orientation (doc_a < doc_b) is
+    # positional, not re-compared.
+    #
+    # **Bucket cap (the 100 TB guard):** exact Jaccard cannot skip or
+    # down-link a frequent shingle — every co-occurrence row feeds the
+    # intersection COUNT — so a shingle shared by more than
+    # ``max_bucket`` documents routes through a streamed self-join on
+    # the shingle key instead: the same quadratic pair set, but emitted
+    # as streamed join output rather than buffered as one
+    # B·(B−1)/2-element array in one aggregate row (the 2GB-array /
+    # executor-OOM failure mode). The quadratic WORK for a genuinely
+    # frequent shingle is inherent to exact Jaccard — the at-scale
+    # answer remains ``minhash_lsh_pairs``, which bounds candidates by
+    # banding. Oversized-bucket row volume is published as an
+    # ``observe()`` metric (``ngram_jaccard_capped_*``).
+    w = Window.partitionBy(*block, "shingle")
+    sized = ex.select("*", F.count(F.lit(1)).over(w).alias("bn"))
+    small = (
+        sized.where((F.col("bn") >= 2) & (F.col("bn") <= max_bucket))
+        .groupBy(*block, "shingle")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col("nsh").alias("nsh"))
+                )
+            ).alias("docs")
+        )
     )
-    pairs = buckets.where(F.size("docs") > 1).selectExpr(
-        """explode(
-             flatten(
-               transform(sequence(1, size(docs) - 1),
-                 i -> transform(sequence(0, i - 1),
-                   j -> struct(docs[j].id AS doc_a, docs[i].id AS doc_b,
-                               docs[j].nsh AS na, docs[i].nsh AS nb)))
-             )
-           ) AS p"""
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    small_pairs = (
+        small.repartition(par)
+        .selectExpr(
+            """explode(
+                 flatten(
+                   transform(sequence(1, size(docs) - 1),
+                     i -> transform(sequence(0, i - 1),
+                       j -> struct(docs[j].id AS doc_a, docs[i].id AS doc_b,
+                                   docs[j].nsh AS na, docs[i].nsh AS nb)))
+                 )
+               ) AS p"""
+        )
+        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        .toDF("doc_a", "doc_b", "na", "nb")
     )
-    inter = pairs.groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")).agg(
+    big = sized.where(F.col("bn") > max_bucket).select(
+        *block, "shingle", F.col(id_col).alias("id"), "nsh"
+    )
+    # observe only the LEFT side: a CollectMetrics node on both sides of
+    # the self-join would be a duplicate observation name in one query
+    a = big.observe(
+        _obs_name("ngram_jaccard"), F.count(F.lit(1)).alias("bucket_rows")
+    ).alias("a")
+    b = big.alias("b")
+    big_pairs = a.join(
+        b,
+        [F.col(f"a.{c}") == F.col(f"b.{c}") for c in [*block, "shingle"]]
+        + [F.col("a.id") < F.col("b.id")],
+    ).select(
+        F.col("a.id").alias("doc_a"),
+        F.col("b.id").alias("doc_b"),
+        F.col("a.nsh").alias("na"),
+        F.col("b.nsh").alias("nb"),
+    )
+    pairs = small_pairs.unionByName(big_pairs)
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("ninter"),
-        F.any_value(F.col("p.na")).alias("na"),
-        F.any_value(F.col("p.nb")).alias("nb"),
+        F.any_value(F.col("na")).alias("na"),
+        F.any_value(F.col("nb")).alias("nb"),
     )
     return inter.select(
         "doc_a",
@@ -816,14 +919,48 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
     Candidates collide on one of SIMHASH_CHUNKS 16-bit chunks
     (pigeonhole: distance ≤ 3 < 4 chunks ⇒ some chunk is identical),
     then the true Hamming distance filters.
+
+    Group-then-expand over the chunk buckets, not a self-join: the
+    join's two sides would each rebuild the simhash pipeline (the
+    measured plan computed it twice — exchange reuse does not fire
+    across the two-sided shape), while the bucket aggregate shuffles
+    it once. The Hamming filter runs INSIDE the expansion, so only
+    true near-pairs survive to the dropDuplicates exchange.
+
+    **Bucket cap (the 100 TB guard):** 16-bit chunks have only 65,536
+    values per chunk position, so at a billion documents EVERY bucket
+    is degenerate (~15k docs each) — the unbounded expansion would put
+    whole clusters in single aggregate rows and evaluate B·(B−1)/2
+    interpreted-HOF pair structs on single tasks. Buckets larger than
+    ``max_bucket`` therefore link through their representative (the
+    bucket's min-id member): O(B) star pairs, each still passing the
+    exact ``bit_count`` Hamming filter, so identical/near-identical
+    clusters stay fully connected for ``dedup_components`` while pair
+    enumeration inside an oversized bucket is capped (a member whose
+    distance to the representative exceeds ``max_hamming`` can still
+    pair through its other three chunks). Star-pair volume is published
+    as an ``observe()`` metric (``simhash_capped_*``). Bucket sizes and
+    representatives come from one window over the chunk table — the
+    same single shuffle the plain aggregate paid; small buckets are
+    round-robin repartitioned before expansion so the quadratic work
+    spreads across cores instead of the 1-2 partitions AQE coalesces
+    the byte-wise-tiny bucket table into (the measured r6 regression:
+    ~1M pair evaluations on one task).
     """
-    sh = with_simhash(documents, text_col, id_col)
+    # The small/star branches both consume the window output, and Spark
+    # does not reuse the exchange across the two-sided union shape —
+    # checkpointing the SIGNATURE table (one id + one long per doc, the
+    # smallest corpus-scaled state in this pipeline) makes the branch
+    # recompute a cheap arithmetic pass over stored longs instead of a
+    # second tokenize-and-aggregate over the corpus text.
+    sh = with_simhash(documents, text_col, id_col).localCheckpoint(eager=True)
     chunk_width = SIMHASH_BITS // SIMHASH_CHUNKS
     chunks = sh.select(
         id_col,
@@ -843,19 +980,32 @@ def simhash_pairs(
         ).alias("cv"),
     ).select(id_col, "simhash", "cv.chunk", "cv.chunk_val")
 
-    # Group-then-expand over the chunk buckets, not a self-join: the
-    # join's two sides would each rebuild the simhash pipeline (the
-    # measured plan computed it twice — exchange reuse does not fire
-    # across the two-sided shape), while the bucket aggregate shuffles
-    # it once. The Hamming filter runs INSIDE the expansion, so only
-    # true near-pairs survive to the dropDuplicates exchange — the
-    # same pruning the join-side filter provided.
-    buckets = chunks.groupBy("chunk", "chunk_val").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("s")))
-        ).alias("ds")
+    w = Window.partitionBy("chunk", "chunk_val")
+    # struct min = lexicographic, ids unique ⇒ rep is the min-id member
+    # WITH its signature (needed for the star pairs' Hamming filter)
+    sized = chunks.select(
+        id_col,
+        "simhash",
+        "chunk",
+        "chunk_val",
+        F.count(F.lit(1)).over(w).alias("bn"),
+        F.min(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("s")))
+        .over(w)
+        .alias("rep"),
     )
-    pairs = buckets.where(F.size("ds") > 1).selectExpr(
+    small = (
+        sized.where((F.col("bn") >= 2) & (F.col("bn") <= max_bucket))
+        .groupBy("chunk", "chunk_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("s"))
+                )
+            ).alias("ds")
+        )
+    )
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    small_pairs = small.repartition(par).selectExpr(
         f"""explode(
               filter(
                 flatten(
@@ -866,8 +1016,18 @@ def simhash_pairs(
                 ),
                 p -> p.hamming <= {max_hamming})
             ) AS p"""
+    ).select("p.doc_a", "p.doc_b", "p.hamming")
+    star_pairs = (
+        sized.where((F.col("bn") > max_bucket) & (F.col(id_col) != F.col("rep.id")))
+        .select(
+            F.col("rep.id").alias("doc_a"),
+            F.col(id_col).alias("doc_b"),
+            F.bit_count(F.col("rep.s").bitwiseXOR(F.col("simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .observe(_obs_name("simhash"), F.count(F.lit(1)).alias("star_pairs"))
     )
     return (
-        pairs.select("p.doc_a", "p.doc_b", "p.hamming")
+        small_pairs.unionByName(star_pairs)
         .dropDuplicates(["doc_a", "doc_b"])
     )

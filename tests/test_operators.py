@@ -1428,3 +1428,93 @@ class TestClampNullEventTime:
         q.awaitTermination(120)
         rows = spark.sql("SELECT * FROM clamp_null_ts").collect()
         assert sorted(r["offset"] for r in rows) == [0, 1]
+
+
+class TestBucketCaps:
+    """Degenerate-corpus hardening for the LSH candidate generators:
+    buckets past ``max_bucket`` must not expand B·(B−1)/2 pairs in one
+    aggregate row (single-task straggler / 2GB-array OOM at 100 TB)."""
+
+    @pytest.fixture(scope="class")
+    def identical_corpus(self, spark):
+        """60 byte-identical documents + 3 unrelated ones — the
+        boilerplate-cluster shape that degenerates every band/chunk
+        bucket."""
+        boiler = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(i, boiler) for i in range(60)]
+        rows += [
+            (100, "completely unrelated text about spark shuffles and parquet"),
+            (101, "another distinct document mentioning lakehouse compaction"),
+            (102, "a third loner that shares no shingles with the boilerplate"),
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string").cache()
+
+    def test_minhash_star_links_oversized_buckets(self, identical_corpus):
+        pairs = minhash_lsh_pairs(
+            identical_corpus, threshold=0.5, max_bucket=8
+        ).collect()
+        got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        # linear star, not the 60·59/2 = 1770 quadratic expansion
+        assert got == {(0, b) for b in range(1, 60)}
+        # every star pair still went through the exact-Jaccard verify
+        assert all(r["jaccard"] == 1.0 for r in pairs)
+
+    def test_minhash_star_cluster_fully_recoverable(self, identical_corpus):
+        from stream_loader_spark.operators.dedup import dedup_components
+
+        pairs = minhash_lsh_pairs(identical_corpus, threshold=0.5, max_bucket=8)
+        comps = dedup_components(identical_corpus, pairs)
+        labels = {r["doc_id"]: r["cluster_id"] for r in comps.collect()}
+        assert {labels[i] for i in range(60)} == {0}
+        assert labels[100] == 100 and labels[101] == 101 and labels[102] == 102
+
+    def test_simhash_star_links_oversized_buckets(self, identical_corpus):
+        pairs = simhash_pairs(identical_corpus, max_bucket=8).collect()
+        got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        assert got == {(0, b) for b in range(1, 60)}
+        assert all(r["hamming"] == 0 for r in pairs)
+
+    def test_ngram_capped_bit_identical_to_uncapped(self, docs_with_dups):
+        """Exact Jaccard may not change under the cap — oversized
+        shingle buckets reroute through the streamed self-join but the
+        pair set and values must match the one-path form exactly."""
+        capped = ngram_jaccard_pairs(
+            docs_with_dups, threshold=0.5, block_col="lang", max_bucket=2
+        )
+        uncapped = ngram_jaccard_pairs(
+            docs_with_dups, threshold=0.5, block_col="lang", max_bucket=1 << 30
+        )
+        a = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+        b = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in uncapped.collect()}
+        assert a == b and a
+
+    def test_minhash_capped_equals_uncapped_below_cap(self, docs_with_dups):
+        """With no bucket past the cap, the capped plan must emit the
+        exact same pairs as an effectively-uncapped run."""
+        lo = minhash_lsh_pairs(docs_with_dups, threshold=0.5)  # default cap
+        hi = minhash_lsh_pairs(docs_with_dups, threshold=0.5, max_bucket=1 << 30)
+        assert {tuple(r) for r in lo.collect()} == {tuple(r) for r in hi.collect()}
+
+    def test_empty_and_single_token_docs_survive_all_paths(self, spark):
+        rows = [
+            (1, ""),
+            (2, "   "),
+            (3, "solo"),
+            (4, "solo"),
+            (5, "two words"),
+            (6, "the quick brown fox jumps over the lazy dog"),
+            (7, "the quick brown fox jumps over the lazy dog"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        # docs shorter than the shingle size keep a whole-doc shingle,
+        # so byte-identical empties/singletons ARE mutual duplicates —
+        # and the two shingle-based paths must agree exactly
+        mh = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+        assert mh == {(1, 2), (3, 4), (6, 7)}
+        nj = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs).collect()}
+        assert nj == mh
+        sp = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs(docs).collect()}
+        # simhash tokenizes (no whole-doc fallback): zero-token docs get
+        # no signature → never pair; the single-token twins collide at 0
+        assert (6, 7) in sp and (3, 4) in sp
+        assert not any(a in (1, 2) or b in (1, 2) for a, b in sp)
