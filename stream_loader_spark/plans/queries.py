@@ -4489,3 +4489,193 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         WHERE c.c_mktsegment = 'BUILDING'"""
     )
+
+
+def _md5_nibbles_sql(e: str, n: int) -> str:
+    """First ``n`` md5 hex nibbles of expression ``e`` as an integer —
+    the strpos arithmetic every engine evaluates identically (the
+    DuckDB twin of Spark's ``conv(substring(md5(e), 1, n), 16, 10)``)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5({e}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return "(" + "\n               + ".join(terms) + ")"
+
+
+_DSIR_TARGET_SQL = "source IN ('src0', 'src1', 'src2', 'src3')"
+
+
+def _dsir_ctes(target_pred: str = _DSIR_TARGET_SQL) -> str:
+    """CTE chain ending in ``dsir(doc_id, n_features, logratio)`` — the
+    hashed-n-gram DSIR log-likelihood-ratio score (Xie et al. 2023),
+    bit-for-bit the arithmetic of ``operators.dsir.dsir_logratio``:
+    unigram+bigram features hashed to 4096 md5 buckets, add-one-smoothed
+    target/raw distributions, per-bucket ln-ratios rounded to 6 decimals
+    and summed as exact decimals."""
+    bucket = _md5_nibbles_sql("f", 3)
+    return f"""dt AS (
+      SELECT doc_id, {target_pred} AS is_target,
+             {_TOKENS_SQL} AS toks
+      FROM documents),
+    dfeat AS (
+      SELECT doc_id, is_target,
+             unnest(list_concat(toks,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1]))) AS f
+      FROM dt),
+    dbc AS MATERIALIZED (
+      SELECT doc_id, is_target, {bucket} AS bucket, COUNT(*) AS tc
+      FROM dfeat GROUP BY 1, 2, 3),
+    draw AS (SELECT bucket, SUM(tc) AS cr FROM dbc GROUP BY 1),
+    dtgt AS (SELECT bucket, SUM(tc) AS ct FROM dbc WHERE is_target GROUP BY 1),
+    ddist AS (
+      SELECT r.bucket, r.cr, COALESCE(t.ct, 0) AS ct
+      FROM draw r LEFT JOIN dtgt t USING (bucket)),
+    dtot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM ddist),
+    dlp AS (
+      SELECT bucket,
+             CAST(ROUND(ln(CAST(ct + 1 AS DOUBLE) / (tt + 4096))
+                      - ln(CAST(cr + 1 AS DOUBLE) / (tr + 4096)), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM ddist CROSS JOIN dtot),
+    dsir AS (
+      SELECT d.doc_id,
+             CAST(SUM(d.tc) AS BIGINT) AS n_features,
+             CAST(CAST(SUM(l.lp * d.tc) AS DECIMAL(38,6)) AS DOUBLE) AS logratio
+      FROM dbc d JOIN dlp l USING (bucket)
+      GROUP BY d.doc_id)"""
+
+
+@query(
+    "dsir_logratio_scores",
+    f"""WITH {_dsir_ctes()}
+    SELECT doc_id, n_features, logratio FROM dsir""",
+)
+def dsir_logratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance score per document: summed hashed-n-gram
+    log-likelihood ratio between a TARGET subset's feature distribution
+    (here sources src0-src3, the 'curated' 20%) and the raw corpus's —
+    the data-selection signal of Xie et al. 2023. One corpus-sized
+    shuffle (per-doc bucket counts); both distributions are ≤4096 rows,
+    so scoring is a broadcast join."""
+    from stream_loader_spark.operators.dsir import dsir_logratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logratio(
+        docs, is_target=F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+
+
+@query(
+    "dsir_gumbel_topk",
+    f"""WITH {_dsir_ctes()},
+    dg AS (
+      SELECT doc_id, n_features, logratio,
+             ROUND(logratio + ROUND(-ln(-ln(
+               ({_md5_nibbles_sql("'dsir' || CAST(doc_id AS VARCHAR)", 8)} + 0.5)
+                 / 4294967296.0)), 9), 9) AS gumbel_key
+      FROM dsir)
+    SELECT doc_id, n_features, logratio, gumbel_key
+    FROM dg ORDER BY gumbel_key DESC, doc_id LIMIT 50""",
+)
+def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: top-50 documents by score + Gumbel(0,1) noise —
+    sampling WITHOUT replacement proportional to exp(logratio), entirely
+    in log space. The Gumbel draw is a pure function of (salt, doc_id),
+    so the sample is reproducible across engines; the top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, k-sized driver merge)."""
+    from stream_loader_spark.operators.dsir import dsir_logratio, gumbel_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = dsir_logratio(
+        docs, is_target=F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    return gumbel_topk(scores, 50, salt="dsir")
+
+
+@query(
+    "leakage_free_splits",
+    f"""WITH RECURSIVE {_jaccard_pairs_ctes()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM good
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM good),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+    labels AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src),
+    lab AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN labels l USING (doc_id)),
+    lb AS (
+      SELECT doc_id, cluster_id,
+             {_MD5_BUCKET_SQL.format(e="'split' || CAST(cluster_id AS VARCHAR)")} AS bkt
+      FROM lab)
+    SELECT doc_id, cluster_id,
+           CASE WHEN bkt < 204 THEN 'train'
+                WHEN bkt < 230 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM lb""",
+)
+def leakage_free_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: every near-dup CLUSTER
+    lands wholly in one split (the split hashes the cluster label, not
+    the document id), closing the eval-contamination vector a plain
+    per-document hash split leaves open. Oracle: the exhaustive Jaccard
+    pair set closed transitively with a recursive CTE labels each node
+    with its min reachable id — min-label propagation's fixpoint — then
+    the same md5 bucket arithmetic assigns the split."""
+    from stream_loader_spark.operators.sampling import leakage_free_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return leakage_free_splits(docs, pairs)
+
+
+@query(
+    "perplexity_buckets",
+    """WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token
+      FROM documents WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) > 0),
+    freq AS MATERIALIZED (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(ROUND(ln(CAST(f.c AS DOUBLE) / n), 6) AS DECIMAL(18,6)) AS lp
+      FROM tok t JOIN freq f USING (token) CROSS JOIN tot),
+    doclp AS (
+      SELECT doc_id,
+             -(CAST(CAST(SUM(lp) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*)) AS ppl
+      FROM scored GROUP BY doc_id),
+    p AS (
+      SELECT d.doc_id, d.lang, s.ppl FROM doclp s JOIN documents d USING (doc_id)),
+    hist AS (SELECT lang, ppl, COUNT(*) AS c FROM p GROUP BY 1, 2),
+    cum AS (
+      SELECT lang, ppl,
+             SUM(c) OVER (PARTITION BY lang ORDER BY ppl) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS tot
+      FROM hist),
+    cuts AS (
+      SELECT lang,
+             MIN(CASE WHEN cum >= tot / 3.0 THEN ppl END) AS cut1,
+             MIN(CASE WHEN cum >= (tot * 2) / 3.0 THEN ppl END) AS cut2
+      FROM cum GROUP BY lang)
+    SELECT p.doc_id, p.lang,
+           CASE WHEN p.ppl <= cut1 THEN 'head'
+                WHEN p.ppl <= cut2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM p JOIN cuts USING (lang)""",
+)
+def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: head/middle/tail by where each
+    document's unigram-LM score falls within its LANGUAGE's distribution
+    — exact discrete terciles from a per-(lang, score) histogram (no
+    global sort), reproducible bit-for-bit by the SQL oracle."""
+    from stream_loader_spark.operators.text import perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_buckets(docs)
