@@ -67,6 +67,22 @@ def kafka_source_options(
             "exactly one of subscribe / subscribe_pattern is required "
             "(reference KafkaSource subscribes to explicit topics OR a pattern)"
         )
+    # Options the engine OWNS: offsets are committed through the sink's
+    # two-phase storage (K1-K9), never Kafka auto-commit (the reference
+    # consumer likewise runs enable.auto.commit=false and commits via
+    # the storage); seek defaults go through ``default_offsets``; the
+    # key/value byte contract is fixed. Spark's Kafka source fails on
+    # these at stream start — rejecting them HERE makes it a
+    # configuration-time error instead of a runtime one.
+    forbidden = {
+        "kafka.enable.auto.commit": "offsets commit through the sink storage",
+        "kafka.auto.offset.reset": "use default_offsets",
+        "kafka.key.deserializer": "records are bytes; deserialize downstream",
+        "kafka.value.deserializer": "records are bytes; deserialize downstream",
+    }
+    for k in extra:
+        if k in forbidden:
+            raise ValueError(f"unsupported kafka option {k!r}: {forbidden[k]}")
     opts: dict[str, str] = {"kafka.bootstrap.servers": bootstrap_servers}
     if subscribe is not None:
         opts["subscribe"] = subscribe

@@ -148,3 +148,82 @@ class TestFromKafkaCapture:
         assert reader.options["maxOffsetsPerTrigger"] == "1000"
         # the projected stream exposes the engine's record columns
         assert pipe._stream.columns == ["topic", "partition", "offset", "ts", "key", "value"]
+
+
+class TestGoldenOptionMaps:
+    """Full-dict equality — a stray or missing option is a contract
+    break even when every individually-asserted key is right."""
+
+    def test_fresh_consumer_full_map(self):
+        assert kafka_source_options("k1:9092,k2:9092", subscribe="ads") == {
+            "kafka.bootstrap.servers": "k1:9092,k2:9092",
+            "subscribe": "ads",
+            "startingOffsets": "earliest",
+        }
+
+    def test_committed_seek_full_map(self):
+        assert kafka_source_options(
+            "k:9092", subscribe="ads,clicks", committed=COMMITTED
+        ) == {
+            "kafka.bootstrap.servers": "k:9092",
+            "subscribe": "ads,clicks",
+            "startingOffsets": '{"ads":{"0":1200,"1":900},"clicks":{"0":50}}',
+        }
+
+    def test_pattern_with_rewind_full_map(self):
+        assert kafka_source_options(
+            "k:9092",
+            subscribe_pattern="ads.*",
+            committed=COMMITTED,
+            interval=OffsetRange(100),
+            maxOffsetsPerTrigger=5000,
+            failOnDataLoss=False,
+        ) == {
+            "kafka.bootstrap.servers": "k:9092",
+            "subscribePattern": "ads.*",
+            "startingOffsets": '{"ads":{"0":1100,"1":800},"clicks":{"0":0}}',
+            "maxOffsetsPerTrigger": "5000",
+            "failOnDataLoss": "False",
+        }
+
+    def test_watermark_rewind_full_map(self):
+        opts = kafka_source_options(
+            "k:9092",
+            subscribe="ads",
+            committed=COMMITTED,
+            interval=WatermarkRange(100_000),
+        )
+        assert set(opts) == {
+            "kafka.bootstrap.servers",
+            "subscribe",
+            "startingOffsetsByTimestamp",
+        }
+        by_ts = json.loads(opts["startingOffsetsByTimestamp"])
+        assert by_ts == {
+            "ads": {"0": 1_699_999_900_000, "1": 1_700_000_000_000},
+            "clicks": {"0": 1_700_000_100_000},
+        }
+
+    @pytest.mark.parametrize(
+        "key",
+        [
+            "kafka.enable.auto.commit",
+            "kafka.auto.offset.reset",
+            "kafka.key.deserializer",
+            "kafka.value.deserializer",
+        ],
+    )
+    def test_engine_owned_options_rejected(self, key):
+        # the engine commits through the sink storage (K1-K9), never
+        # Kafka auto-commit; defaults go through default_offsets
+        with pytest.raises(ValueError, match="unsupported kafka option"):
+            kafka_source_options("k:9092", subscribe="ads", **{key: "true"})
+
+    def test_from_kafka_enforces_subscription_exclusivity(self, spark):
+        reader = _RecordingReader(spark)
+        with pytest.raises(ValueError, match="exactly one of"):
+            StreamPipeline(_SparkWithRecorder(spark, reader)).from_kafka(
+                "k:9092", subscribe="ads", subscribe_pattern="ads.*"
+            )
+        with pytest.raises(ValueError, match="exactly one of"):
+            StreamPipeline(_SparkWithRecorder(spark, reader)).from_kafka("k:9092")
