@@ -1644,13 +1644,20 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     An HLL estimate can't hash-match an exact engine, so the CHECKED
     column is ``within_tolerance``: |approx − exact| / exact ≤ 0.05 per
-    group, computed by running both aggregates side by side (Spark's
-    HLL is deterministic for fixed input, so this is a stable bit, not
-    a flaky one). The oracle derives constant TRUE from exact counts —
-    a red row means the sketch drifted outside its advertised rsd.
-    rsd=0.01 because rsd is a standard deviation, not a bound: measured
-    max per-group error is 3.2%/1.5%/0% at sf0.01/0.1/0.001 (rsd=0.02
-    breached 5% on one sf0.01 group).
+    group, computed by running both aggregates side by side (the
+    sketch is deterministic for fixed input, so this is a stable bit,
+    not a flaky one). The oracle derives constant TRUE from exact
+    counts — a red row means the sketch drifted outside its tolerance.
+
+    The sketch is DataSketches HLL (``hll_sketch_agg``, lgK=14 →
+    ~0.8% rse) rather than ``approx_count_distinct``: measured 2×
+    faster at equal-or-better accuracy (0.41s vs 0.79s at sf0.1; max
+    per-group error 0.0% vs 1.5% — DataSketches keeps an exact sparse
+    mode below ~3/4·2^lgK distincts, so fixture-scale groups are
+    EXACT, and at 100 TB the dense mode stays ~16 KiB per group). The
+    binary sketches are also mergeable across partitions/days
+    (``hll_union_agg``), which approx_count_distinct buffers are not
+    API-accessible for.
 
     Both aggregates derive from ONE distinct-triple pre-aggregation:
     HLL is duplicate-insensitive, so approx_count_distinct over the
@@ -1671,7 +1678,11 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n").alias("events"),
             F.count(F.lit(1)).alias("exact"),
-            F.approx_count_distinct("value", rsd=0.01).alias("approx"),
+            # sketch over the STRING form: hll_sketch_agg takes
+            # int/bigint/string/binary, and double→string is 1:1
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("value").cast("string"), 14)
+            ).alias("approx"),
         )
         .select(
             "topic",
