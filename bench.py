@@ -150,6 +150,12 @@ BENCH_QUERIES = [
     # round 6: the count-aggregated rewrite made the exact-Jaccard
     # baseline benchable (was the one declared query without a timing)
     "ngram_jaccard_pairs",
+    # round 7: DSIR importance resampling, leakage-free splits,
+    # perplexity buckets — the round-6 orphans, now declared + benched
+    "dsir_logratio_scores",
+    "dsir_gumbel_topk",
+    "perplexity_buckets",
+    "leakage_free_splits",
 ]
 
 

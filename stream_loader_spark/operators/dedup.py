@@ -245,12 +245,13 @@ def with_minhash(
     hashed = ex.selectExpr(
         id_col, *[f"xxhash64(shingle, {i}) AS h{i}" for i in range(num_hashes)]
     )
-    sig = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
-    )
+    # single parsed expr, not num_hashes Column objects: the per-Column
+    # py4j round-trips are measurable driver overhead (see with_simhash)
+    mins = ", ".join(f"min(h{i}) as m{i}" for i in range(num_hashes))
+    sig = hashed.groupBy(id_col).agg(F.expr(f"struct({mins}) as s"))
     return sig.selectExpr(
         id_col,
-        "array(%s) AS minhash" % ",".join(f"m{i}" for i in range(num_hashes)),
+        "array(%s) AS minhash" % ",".join(f"s.m{i}" for i in range(num_hashes)),
     )
 
 
@@ -747,34 +748,43 @@ def with_simhash(
     bit-identical to the per-nibble parse but 2.4× faster (16
     substring+conv string ops per token row were the measured
     signature bottleneck at sf0.1).
+
+    The 64 per-bit sums and the 64-term majority assembly are built as
+    TWO parsed SQL strings (one ``struct``-of-aggregates expr, one
+    ``selectExpr``), not 128 Column objects: constructing the same
+    tree through the Python Column API costs ~1 s of py4j round-trips
+    per invocation (the measured driver-side bottleneck of
+    ``simhash_pairs`` at r6), while the single-string build costs
+    ~0.1 s for a bit-identical plan.
     """
-    ex = scatter(documents).select(
+    halves = scatter(documents).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("token"),
-    ).withColumn("th", F.md5("token"))
-    halves = ex.select(
+    ).withColumn("th", F.md5("token")).selectExpr(
         id_col,
-        F.conv(F.substring("th", 1, 8), 16, 10).cast("bigint").alias("hi"),
-        F.conv(F.substring("th", 9, 8), 16, 10).cast("bigint").alias("lo"),
+        "cast(conv(substring(th, 1, 8), 16, 10) as bigint) as hi",
+        "cast(conv(substring(th, 9, 8), 16, 10) as bigint) as lo",
     )
 
-    def bit_of(i: int) -> Column:
+    def shift_of(i: int) -> int:
         # hex digit j holds bits [4j, 4j+4) of the signature; digit j's
-        # value sits at shift 4*(7 - j) inside its 32-bit half
-        src, j = (F.col("hi"), i) if i < 32 else (F.col("lo"), i - 32)
-        return F.shiftright(src, 4 * (7 - j // 4) + j % 4).bitwiseAND(F.lit(1))
+        # value sits at shift 4*(7 - j // 4) + j % 4 inside its 32-bit half
+        j = i if i < 32 else i - 32
+        return 4 * (7 - j // 4) + j % 4
 
-    counts = halves.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(bit_of(i)).alias(f"c{i}") for i in range(bits)],
+    sums = ", ".join(
+        f"sum(shiftright({'hi' if i < 32 else 'lo'}, {shift_of(i)}) & 1) as c{i}"
+        for i in range(bits)
     )
-    total = F.lit(0).cast("long")
-    for i in range(bits):
-        weight = 2**i if i < 63 else -(2**63)  # bit 63 is the sign bit
-        total = total + F.when(
-            F.col(f"c{i}") * 2 >= F.col("n"), F.lit(weight).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return counts.select(id_col, total.alias("simhash"))
+    counts = halves.groupBy(id_col).agg(
+        F.expr(f"struct(count(1) as n, {sums}) as s")
+    ).select(id_col, "s.*")
+    terms = " + ".join(
+        # bit 63 is the sign bit
+        f"if(c{i} * 2 >= n, {2**i if i < 63 else -(2**63)}L, 0L)"
+        for i in range(bits)
+    )
+    return counts.selectExpr(id_col, f"cast({terms} as bigint) as simhash")
 
 
 def dedup_components(
