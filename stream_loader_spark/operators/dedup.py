@@ -333,50 +333,61 @@ def minhash_lsh_pairs(
     acceptable for dedup, whose consumer is the connected-components
     clustering). The number of star-linked candidates is published as
     an ``observe()`` metric (``minhash_lsh_capped_*`` in the SQL UI /
-    ``observedMetrics``), so the cap is never silent. Bucket sizes and
-    representatives come from one window over the band table — same
-    single shuffle as the plain aggregate; small buckets are then
-    round-robin repartitioned before expansion so the quadratic work
-    parallelizes instead of landing on whatever few partitions AQE
-    coalesced the (byte-wise tiny) bucket table into.
+    ``observedMetrics``), so the cap is never silent. Both expansion
+    arms live in ONE ``if`` inside the single bucket aggregate — no
+    window pass, no separate star branch (the first cap implementation
+    fed two branches from a windowed band table, and each branch
+    re-ran the full minhash pipeline — exchange reuse does not fire
+    across that shape); buckets are round-robin repartitioned before
+    expansion so the quadratic small-bucket work parallelizes instead
+    of landing on whatever few partitions AQE coalesced the (byte-wise
+    tiny) bucket table into.
     """
     bands = band_index(documents, text_col, id_col, num_bands)
-    w = Window.partitionBy("band", "band_hash")
-    sized = bands.select(
-        id_col,
-        "band",
-        "band_hash",
-        F.count(F.lit(1)).over(w).alias("bn"),
-        F.min(id_col).over(w).alias("rep"),
-    )
-    small = (
-        sized.where((F.col("bn") >= 2) & (F.col("bn") <= max_bucket))
-        .groupBy("band", "band_hash")
+    # ONE bucket aggregate with the cap folded into the expansion
+    # expression (r7 follow-up: the first cap implementation windowed
+    # the band table and fed small/star branches from it — exchange
+    # reuse does not fire across that union shape, so each branch
+    # re-ran the full minhash pipeline and the query doubled). The
+    # collect_list holds a bucket's member IDS — LINEAR in bucket
+    # size, unlike the B·(B−1)/2 pair expansion the cap exists to
+    # bound; an oversized bucket's row stays O(B) (8 bytes/member:
+    # even a pathological 10M-doc boilerplate cluster is an 80 MB row,
+    # with the 2GB array limit ~8 orders past any real bucket).
+    # ``sort_array`` makes ids[0] the bucket's min id = the star
+    # representative, identical to the windowed form's min() — and
+    # pair orientation (doc_a < doc_b) positional.
+    grouped = (
+        bands.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
     par = documents.sparkSession.sparkContext.defaultParallelism
-    small_pairs = (
-        small.repartition(par)
-        .selectExpr(
-            """explode(
-                 flatten(
-                   transform(sequence(1, size(ids) - 1),
-                     i -> transform(sequence(0, i - 1),
-                       j -> struct(ids[j] AS doc_a, ids[i] AS doc_b)))
-                 )
-               ) AS p"""
-        )
-        .select("p.doc_a", "p.doc_b")
-    )
-    star_pairs = (
-        sized.where((F.col("bn") > max_bucket) & (F.col(id_col) != F.col("rep")))
-        .select(F.col("rep").alias("doc_a"), F.col(id_col).alias("doc_b"))
-        .observe(_obs_name("minhash_lsh"), F.count(F.lit(1)).alias("star_pairs"))
-    )
+    # round-robin repartition spreads the quadratic small-bucket work
+    # across cores (AQE coalesces the byte-wise-tiny bucket table to
+    # 1-2 partitions otherwise); star expansion is linear either way
     candidates = (
-        small_pairs.unionByName(star_pairs)
+        grouped.repartition(par)
+        .selectExpr(
+            f"""explode(
+                  if(size(ids) <= {int(max_bucket)},
+                     flatten(transform(sequence(1, size(ids) - 1),
+                       i -> transform(sequence(0, i - 1),
+                         j -> struct(ids[j] AS doc_a, ids[i] AS doc_b,
+                                     false AS star)))),
+                     transform(sequence(1, size(ids) - 1),
+                       i -> struct(ids[0] AS doc_a, ids[i] AS doc_b,
+                                   true AS star)))
+                ) AS p"""
+        )
+        .select("p.doc_a", "p.doc_b", "p.star")
+        .observe(
+            _obs_name("minhash_lsh"),
+            F.sum(F.col("star").cast("long")).alias("star_pairs"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
-        .localCheckpoint(eager=True)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
     )
 
     # Verify only candidate pairs with true Jaccard on the shingle
@@ -392,7 +403,7 @@ def minhash_lsh_pairs(
         .join(touched, id_col)
         .selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
         .selectExpr(id_col, f"{shingles_over('_toks')} AS shingles")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
@@ -468,7 +479,7 @@ def incremental_near_dup_pairs(
             F.greatest(F.col(f"n.{id_col}"), F.col(f"a.{id_col}")).alias("doc_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # shingle only the touched documents: candidate ids first, text after
@@ -484,7 +495,7 @@ def incremental_near_dup_pairs(
         all_docs.join(touched, id_col)
         .selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
         .selectExpr(id_col, f"{shingles_over('_toks')} AS shingles")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
@@ -552,7 +563,7 @@ def near_dup_pairs_touching(
             F.greatest(F.col(f"n.{id_col}"), F.col(f"a.{id_col}")).alias("doc_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     touched = (
         candidates.select(F.col("doc_a").alias(id_col))
@@ -564,7 +575,7 @@ def near_dup_pairs_touching(
         .join(touched, id_col)
         .selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
         .selectExpr(id_col, f"{shingles_over('_toks')} AS shingles")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
@@ -659,11 +670,17 @@ def ngram_jaccard_pairs(
     # answer remains ``minhash_lsh_pairs``, which bounds candidates by
     # banding. Oversized-bucket row volume is published as an
     # ``observe()`` metric (``ngram_jaccard_capped_*``).
-    w = Window.partitionBy(*block, "shingle")
-    sized = ex.select("*", F.count(F.lit(1)).over(w).alias("bn"))
-    small = (
-        sized.where((F.col("bn") >= 2) & (F.col("bn") <= max_bucket))
-        .groupBy(*block, "shingle")
+    #
+    # ONE bucket aggregate feeds both routes (the first cap
+    # implementation windowed the exploded shingle table and fed three
+    # consumers from it — each re-ran the tokenize+explode pipeline, a
+    # measured 3×); the oversized route re-explodes its buckets with
+    # ``inline`` before the streamed self-join, so an oversized
+    # bucket's aggregate row is O(B) member structs (~12 bytes each —
+    # linear, with the 2GB array limit ~5 orders past any real
+    # shingle frequency), never the quadratic pair expansion.
+    grouped = (
+        ex.groupBy(*block, "shingle")
         .agg(
             F.sort_array(
                 F.collect_list(
@@ -671,10 +688,13 @@ def ngram_jaccard_pairs(
                 )
             ).alias("docs")
         )
+        .where(F.size("docs") >= 2)
+        .localCheckpoint(eager=False)
     )
     par = documents.sparkSession.sparkContext.defaultParallelism
     small_pairs = (
-        small.repartition(par)
+        grouped.where(F.size("docs") <= max_bucket)
+        .repartition(par)
         .selectExpr(
             """explode(
                  flatten(
@@ -688,8 +708,8 @@ def ngram_jaccard_pairs(
         .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .toDF("doc_a", "doc_b", "na", "nb")
     )
-    big = sized.where(F.col("bn") > max_bucket).select(
-        *block, "shingle", F.col(id_col).alias("id"), "nsh"
+    big = grouped.where(F.size("docs") > max_bucket).selectExpr(
+        *block, "shingle", "inline(docs)"
     )
     # observe only the LEFT side: a CollectMetrics node on both sides of
     # the self-join would be a duplicate observation name in one query
@@ -819,6 +839,9 @@ def dedup_components(
     # pass instead of paying per-round join + checkpoint + count jobs.
     # Only the EDGES come to the driver (duplicate pairs, not corpus
     # rows); past the threshold the distributed iteration takes over.
+    # count() populates the persist in one full compute; the collect()
+    # below re-reads the cache (a limit(N+1) probe would instead pay
+    # CollectLimit's incremental scale-up rounds — measured slower).
     n_pairs = pairs.count()
     if n_pairs <= SMALL_GRAPH_EDGES:
         labels = _union_find_labels(
@@ -956,21 +979,16 @@ def simhash_pairs(
     enumeration inside an oversized bucket is capped (a member whose
     distance to the representative exceeds ``max_hamming`` can still
     pair through its other three chunks). Star-pair volume is published
-    as an ``observe()`` metric (``simhash_capped_*``). Bucket sizes and
-    representatives come from one window over the chunk table — the
-    same single shuffle the plain aggregate paid; small buckets are
-    round-robin repartitioned before expansion so the quadratic work
-    spreads across cores instead of the 1-2 partitions AQE coalesces
-    the byte-wise-tiny bucket table into (the measured r6 regression:
-    ~1M pair evaluations on one task).
+    as an ``observe()`` metric (``simhash_capped_*``). Both expansion
+    arms live in ONE ``if`` inside the single bucket aggregate — no
+    window, no second branch, so the signature pipeline runs exactly
+    once; buckets are round-robin repartitioned before expansion so
+    the quadratic small-bucket work spreads across cores instead of
+    the 1-2 partitions AQE coalesces the byte-wise-tiny bucket table
+    into (the measured r6 regression: ~1M pair evaluations on one
+    task).
     """
-    # The small/star branches both consume the window output, and Spark
-    # does not reuse the exchange across the two-sided union shape —
-    # checkpointing the SIGNATURE table (one id + one long per doc, the
-    # smallest corpus-scaled state in this pipeline) makes the branch
-    # recompute a cheap arithmetic pass over stored longs instead of a
-    # second tokenize-and-aggregate over the corpus text.
-    sh = with_simhash(documents, text_col, id_col).localCheckpoint(eager=True)
+    sh = with_simhash(documents, text_col, id_col)
     chunk_width = SIMHASH_BITS // SIMHASH_CHUNKS
     chunks = sh.select(
         id_col,
@@ -990,22 +1008,17 @@ def simhash_pairs(
         ).alias("cv"),
     ).select(id_col, "simhash", "cv.chunk", "cv.chunk_val")
 
-    w = Window.partitionBy("chunk", "chunk_val")
-    # struct min = lexicographic, ids unique ⇒ rep is the min-id member
-    # WITH its signature (needed for the star pairs' Hamming filter)
-    sized = chunks.select(
-        id_col,
-        "simhash",
-        "chunk",
-        "chunk_val",
-        F.count(F.lit(1)).over(w).alias("bn"),
-        F.min(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("s")))
-        .over(w)
-        .alias("rep"),
-    )
-    small = (
-        sized.where((F.col("bn") >= 2) & (F.col("bn") <= max_bucket))
-        .groupBy("chunk", "chunk_val")
+    # ONE bucket aggregate with the cap folded into the expansion
+    # expression (same r7 follow-up as ``minhash_lsh_pairs``: the
+    # windowed small/star branches re-ran the chunk explode + window
+    # sort per branch). ``sort_array`` over (id, s) structs sorts by id
+    # first ⇒ ds[0] is the min-id member WITH its signature — the star
+    # representative. The Hamming filter runs INSIDE both expansion
+    # arms, so only true near-pairs survive to the dropDuplicates
+    # exchange; a bucket's aggregate row is O(B) member structs (16
+    # bytes each), never the B·(B−1)/2 pair expansion.
+    grouped = (
+        chunks.groupBy("chunk", "chunk_val")
         .agg(
             F.sort_array(
                 F.collect_list(
@@ -1013,31 +1026,32 @@ def simhash_pairs(
                 )
             ).alias("ds")
         )
+        .where(F.size("ds") >= 2)
     )
     par = documents.sparkSession.sparkContext.defaultParallelism
-    small_pairs = small.repartition(par).selectExpr(
-        f"""explode(
-              filter(
-                flatten(
-                  transform(sequence(1, size(ds) - 1),
-                    i -> transform(sequence(0, i - 1),
-                      j -> struct(ds[j].id AS doc_a, ds[i].id AS doc_b,
-                                  bit_count(ds[j].s ^ ds[i].s) AS hamming)))
-                ),
-                p -> p.hamming <= {max_hamming})
-            ) AS p"""
-    ).select("p.doc_a", "p.doc_b", "p.hamming")
-    star_pairs = (
-        sized.where((F.col("bn") > max_bucket) & (F.col(id_col) != F.col("rep.id")))
-        .select(
-            F.col("rep.id").alias("doc_a"),
-            F.col(id_col).alias("doc_b"),
-            F.bit_count(F.col("rep.s").bitwiseXOR(F.col("simhash"))).alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .observe(_obs_name("simhash"), F.count(F.lit(1)).alias("star_pairs"))
-    )
     return (
-        small_pairs.unionByName(star_pairs)
+        grouped.repartition(par)
+        .selectExpr(
+            f"""explode(
+                  filter(
+                    if(size(ds) <= {int(max_bucket)},
+                       flatten(transform(sequence(1, size(ds) - 1),
+                         i -> transform(sequence(0, i - 1),
+                           j -> struct(ds[j].id AS doc_a, ds[i].id AS doc_b,
+                                       bit_count(ds[j].s ^ ds[i].s) AS hamming,
+                                       false AS star)))),
+                       transform(sequence(1, size(ds) - 1),
+                         i -> struct(ds[0].id AS doc_a, ds[i].id AS doc_b,
+                                     bit_count(ds[0].s ^ ds[i].s) AS hamming,
+                                     true AS star))),
+                    p -> p.hamming <= {max_hamming})
+                ) AS p"""
+        )
+        .select("p.doc_a", "p.doc_b", "p.hamming", "p.star")
+        .observe(
+            _obs_name("simhash"),
+            F.sum(F.col("star").cast("long")).alias("star_pairs"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "hamming")
     )

@@ -114,7 +114,7 @@ def dsir_logratio(
     flagged = documents.withColumn("_is_target", is_target)
     dbc = hashed_feature_counts(
         flagged, text_col, id_col, extra_cols=("_is_target",)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     raw = dbc.groupBy("bucket").agg(F.sum("tc").alias("cr"))
     tgt = (

@@ -447,7 +447,7 @@ def approx_frequent_tokens(
     # capacity) cached relation per call for the session's life.
     cand = toks.mapInPandas(
         mg_partition, "token string, n_local bigint, evicted boolean"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # Enforce the superset guarantee EAGERLY on the 1-row total — not
     # as a predicate on the result rows, where an empty result (the
     # exact regime eviction causes) would mean the guard is evaluated
@@ -576,7 +576,7 @@ def perplexity_buckets(
         unigram_logprob(documents, text_col, id_col)
         .join(documents.select(id_col, lang_col), id_col)
         .select(id_col, lang_col, (-F.col("mean_logprob")).alias("ppl"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     hist = scored.groupBy(lang_col, "ppl").agg(F.count(F.lit(1)).alias("c"))
     w_cum = Window.partitionBy(lang_col).orderBy("ppl")
