@@ -28,7 +28,9 @@ from __future__ import annotations
 import datetime as dt
 import decimal
 import hashlib
+import json
 import math
+import os
 import sys
 import time
 
@@ -106,6 +108,12 @@ def canon_lines(pdf: pd.DataFrame) -> set[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # optional machine-readable artifact (one record per checked query),
+    # mirroring the driver's CORRECTNESS_r{N}.json shape so the full
+    # registry's verification is evidenced in the repo, not just the
+    # driver's ~50-query sample
+    json_out = os.environ.get("CHECK_JSON_OUT")
+    records: dict[str, dict] = {}
 
     spark = get_spark("check_correctness")
     con = duckdb.connect()
@@ -128,6 +136,8 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            records[name] = {"mode": "oracle" if name in oracles else "rows_only",
+                             "ok": False, "err": f"spark error: {e}"[:300]}
             continue
         took = time.time() - t0
         if name not in oracles:
@@ -137,14 +147,19 @@ def main() -> int:
             except NonScalarOutput as e:
                 print(f"FAIL {name}: {e}")
                 failures.append(name)
+                records[name] = {"mode": "rows_only", "ok": False, "err": str(e)[:300]}
                 continue
             print(f"ok   {name}: rows-only ({len(spdf)} rows, {took:.1f}s)")
+            records[name] = {"mode": "rows_only", "ok": True,
+                             "spark_rows": len(spdf), "err": None}
             continue
         try:
             opdf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            records[name] = {"mode": "oracle", "ok": False,
+                             "err": f"duckdb error: {e}"[:300]}
             continue
         problems = []
         if len(spdf) != len(opdf):
@@ -169,10 +184,23 @@ def main() -> int:
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} ({took:.1f}s)")
             failures.append(name)
-        else:
+        records[name] = {
+            "mode": "oracle",
+            "ok": not problems,
+            "rows_match": len(spdf) == len(opdf),
+            "schema_match": sorted(spdf.columns) == sorted(opdf.columns),
+            "hash_match": not problems,
+            "spark_rows": len(spdf),
+            "oracle_rows": len(opdf),
+            "err": "; ".join(problems)[:300] or None,
+        }
+        if not problems:
             print(f"ok   {name}: MATCH ({len(spdf)} rows, {took:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": records}, fh, indent=1)
     return 1 if failures else 0
 
 
