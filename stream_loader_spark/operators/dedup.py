@@ -7,7 +7,8 @@ Beyond-reference surface (BASELINE.json north star). Design notes for
   partial aggregation means the shuffle carries ~one row per distinct
   digest, not per input row.
 - **MinHash-LSH** is the shuffle-friendly near-dup algorithm: per-doc
-  signatures come from shingle-explode + 64 codegen'd min-aggregates
+  signatures come from hashed-shingle-explode + 32 codegen'd
+  min-aggregates over cheap seeded rehashes of ONE base shingle hash
   (map-side combine → the shuffle carries one signature per doc), then
   docs are exploded only into ``bands`` rows each (b = NUM_BANDS,
   constant), grouped by (band, band-hash) to find candidate buckets,
@@ -35,8 +36,17 @@ from pyspark.sql import functions as F
 from stream_loader_spark.operators.text import tokens_col, tokens_sql
 from stream_loader_spark.sources.tables import scatter
 
-NUM_HASHES = 64          # MinHash signature length
-NUM_BANDS = 16           # LSH bands (rows per band = 64/16 = 4)
+# Signature length / banding. 32 hashes in 16 bands of 2 rows: the
+# band-collision curve is P(candidate) = 1-(1-j^2)^16 — ~1 at j≥0.8,
+# 0.99 at j=0.6, with the exact-Jaccard verify discarding the extra
+# low-similarity candidates the 2-row bands admit. Chosen over the
+# r1-r6 64/16 (4-row) scheme after measuring the signature stage at
+# ~half the per-corpus hashing cost for identical verified pair sets:
+# at j=0.8 a 4-row banding misses ~2e-4 of pairs ((1-0.8^4)^16),
+# 2-row banding ~8e-8 ((1-0.64)^16) — recall AND cost favor r=2; the
+# price is more sub-threshold candidates for the verify to discard.
+NUM_HASHES = 32          # MinHash signature length
+NUM_BANDS = 16           # LSH bands (rows per band = 32/16 = 2)
 SHINGLE_SIZE = 3         # word shingles
 SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 4
@@ -224,6 +234,55 @@ def with_shingles(
     )
 
 
+def hash_shingles_over(toks_expr: str, size: int = SHINGLE_SIZE) -> str:
+    """Distinct word ``size``-shingles of an EXISTING token-array
+    expression as 64-BIT HASHES (array<bigint>), never materializing
+    the shingle strings.
+
+    The window hash is a multi-argument ``xxhash64`` over the window's
+    tokens with a literal ``1L`` interleaved between them: multi-arg
+    xxhash64 folds each value's raw bytes into one stream, so without
+    the separators (8 bytes ``01 00…`` that no whitespace-split token
+    can contain — they would need embedded NULs) the token lists
+    ("ab","c") and ("a","bc") would alias. With them the map from
+    string shingle to hash is injective up to 64-bit hash collisions
+    (~1e-14 within even a 10k-shingle document), so Jaccard over these
+    hash sets equals Jaccard over the string sets — which is what the
+    exhaustive string-shingle oracles verify — while skipping the
+    per-window string allocation and hashing each token's bytes once
+    instead of re-concatenating. Docs shorter than ``size`` tokens
+    hash their whole text as one shingle, mirroring ``shingles_over``.
+    """
+    t = toks_expr
+    win = ", 1L, ".join(f"element_at({t}, i + {j})" for j in range(size))
+    return (
+        f"CASE WHEN size({t}) >= {size} THEN "
+        f"array_distinct(transform(sequence(1, size({t}) - {size - 1}), "
+        f"i -> xxhash64({win}))) "
+        f"ELSE array(xxhash64(array_join({t}, ' '))) END"
+    )
+
+
+def with_hash_shingles(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+    size: int = SHINGLE_SIZE,
+) -> DataFrame:
+    """(id, *extra_cols, shingles: array<bigint>) — ``with_shingles``
+    with hashed shingles (see ``hash_shingles_over``); same hoisted
+    tokenizer projection (the window expression references the token
+    array ``size + 1`` times and interpreted HOFs have no CSE)."""
+    toks = (
+        scatter(documents)
+        .selectExpr(id_col, *extra_cols, f"{tokens_sql(text_col)} AS _toks")
+    )
+    return toks.selectExpr(
+        id_col, *extra_cols, f"{hash_shingles_over('_toks', size)} AS shingles"
+    )
+
+
 def with_minhash(
     documents: DataFrame,
     text_col: str = "text",
@@ -236,14 +295,21 @@ def with_minhash(
     higher-order functions: Spark does not codegen lambda functions (they
     are interpreted per element), while ``explode`` + ``min`` aggregates
     run in whole-stage codegen with map-side partial aggregation — the
-    shuffle carries only one 64-long signature per document regardless
+    shuffle carries only one signature per document regardless
     of document length, which is what survives a 100 TB corpus.
+
+    The ``num_hashes`` per-seed hash family is derived from ONE base
+    hash per shingle (``hash_shingles_over``) by seeded fixed-width
+    rehashes ``xxhash64(base, seed)`` — each seed's map is a uniform
+    function of the base value, so the per-seed minima are independent
+    MinHash draws up to base-hash collisions; hashing 8 fixed bytes
+    per seed instead of the shingle string per seed is the cost win.
     """
-    ex = with_shingles(documents, text_col, id_col).selectExpr(
-        id_col, "explode(shingles) AS shingle"
+    ex = with_hash_shingles(documents, text_col, id_col).selectExpr(
+        id_col, "explode(shingles) AS hb"
     )
     hashed = ex.selectExpr(
-        id_col, *[f"xxhash64(shingle, {i}) AS h{i}" for i in range(num_hashes)]
+        id_col, *[f"xxhash64(hb, {i}) AS h{i}" for i in range(num_hashes)]
     )
     # single parsed expr, not num_hashes Column objects: the per-Column
     # py4j round-trips are measurable driver overhead (see with_simhash)
@@ -402,7 +468,7 @@ def minhash_lsh_pairs(
         .select(id_col, text_col)
         .join(touched, id_col)
         .selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
-        .selectExpr(id_col, f"{shingles_over('_toks')} AS shingles")
+        .selectExpr(id_col, f"{hash_shingles_over('_toks')} AS shingles")
         .localCheckpoint(eager=False)
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
@@ -447,7 +513,7 @@ def incremental_near_dup_pairs(
 
     Materialization: the three BATCH-scaled intermediates (the new
     batch's bands, the candidate pairs, the touched-doc shingle sets)
-    are ``localCheckpoint(eager=True)``-ed. Each feeds 2-4 downstream
+    are ``localCheckpoint(eager=False)``-ed. Each feeds 2-4 downstream
     consumers, and exchange reuse is an optimizer courtesy the multi-
     branch union/join shapes here defeat in practice — without the
     checkpoints the measured physical plan re-derived the full banding
@@ -494,7 +560,7 @@ def incremental_near_dup_pairs(
     shingle_sets = (
         all_docs.join(touched, id_col)
         .selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
-        .selectExpr(id_col, f"{shingles_over('_toks')} AS shingles")
+        .selectExpr(id_col, f"{hash_shingles_over('_toks')} AS shingles")
         .localCheckpoint(eager=False)
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
@@ -574,7 +640,7 @@ def near_dup_pairs_touching(
         documents.select(id_col, text_col)
         .join(touched, id_col)
         .selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
-        .selectExpr(id_col, f"{shingles_over('_toks')} AS shingles")
+        .selectExpr(id_col, f"{hash_shingles_over('_toks')} AS shingles")
         .localCheckpoint(eager=False)
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
@@ -639,7 +705,7 @@ def ngram_jaccard_pairs(
     # 30× on this pipeline. Inside the generator everything evaluates
     # once per input row.
     ex = (
-        with_shingles(documents, text_col, id_col, tuple(block), shingle_size)
+        with_hash_shingles(documents, text_col, id_col, tuple(block), shingle_size)
         .selectExpr(
             id_col,
             *block,

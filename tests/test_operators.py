@@ -48,7 +48,8 @@ class TestMinHashLSH:
         s1 = {r["doc_id"]: r["minhash"] for r in with_minhash(docs).collect()}
         s2 = {r["doc_id"]: r["minhash"] for r in with_minhash(docs).collect()}
         assert s1 == s2
-        assert all(len(v) == 64 for v in s1.values())
+        from stream_loader_spark.operators.dedup import NUM_HASHES
+        assert all(len(v) == NUM_HASHES for v in s1.values())
 
     def test_finds_exact_and_near_duplicates(self, docs_with_dups):
         pairs = {
