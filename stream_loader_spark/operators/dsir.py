@@ -22,8 +22,8 @@ Scale design:
   regardless of document length).
 - Both distributions are ≤``N_BUCKETS`` rows (the whole point of
   DSIR's feature hashing), so the scoring join is a BROADCAST of a
-  4096-row table — no second corpus shuffle; the totals are broadcast
-  scalar singletons.
+  4096-row table — no second corpus shuffle; the smoothing totals come
+  from an unpartitioned window over that same constant-sized table.
 - The bucket hash, the Gumbel draw, and the per-bucket log-ratios are
   pure md5/decimal arithmetic: deterministic across reruns, engines,
   and partitionings (repo convention — ln rounded to 6/9 decimals
@@ -35,7 +35,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from stream_loader_spark.operators.text import tokens_sql
@@ -116,27 +116,32 @@ def dsir_logratio(
         flagged, text_col, id_col, extra_cols=("_is_target",)
     ).localCheckpoint(eager=False)
 
-    raw = dbc.groupBy("bucket").agg(F.sum("tc").alias("cr"))
-    tgt = (
-        dbc.where(F.col("_is_target"))
-        .groupBy("bucket")
-        .agg(F.sum("tc").alias("ct"))
+    # BOTH distributions from one conditional aggregate — a separate
+    # target aggregate plus a left join back costs three extra
+    # exchanges for the same ≤N_BUCKETS-row result.
+    dist = dbc.groupBy("bucket").agg(
+        F.sum("tc").alias("cr"),
+        F.sum(F.when(F.col("_is_target"), F.col("tc")).otherwise(F.lit(0))).alias(
+            "ct"
+        ),
     )
-    dist = (
-        raw.join(tgt, "bucket", "left")
-        .select("bucket", "cr", F.coalesce("ct", F.lit(0)).alias("ct"))
-    )
-    totals = dist.agg(
-        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
-    )
+    # Totals via an unpartitioned window: dist is bounded by the bucket
+    # space (≤4096 rows at ANY corpus size — the point of DSIR's feature
+    # hashing), so the single-partition exchange is constant-sized and
+    # replaces a separate aggregate + crossJoin round-trip.
+    w_all = Window.partitionBy()
     lp = F.round(
-        F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + N_BUCKETS))
-        - F.log((F.col("cr") + 1).cast("double") / (F.col("tr") + N_BUCKETS)),
+        F.log(
+            (F.col("ct") + 1).cast("double")
+            / (F.sum("ct").over(w_all) + N_BUCKETS)
+        )
+        - F.log(
+            (F.col("cr") + 1).cast("double")
+            / (F.sum("cr").over(w_all) + N_BUCKETS)
+        ),
         6,
     ).cast("decimal(18,6)")
-    scored_dist = dist.crossJoin(F.broadcast(totals)).select(
-        "bucket", lp.alias("lp")
-    )
+    scored_dist = dist.select("bucket", lp.alias("lp"))
     return (
         dbc.join(F.broadcast(scored_dist), "bucket")
         .groupBy(id_col)

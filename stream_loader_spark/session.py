@@ -26,9 +26,18 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # In local mode every executor thread shares the DRIVER heap, and
+    # the JVM default is 1g — 32 threads' worth of hash aggregates,
+    # window buffers, and broadcasts in 1 GiB means constant GC stalls
+    # and spills on a 128 GiB machine. Size the heap like the executor
+    # it actually is (overridable; no-op when a deployment's
+    # spark-submit already set it, since the JVM is up by then).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
