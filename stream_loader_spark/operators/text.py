@@ -165,6 +165,7 @@ def unigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_vocab: bool = True,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Mean unigram log-likelihood per document under the corpus's own
     unigram distribution — the cheap LM-based quality filter (docs with
@@ -187,23 +188,50 @@ def unigram_logprob(
     shuffle join and leaves the skew to AQE.
     """
     toks = scatter(documents).select(
-        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
     )
     # Tokenize ONCE: collapse to per-(doc, token) counts first. Both the
     # vocabulary aggregate and the scoring join then consume the same
     # shuffle output (ReusedExchange), instead of each branch re-running
     # the tokenize+explode pipeline from the scan. The map-side partial
     # aggregate also shrinks the shuffle by the within-doc Zipf factor.
-    dtc = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tc"))
+    # extra_cols ride the group keys — callers pass columns functionally
+    # dependent on the id (e.g. lang), so the key widening is free and
+    # saves them a join back against the source table.
+    # dtc feeds BOTH the vocabulary aggregate and the scoring join, and
+    # the broadcast boundary defeats exchange reuse (the whole
+    # scan→tokenize→aggregate pipeline re-ran inside the broadcast
+    # build — measured, same lesson as dsir.dsir_logratio). The block
+    # is per-(doc, distinct-token) counts — within-doc-Zipf-compressed;
+    # on corpora where even that is too big to materialize, trading the
+    # checkpoint back for the recompute is the documented knob.
+    dtc = toks.groupBy(id_col, *extra_cols, "token").agg(
+        F.count(F.lit(1)).alias("tc")
+    ).localCheckpoint(eager=False)
     freq = dtc.groupBy("token").agg(F.sum("tc").alias("c"))
     if broadcast_vocab:
-        freq = F.broadcast(freq)
-    total = freq.agg(F.sum("c").alias("n"))
+        # Fold the corpus total into the vocabulary table with an
+        # unpartitioned window BEFORE broadcasting: the vocab must fit
+        # in memory on this path anyway, and a separate totals
+        # aggregate re-reads the whole freq subtree (no exchange reuse
+        # across the broadcast boundary) plus costs a crossJoin stage.
+        freq = F.broadcast(
+            freq.withColumn("n", F.sum("c").over(Window.partitionBy()))
+        )
+        scored_in = dtc.join(freq, "token")
+    else:
+        # shuffle-join fallback for pathological vocabularies: keep the
+        # scalar-singleton total (a single-partition window over a
+        # vocab that was too big to broadcast would be a new choke).
+        total = freq.agg(F.sum("c").alias("n"))
+        scored_in = dtc.join(freq, "token").crossJoin(F.broadcast(total))
     scored = (
-        dtc.join(freq, "token")
-        .crossJoin(F.broadcast(total))
+        scored_in
         .select(
             id_col,
+            *extra_cols,
             "tc",
             F.round(F.log(F.col("c").cast("double") / F.col("n")), 6)
             .cast("decimal(18,6)")
@@ -211,7 +239,7 @@ def unigram_logprob(
         )
     )
     # lp·tc in exact decimal == summing lp once per occurrence
-    return scored.groupBy(id_col).agg(
+    return scored.groupBy(id_col, *extra_cols).agg(
         F.sum("tc").alias("n_tokens"),
         (
             F.sum(F.col("lp") * F.col("tc")).cast("decimal(38,6)").cast("double")
@@ -551,14 +579,13 @@ def perplexity_buckets(
     and head = lowest third, matching CCNet's orientation.
 
     Tercile cutpoints are EXACT discrete quantiles computed without a
-    global sort: per-(lang, score) histogram counts, a cumulative sum
-    over the histogram (window input is distinct scores per language —
-    at most one row per document, typically far fewer), then
+    global sort: a RANGE-framed windowed count per language (ties
+    included, so it equals the value-level cumulative histogram), then
     ``cut_q = MIN(score WHERE cum >= q * total)`` — percentile_disc
     semantics, reproducible bit-for-bit by the SQL oracle (both engines
-    compare the same IEEE doubles). At 100 TB the histogram window is
-    the one non-linear stage; if distinct scores per language ever
-    approach corpus size, swap the cutpoint estimate for the KLL sketch
+    compare the same IEEE doubles). At 100 TB the per-language window
+    is the one non-linear stage; if documents per language ever strain
+    a partition, swap the cutpoint estimate for the KLL sketch
     (``operators/sketches.py``) and keep the bucketing join unchanged.
 
     The per-document score table feeds two consumers (the histogram and
@@ -573,19 +600,24 @@ def perplexity_buckets(
     occur by construction since cutpoints derive from the same rows.
     """
     scored = (
-        unigram_logprob(documents, text_col, id_col)
-        .join(documents.select(id_col, lang_col), id_col)
+        unigram_logprob(documents, text_col, id_col, extra_cols=(lang_col,))
         .select(id_col, lang_col, (-F.col("mean_logprob")).alias("ppl"))
         .localCheckpoint(eager=False)
     )
-    hist = scored.groupBy(lang_col, "ppl").agg(F.count(F.lit(1)).alias("c"))
-    w_cum = Window.partitionBy(lang_col).orderBy("ppl")
+    # RANGE frame ending at currentRow includes ties, so the windowed
+    # count over the per-document rows IS the value-level cumulative
+    # histogram — no separate (lang, ppl) aggregate shuffle needed.
+    w_cum = (
+        Window.partitionBy(lang_col)
+        .orderBy("ppl")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     w_tot = Window.partitionBy(lang_col)
-    cum = hist.select(
+    cum = scored.select(
         lang_col,
         "ppl",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_tot).alias("tot"),
+        F.count(F.lit(1)).over(w_cum).alias("cum"),
+        F.count(F.lit(1)).over(w_tot).alias("tot"),
     )
     cuts = cum.groupBy(lang_col).agg(
         F.min(F.when(F.col("cum") >= F.col("tot") / F.lit(3.0), F.col("ppl"))).alias(
