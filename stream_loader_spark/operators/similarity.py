@@ -137,13 +137,9 @@ def kmeans_centroids(
     )
 
     for _ in range(iterations):
-        assigned = (
-            scatter(embeddings)
-            .crossJoin(F.broadcast(centroids))
-            .withColumn("cos", cosine_col(F.col(vec_col), F.col("centroid_vec")))
-            .groupBy(id_col, vec_col)
-            .agg(F.max(F.struct(F.col("cos"), (-F.col("centroid_id")).alias("neg_id"))).alias("m"))
-            .select(id_col, vec_col, (-F.col("m.neg_id")).alias("cluster_id"))
+        # same zero-shuffle projection argmax as assign_clusters
+        assigned = assign_clusters(
+            embeddings, num_centroids, id_col, vec_col, centroids
         )
         means = (
             assigned.select("cluster_id", F.posexplode(vec_col).alias("pos", "val"))
@@ -226,23 +222,48 @@ def assign_clusters(
     seed set; pass ``kmeans_centroids(...)`` output for refined ones."""
     if centroids is None:
         centroids = seed_centroids(embeddings, num_centroids, id_col, vec_col)
-    scored = scatter(embeddings).crossJoin(F.broadcast(centroids)).withColumn(
-        "cos", cosine_col(F.col(vec_col), F.col("centroid_vec"))
+    # Pack the (tiny) centroid set into ONE array-of-structs row,
+    # broadcast it, and take the argmax inside a single projection:
+    # zero shuffles, where the previous explode-to-C-rows + aggregate
+    # shuffled the corpus WITH the vector in the group key. The dot
+    # products are interpreted higher-order functions either way, so
+    # the in-projection transform costs the same C × dim work per row —
+    # it just stops paying to move every vector across the wire for it.
+    # Centroid norms ride the structs and the row norm is hoisted, so
+    # each norm is computed once. Tie-break matches the k-means update
+    # step: highest cosine, then lowest centroid_id (struct max over
+    # (cos, neg_id)).
+    cents = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id"),
+                    F.col("centroid_vec"),
+                    norm_col(F.col("centroid_vec")).alias("cnorm"),
+                )
+            )
+        ).alias("_cents")
     )
-    # argmax via max(struct): map-side-combinable, same tie-break as the
-    # k-means update step (highest cosine, then lowest centroid_id). The
-    # previous row_number window shuffled and sorted corpus × centroids
-    # rows with no partial aggregation — strictly worse for the
-    # identical result, and a second argmax implementation to keep
-    # tie-break-consistent by hand.
-    return (
-        scored.groupBy(id_col, vec_col)
-        .agg(
-            F.max(
-                F.struct(F.col("cos"), (-F.col("centroid_id")).alias("neg_id"))
-            ).alias("m")
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                F.round(
+                    dot_col(F.col(vec_col), c["centroid_vec"])
+                    / (F.col("_anorm") * c["cnorm"]),
+                    COSINE_SCALE,
+                ).alias("cos"),
+                (-c["centroid_id"]).alias("neg_id"),
+            ),
         )
-        .select(id_col, vec_col, (-F.col("m.neg_id")).alias("cluster_id"))
+    )
+    return (
+        scatter(embeddings)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_anorm", norm_col(F.col(vec_col)))
+        .select(id_col, vec_col, (-best["neg_id"]).alias("cluster_id"))
+        # empty centroid set → empty result, matching the old join form
+        .where(F.col("cluster_id").isNotNull())
     )
 
 
