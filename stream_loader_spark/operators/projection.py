@@ -123,6 +123,7 @@ def formatted_records_split(
     schema: str,
     value_col: str = "props",
     corrupt_col: str = "_corrupt_record",
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """P1 with a dead-letter path: (good, quarantined) DataFrames.
 
@@ -143,7 +144,10 @@ def formatted_records_split(
     shuffle — but they are two separate ACTIONS when written to two
     sinks, so a ``foreachBatch`` router should ``persist()`` the
     micro-batch first to pay the source scan once (see
-    tests/test_streaming_sinks.py::TestQuarantineRouting).
+    tests/test_streaming_sinks.py::TestQuarantineRouting). Batch
+    callers that consume BOTH sides inside one job can pass
+    ``materialize=True`` instead: the parsed frame is checkpointed so
+    the scan and the JSON parse run once rather than once per side.
     """
     full_schema = f"{schema}, {corrupt_col} STRING"
     parsed = records.withColumn(
@@ -152,6 +156,8 @@ def formatted_records_split(
             F.col(value_col), full_schema, {"columnNameOfCorruptRecord": corrupt_col}
         ),
     )
+    if materialize:
+        parsed = parsed.localCheckpoint(eager=False)
     is_bad = F.col(f"_parsed.{corrupt_col}").isNotNull()
     good = (
         parsed.where(~is_bad | F.col(value_col).isNull())

@@ -101,13 +101,22 @@ def benchmark_contamination(
     corpus document then answers its overlap with a map-side join —
     no corpus-sized shuffle. Emits (doc_id, n_shingles, n_contaminated,
     contamination) with the fraction as one exact IEEE division.
+
+    Both sides compare 64-bit HASHED shingles (``hash_shingles_over``):
+    membership over the hashes equals membership over the strings up
+    to 64-bit collisions (the minhash-verify argument — the string
+    oracle is the ground truth), the per-window string concat never
+    materializes, and the broadcast set carries 8-byte longs instead
+    of n-word strings.
     """
-    doc_shingles = (
-        scatter(documents)
-        .select(F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_size)).alias("shingle"))
-    )
+    from stream_loader_spark.operators.dedup import with_hash_shingles
+
+    doc_shingles = with_hash_shingles(
+        documents, text_col, id_col, size=shingle_size
+    ).select(F.col(id_col), F.explode("shingles").alias("shingle"))
     bench_shingles = (
-        benchmark.select(F.explode(shingles_col(F.col(text_col), shingle_size)).alias("shingle"))
+        with_hash_shingles(benchmark, text_col, id_col, size=shingle_size)
+        .select(F.explode("shingles").alias("shingle"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
@@ -180,8 +189,11 @@ def tfidf_top_terms(
     with_df = tf.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
     )
+    # "has at least one token" == "has a non-whitespace char": a regex
+    # FIND per doc instead of re-running the full split-and-filter
+    # tokenizer on the counting scan
     n_docs = sdocs.select(
-        F.count(F.when(F.size(tokens_col(F.col(text_col))) > 0, 1))
+        F.count(F.when(F.col(text_col).rlike(r"\S"), 1))
         .cast("double")
         .alias("n_docs")
     )

@@ -3501,7 +3501,7 @@ def p1_quarantine_routing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("offset") % 17 == 0, F.concat(F.lit("{"), F.col("props"))
         ).otherwise(F.col("props")),
     )
-    good, bad = formatted_records_split(c, "k INT")
+    good, bad = formatted_records_split(c, "k INT", materialize=True)
     g = good.groupBy("topic").agg(
         F.count(F.lit(1)).alias("n_good"), F.sum("k").alias("k_sum")
     )
