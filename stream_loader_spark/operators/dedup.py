@@ -48,6 +48,14 @@ from stream_loader_spark.sources.tables import scatter
 NUM_HASHES = 32          # MinHash signature length
 NUM_BANDS = 16           # LSH bands (rows per band = 32/16 = 2)
 SHINGLE_SIZE = 3         # word shingles
+
+# Identity of the banding scheme a persisted band index was built with
+# (hash family, signature length, banding, shingle size). Index stores
+# (streaming/ingest.py) stamp this on creation and refuse to reopen
+# under a different scheme: band hashes from two schemes are mutually
+# meaningless, so a silent mix would LOSE RECALL, not error.
+SIGNATURE_SCHEME = f"xxh64-seeded-h{NUM_HASHES}-b{NUM_BANDS}-s{SHINGLE_SIZE}"
+
 SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 4
 SMALL_GRAPH_EDGES = 1_000_000  # below this, components resolve driver-side

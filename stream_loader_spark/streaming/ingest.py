@@ -294,8 +294,31 @@ class NearDupIngestSink:
         self.out_dir = out_dir
         self.text_col = text_col
         self.id_col = id_col
+        self._check_scheme()
         self._band_state = BatchDirState(self._bands_dir)
         self._doc_state = BatchDirState(self._docs_dir)
+
+    def _check_scheme(self) -> None:
+        """Stamp the banding scheme on a fresh index; refuse to reopen
+        an index built under a different one. Band hashes from two
+        schemes never collide meaningfully, so mixing them would
+        silently stop finding history duplicates instead of erroring.
+        """
+        from stream_loader_spark.operators.dedup import SIGNATURE_SCHEME
+
+        path = os.path.join(self.out_dir, "scheme.json")
+        existing = _read_json(path)
+        if existing is None:
+            os.makedirs(self.out_dir, exist_ok=True)
+            _write_json_atomic(path, {"scheme": SIGNATURE_SCHEME})
+        elif existing.get("scheme") != SIGNATURE_SCHEME:
+            raise ValueError(
+                f"band index at {self.out_dir!r} was built with scheme "
+                f"{existing.get('scheme')!r} but this build uses "
+                f"{SIGNATURE_SCHEME!r}; rebuild the index (or run the "
+                "matching version) — probing across schemes silently "
+                "loses recall"
+            )
 
     @property
     def _corpus_dir(self) -> str:

@@ -120,6 +120,27 @@ class TestNearDupIngest:
         kept = sorted(r["doc_id"] for r in sink.committed_corpus(spark).collect())
         assert kept == [1, 5]
 
+    def test_mismatched_banding_scheme_is_refused(self, spark, tmp_path):
+        """An index persisted under one banding scheme must not be
+        probed by a build with another: band hashes across schemes
+        never collide meaningfully, so the failure mode is silent
+        recall loss — the sink must refuse loudly instead."""
+        import json
+
+        from stream_loader_spark.streaming.ingest import NearDupIngestSink
+
+        out = str(tmp_path / "out")
+        sink = NearDupIngestSink(out)
+        b0 = spark.createDataFrame([(1, NEAR_A)], DOC_SCHEMA)
+        sink(b0, 0)
+        # same scheme reopens fine
+        NearDupIngestSink(out)
+        # forge a foreign scheme stamp — reopen must raise, not probe
+        with open(os.path.join(out, "scheme.json"), "w") as fh:
+            json.dump({"scheme": "xxh64-seeded-h64-b16-s3"}, fh)
+        with pytest.raises(ValueError, match="scheme"):
+            NearDupIngestSink(out)
+
     def test_streamed_end_to_end(self, spark, tmp_path):
         from stream_loader_spark.streaming.ingest import NearDupIngestSink
 
