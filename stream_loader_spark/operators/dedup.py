@@ -881,11 +881,30 @@ def with_simhash(
     return counts.selectExpr(id_col, f"cast({terms} as bigint) as simhash")
 
 
+def _paired_labels(
+    spark_docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(id, cluster_id) for nodes that APPEAR IN A PAIR — the working
+    set of every dedup policy. Documents touching no pair are
+    singletons by definition; callers that need them labeled too
+    (``dedup_components``) union them in with one corpus anti-join,
+    and callers that don't (the keep-one-per-cluster policies, where
+    singletons pass through untouched) skip that corpus-sized join
+    entirely."""
+    return dedup_components(
+        spark_docs, pairs, id_col, max_iterations, _paired_only=True
+    )
+
+
 def dedup_components(
     documents: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 50,
+    _paired_only: bool = False,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (id → cluster_id).
 
@@ -924,12 +943,15 @@ def dedup_components(
             id_type=pairs.schema["doc_a"].dataType.simpleString(),
         )
         pairs.unpersist()
+        paired = labels.select(
+            F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+        )
+        if _paired_only:
+            return paired
         singletons = documents.select(F.col(id_col)).join(
             labels.select(F.col("node").alias(id_col)), id_col, "left_anti"
         ).select(F.col(id_col), F.col(id_col).alias("cluster_id"))
-        return labels.select(
-            F.col("node").alias(id_col), F.col("label").alias("cluster_id")
-        ).unionByName(singletons)
+        return paired.unionByName(singletons)
 
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -977,6 +999,8 @@ def dedup_components(
         )
     pairs.unpersist()
     paired = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    if _paired_only:
+        return paired
     singletons = documents.select(F.col(id_col)).join(
         paired.select(id_col), id_col, "left_anti"
     ).select(F.col(id_col), F.col(id_col).alias("cluster_id"))
@@ -990,8 +1014,10 @@ def dedup_keep_representative(
 ) -> DataFrame:
     """Keep one document per near-dup cluster (the min id); singletons
     survive untouched. The standard end-to-end near-dup dedup:
-    pairs → components → anti-join the losers."""
-    comps = dedup_components(documents, pairs, id_col)
+    pairs → components → anti-join the losers. Losers can only be
+    PAIRED documents, so the components run skips labeling singletons
+    (which costs a corpus-sized anti-join it would then discard)."""
+    comps = _paired_labels(documents, pairs, id_col)
     losers = comps.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
     return documents.join(losers, id_col, "left_anti")
 
@@ -1006,19 +1032,22 @@ def dedup_keep_best_in_cluster(
     (ties → lowest id) instead of the arbitrary min-id representative.
 
     Composition of two scale-safe pieces: connected components label
-    every document (iteration cost tracks the duplicate population),
-    then ONE map-side-combinable aggregate picks each cluster's winner
-    via max_by over a (quality, -id) struct, and a left-semi join
-    filters the corpus. No window over clusters, no per-cluster row
-    materialization.
+    the PAIRED documents (iteration cost tracks the duplicate
+    population; singletons survive by definition, so they are never
+    labeled, joined, or ranked), then ONE map-side-combinable
+    aggregate picks each cluster's winner via max_by over a
+    (quality, -id) struct, and an anti-join drops the losers from the
+    corpus. No window over clusters, no per-cluster row
+    materialization, no corpus-sized singleton labeling.
     """
-    comps = dedup_components(documents, pairs, id_col)
+    comps = _paired_labels(documents, pairs, id_col)
     labeled = documents.select(id_col, quality_col).join(comps, id_col)
     pref = F.struct(F.col(quality_col).alias("q"), (-F.col(id_col)).alias("tie"))
     winners = labeled.groupBy("cluster_id").agg(
         F.max_by(F.col(id_col), pref).alias(id_col)
     )
-    return documents.join(winners.select(id_col), id_col, "left_semi")
+    losers = comps.select(id_col).join(winners.select(id_col), id_col, "left_anti")
+    return documents.join(losers, id_col, "left_anti")
 
 
 def simhash_pairs(

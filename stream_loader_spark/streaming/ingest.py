@@ -352,7 +352,7 @@ class NearDupIngestSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from stream_loader_spark.operators.dedup import (
             band_index,
-            dedup_components,
+            _paired_labels,
             incremental_near_dup_pairs,
         )
 
@@ -382,7 +382,9 @@ class NearDupIngestSink:
             .join(rem_ids.withColumnRenamed(self.id_col, "doc_b"), "doc_b")
             .select("doc_a", "doc_b")
         )
-        comps = dedup_components(remaining, batch_pairs, self.id_col)
+        # losers are paired docs only — skip the corpus-sized
+        # singleton labeling (see dedup._paired_labels)
+        comps = _paired_labels(remaining, batch_pairs, self.id_col)
         losers = comps.where(F.col(self.id_col) != F.col("cluster_id")).select(self.id_col)
         survivors = remaining.join(losers, self.id_col, "left_anti").persist()
 
