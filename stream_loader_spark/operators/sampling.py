@@ -235,9 +235,17 @@ def leakage_free_splits(
         )
     # local import: dedup pulls the whole minhash/banding surface, which
     # plain bucket-sampling users shouldn't pay for at import time
-    from stream_loader_spark.operators.dedup import dedup_components
+    from stream_loader_spark.operators.dedup import _paired_labels
 
-    comps = dedup_components(documents, pairs, id_col)
+    # every document needs a label, but synthesizing singleton labels
+    # inside the components run costs a corpus-sized anti-join PLUS a
+    # union; one LEFT join against the paired-only labels with a
+    # coalesce to self assigns the identical labeling in a single pass
+    # (the SQL oracle is written exactly this way)
+    paired = _paired_labels(documents, pairs, id_col)
+    comps = documents.select(id_col).join(paired, id_col, "left").select(
+        id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+    )
     b = sample_bucket(F.col("cluster_id"), salt)
     return comps.select(
         id_col,
