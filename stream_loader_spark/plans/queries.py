@@ -121,9 +121,24 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dsum(col: F.Column | str, alias: str) -> F.Column:
-    """Exact decimal sum surfaced as DOUBLE (cross-engine stable)."""
+    """Exact decimal sum surfaced as DOUBLE (cross-engine stable).
+
+    Integer fast path (same contract as ``stats.grouped_moment_stats_cents``):
+    every column this engine dsum-aggregates is an exact 2-decimal
+    money/quantity value (fixture-verified: lineitem money columns,
+    o_totalprice, acctbals, events.value — all |v| < 10^6 with
+    2-decimal scale), so each row scales to BIGINT cents exactly
+    (|v·100 − round| ≤ |cents|·2^-52 ≪ 0.5), the per-row hot loop is a
+    long add instead of an ANSI-checked decimal add, and ONE decimal
+    division per GROUP recombines: Σcents/100 at scale 6 is exact for
+    scale-2 rationals, so the final double is the correctly-rounded
+    value of the exact sum — bit-identical to the decimal-sum oracle.
+    Σcents stays within bigint to ~10^10 rows per group at these
+    magnitudes; past that use the decimal form (ANSI overflow errors
+    loudly, never silently wrong)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast("decimal(18,6)")).cast("double").alias(alias)
+    cents = F.round(c.cast("double") * 100).cast("bigint")
+    return (F.sum(cents).cast("decimal(38,0)") / 100).cast("double").alias(alias)
 
 
 DSUM_SQL = "CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
@@ -149,7 +164,27 @@ def _rev_col() -> F.Column:
 
 
 def rev_sum(alias: str) -> F.Column:
-    return F.sum(_rev_col()).cast("decimal(38,6)").cast("double").alias(alias)
+    """Σ price·(1−discount) surfaced as DOUBLE, bit-identical to the
+    decimal-product oracle, with an integer-only per-row hot loop.
+
+    Both factors are exact 2-decimal rationals (price < 10^6 →
+    price_cents < 10^8; 0 ≤ 1−discount ≤ 1 → disc_cents ≤ 100), so the
+    per-row product of cents is an exact bigint < 10^10 — the same
+    value as the oracle's decimal(18,6)×decimal(18,6) product scaled
+    by 10^4. Product sums would overflow bigint at extreme row counts,
+    so each product splits hi = p >> 28, lo = p % 2^28 (p ≥ 0; Σlo
+    stays in bigint to ~3·10^10 rows per group, Σhi far beyond) and
+    the halves recombine EXACTLY in decimal on the grouped rows only;
+    the scale-6 division by 10^4 is exact for these scale-4 rationals,
+    so the double conversion is the correctly-rounded exact sum —
+    identical to CAST(CAST(SUM(dec×dec) AS DECIMAL(38,6)) AS DOUBLE)."""
+    pc = F.round(F.col("l_extendedprice").cast("double") * 100).cast("bigint")
+    dc = F.round((F.lit(1.0) - F.col("l_discount")).cast("double") * 100).cast("bigint")
+    p = pc * dc
+    total = F.sum(F.shiftright(p, 28)).cast("decimal(28,0)") * (1 << 28) + F.sum(
+        p % F.lit(1 << 28)
+    ).cast("decimal(38,0)")
+    return (total / 10000).cast("double").alias(alias)
 
 
 # ---------------------------------------------------------------------------
