@@ -7,18 +7,18 @@ Beyond-reference surface (BASELINE.json north star). Design notes for
   partial aggregation means the shuffle carries ~one row per distinct
   digest, not per input row.
 - **MinHash-LSH** is the shuffle-friendly near-dup algorithm: per-doc
-  signatures come from hashed-shingle-explode + 32 codegen'd
-  min-aggregates over cheap seeded rehashes of ONE base shingle hash
-  (map-side combine → the shuffle carries one signature per doc), then
-  docs are exploded only into ``bands`` rows each (b = NUM_BANDS,
+  signatures are an IN-ROW aggregate fold over the hashed-shingle
+  array (cheap seeded rehashes of ONE base shingle hash; zero
+  exchanges — signatures materialize in the scan stage), then docs
+  are exploded only into ``bands`` rows each (b = NUM_BANDS,
   constant), grouped by (band, band-hash) to find candidate buckets,
   and only candidate pairs are verified with true Jaccard. Work is
   proportional to input + number of colliding pairs — never all-pairs.
-- **SimHash** gives a single 64-bit signature per doc (token-explode +
-  64 conditional sums); near-dup candidates collide on one of 4 16-bit
-  chunks (Hamming-distance ≤ 3 over 64 bits is very likely to leave at
-  least one chunk untouched... with 4 chunks, distance ≤ 3 GUARANTEES
-  one identical chunk by pigeonhole).
+- **SimHash** gives a single 64-bit signature per doc (the same
+  in-row fold over md5 token hashes); near-dup candidates collide on
+  one of 4 16-bit chunks (Hamming-distance ≤ 3 over 64 bits is very
+  likely to leave at least one chunk untouched... with 4 chunks,
+  distance ≤ 3 GUARANTEES one identical chunk by pigeonhole).
 - All pair outputs are canonicalized as (doc_a < doc_b) and distinct.
 
 The reference itself only deduplicates replayed Kafka batches (SURVEY
