@@ -51,6 +51,32 @@ class TestMinHashLSH:
         from stream_loader_spark.operators.dedup import NUM_HASHES
         assert all(len(v) == NUM_HASHES for v in s1.values())
 
+    def test_signature_values_are_pinned_to_the_stamped_scheme(self, spark):
+        """GOLDEN values: persisted band indexes depend on the exact
+        hash family — seed literal TYPES included (xxhash64(x, 5) !=
+        xxhash64(x, 5L)). An implementation change that alters these
+        values must bump dedup.SIGNATURE_SCHEME (and this test), or
+        old indexes would be probed with meaningless hashes."""
+        from stream_loader_spark.operators.dedup import (
+            SIGNATURE_SCHEME,
+            with_simhash,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        mh = with_minhash(docs).collect()[0]["minhash"]
+        assert mh[:4] == [
+            -5914730673032327641,
+            -6515145331195677909,
+            -2190217279903150044,
+            -3477793475757806709,
+        ]
+        sh = with_simhash(docs).collect()[0]["simhash"]
+        assert sh == -1263619387986325520
+        assert SIGNATURE_SCHEME == "xxh64-seeded-h32-b16-s3"
+
     def test_finds_exact_and_near_duplicates(self, docs_with_dups):
         pairs = {
             (r["doc_a"], r["doc_b"]): r["jaccard"]
