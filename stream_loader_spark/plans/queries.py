@@ -3666,7 +3666,14 @@ def semantic_dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cosine_near_dup_pairs(
         emb, threshold=0.35, num_planes=8, num_bands=4, dim=64
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
-    scored = with_text_stats(docs).select("doc_id", "lang", "quality_score")
+    # keep_best consumes its corpus twice (quality join, final
+    # anti-join); checkpoint the narrow scored projection so the
+    # regex-heavy text-stats derivation runs once, not per consumer
+    scored = (
+        with_text_stats(docs)
+        .select("doc_id", "lang", "quality_score")
+        .localCheckpoint(eager=False)
+    )
     kept = dedup_keep_best_in_cluster(scored, pairs, quality_col="quality_score")
     return kept.select("doc_id", "lang", "quality_score")
 
