@@ -33,7 +33,7 @@ import itertools
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from stream_loader_spark.operators.text import tokens_col, tokens_sql
+from stream_loader_spark.operators.text import tokens_sql
 from stream_loader_spark.sources.tables import scatter
 
 # Signature length / banding. 32 hashes in 16 bands of 2 rows: the
@@ -175,73 +175,6 @@ def incremental_exact_dedup(
     )
 
 
-def shingles_col(text: Column, size: int = SHINGLE_SIZE) -> Column:
-    """Distinct word ``size``-shingles of the text; docs shorter than
-    ``size`` tokens contribute their whole text as one shingle."""
-    toks = tokens_col(text)
-    windows = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (size - 1)),
-        lambda i: F.array_join(F.slice(toks, i, size), " "),
-    )
-    return F.array_distinct(
-        F.when(F.size(toks) >= size, windows).otherwise(F.array(F.array_join(toks, " ")))
-    )
-
-
-def shingles_over(toks_expr: str, size: int = SHINGLE_SIZE) -> str:
-    """The shingle-window SQL expression over an EXISTING token-array
-    expression (usually a column reference — see ``with_shingles``)."""
-    t = toks_expr
-    return (
-        f"CASE WHEN size({t}) >= {size} THEN "
-        f"array_distinct(transform(sequence(1, size({t}) - {size - 1}), "
-        f"i -> array_join(slice({t}, i, {size}), ' '))) "
-        f"ELSE array(array_join({t}, ' ')) END"
-    )
-
-
-def shingles_sql(text_col: str = "text", size: int = SHINGLE_SIZE) -> str:
-    """``shingles_col`` as ONE SQL expression string. Hot query builders
-    use this instead of the Column composition: python-lambda
-    higher-order functions cost hundreds of ms of py4j round-trips per
-    construction (measured ~0.8 s for the shingle expression alone at
-    build time), while parsing one expr string is ~free. Semantics are
-    identical — same split, same windows, same distinct.
-
-    Prefer ``with_shingles`` in per-row hot paths: this inline form
-    embeds the tokenizer inside the window expression FOUR times, and
-    interpreted HOF evaluation re-runs it per reference."""
-    return shingles_over(tokens_sql(text_col), size)
-
-
-def with_shingles(
-    documents: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    extra_cols: tuple[str, ...] = (),
-    size: int = SHINGLE_SIZE,
-) -> DataFrame:
-    """(id, *extra_cols, shingles) with the tokenizer HOISTED into its
-    own projection.
-
-    The shingle window expression references the token array four
-    times, and interpreted higher-order functions have no common-
-    subexpression elimination — inlining the tokenizer re-ran the
-    regex split 4× per row (a measured ~2× on the shingle explode).
-    Aliasing the token array in a child projection fixes it durably:
-    CollapseProject keeps a NON-CHEAP alias that is referenced more
-    than once in its own Project, so the tokenize runs once per row
-    and every shingle consumer (explode generators included) sees the
-    attribute, not the expression."""
-    toks = (
-        scatter(documents)
-        .selectExpr(id_col, *extra_cols, f"{tokens_sql(text_col)} AS _toks")
-    )
-    return toks.selectExpr(
-        id_col, *extra_cols, f"{shingles_over('_toks', size)} AS shingles"
-    )
-
-
 def hash_shingles_over(toks_expr: str, size: int = SHINGLE_SIZE) -> str:
     """Distinct word ``size``-shingles of an EXISTING token-array
     expression as 64-BIT HASHES (array<bigint>), never materializing
@@ -259,7 +192,9 @@ def hash_shingles_over(toks_expr: str, size: int = SHINGLE_SIZE) -> str:
     exhaustive string-shingle oracles verify — while skipping the
     per-window string allocation and hashing each token's bytes once
     instead of re-concatenating. Docs shorter than ``size`` tokens
-    hash their whole text as one shingle, mirroring ``shingles_over``.
+    hash their whole text as one shingle (the canonical string form:
+    distinct space-joined word windows, whole text when shorter —
+    exactly what the SQL oracles spell out).
     """
     t = toks_expr
     win = ", 1L, ".join(f"element_at({t}, i + {j})" for j in range(size))
@@ -278,10 +213,13 @@ def with_hash_shingles(
     extra_cols: tuple[str, ...] = (),
     size: int = SHINGLE_SIZE,
 ) -> DataFrame:
-    """(id, *extra_cols, shingles: array<bigint>) — ``with_shingles``
-    with hashed shingles (see ``hash_shingles_over``); same hoisted
-    tokenizer projection (the window expression references the token
-    array ``size + 1`` times and interpreted HOFs have no CSE)."""
+    """(id, *extra_cols, shingles: array<bigint>) — per-doc distinct
+    hashed shingles (see ``hash_shingles_over``), with the tokenizer
+    HOISTED into its own projection: the window expression references
+    the token array ``size + 1`` times, interpreted HOFs have no
+    common-subexpression elimination, and CollapseProject keeps a
+    non-cheap alias referenced more than once — so the regex split
+    runs once per row instead of once per reference."""
     toks = (
         scatter(documents)
         .selectExpr(id_col, *extra_cols, f"{tokens_sql(text_col)} AS _toks")

@@ -16,7 +16,7 @@ scope alongside ``sampling``/``text``.
 
 Scale design:
 - Tokenize ONCE per document (hoisted token-array alias, see
-  ``dedup.with_shingles`` for why), explode features, and collapse to
+  ``dedup.with_hash_shingles`` for why), explode features, and collapse to
   per-(doc, bucket) counts immediately — the only corpus-sized shuffle,
   shrunk by the map-side partial aggregate (4096 buckets per doc max,
   regardless of document length).

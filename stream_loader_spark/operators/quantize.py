@@ -10,7 +10,7 @@ Everything is per-row array arithmetic (higher-order functions over
 the vector column): a narrow, shuffle-free transform that pipelines
 into whatever follows and scales linearly with the corpus. Expressions
 are built as ONE selectExpr string — python-lambda HOFs cost py4j
-round-trips per construction (see dedup.shingles_sql).
+round-trips per construction (see dedup.hash_shingles_over).
 
 The driver's canonicalizer rejects array cells, so the verification
 query surfaces scalars: the integer code CHECKSUM (exact — any

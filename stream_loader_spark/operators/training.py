@@ -32,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from stream_loader_spark.operators.dedup import shingles_col
 from stream_loader_spark.operators.text import tokens_col
 from stream_loader_spark.operators.sampling import sample_bucket
 from stream_loader_spark.sources.tables import scatter
