@@ -54,20 +54,3 @@ def batch_file_name(
     if partition_value is not None:
         parts.append(partition_value)
     return f"{deterministic_uuid(*parts)}.{extension}"
-
-
-def batch_id_file_name(
-    batch_id: int,
-    partition_value: str | None = None,
-    task_partition: int = 0,
-    extension: str = "parquet",
-) -> str:
-    """Deterministic name keyed by micro-batch id + writer partition.
-
-    Used by the streaming file sink, where the micro-batch id from the
-    checkpoint plays the role the stream ranges play in the reference.
-    """
-    parts = [f"batch={batch_id}", f"task={task_partition}"]
-    if partition_value is not None:
-        parts.append(partition_value)
-    return f"{deterministic_uuid(*parts)}.{extension}"

@@ -19,13 +19,6 @@ def millis_to_datetime(ms: int) -> datetime:
     return datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc)
 
 
-def datetime_to_millis(dt: datetime) -> int:
-    """Datetime → epoch millis; naive datetimes are taken as UTC."""
-    if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=timezone.utc)
-    return int(dt.timestamp() * 1000)
-
-
 @dataclass(frozen=True, order=False)
 class StreamPosition:
     """A position in one stream partition: next offset + watermark.

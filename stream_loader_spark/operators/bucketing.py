@@ -95,12 +95,3 @@ def exchange_count(df: DataFrame) -> int:
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     return sum(1 for tok in re.findall(r"\w*Exchange\b", plan) if tok == "Exchange")
-
-
-def sort_count(df: DataFrame) -> int:
-    """Number of Sort operators in the physical plan (see sortBy note)."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    return sum(
-        line.strip().lstrip("+-*( ").startswith("Sort ")
-        for line in plan.splitlines()
-    )
