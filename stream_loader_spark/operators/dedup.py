@@ -181,12 +181,14 @@ def hash_shingles_over(toks_expr: str, size: int = SHINGLE_SIZE) -> str:
     the shingle strings.
 
     The window hash is a multi-argument ``xxhash64`` over the window's
-    tokens with a literal ``1L`` interleaved between them: multi-arg
-    xxhash64 folds each value's raw bytes into one stream, so without
-    the separators (8 bytes ``01 00…`` that no whitespace-split token
-    can contain — they would need embedded NULs) the token lists
-    ("ab","c") and ("a","bc") would alias. With them the map from
-    string shingle to hash is injective up to 64-bit hash collisions
+    tokens with a literal ``1L`` interleaved between them. Spark's
+    multi-arg xxhash64 SEED-CHAINS per argument (each value is hashed
+    with the running hash as the seed), so ("ab","c") and ("a","bc")
+    cannot alias even without the separators — the ``1L``s are
+    redundant, kept only because they are baked into
+    ``SIGNATURE_SCHEME`` and removing them would invalidate persisted
+    band indexes for no gain. Either way the map from string shingle
+    to hash is injective up to 64-bit hash collisions
     (~1e-14 within even a 10k-shingle document), so Jaccard over these
     hash sets equals Jaccard over the string sets — which is what the
     exhaustive string-shingle oracles verify — while skipping the
@@ -256,9 +258,11 @@ def with_minhash(
     MinHash draws up to base-hash collisions; hashing 8 fixed bytes
     per seed instead of the shingle string per seed is the cost win.
     Seeds are INT literals (``sequence(0, n-1)``), matching the
-    explode-form's literal types bit-for-bit — signatures and band
-    hashes are unchanged, so persisted band indexes stay valid
-    (``SIGNATURE_SCHEME``).
+    round-7 explode form's literal types bit-for-bit — signatures and
+    band hashes equal that form exactly. Indexes persisted under the
+    PREVIOUS scheme (64 hashes of xxhash64 over shingle STRINGS) are
+    a different hash family entirely; ``SIGNATURE_SCHEME`` exists to
+    reject them rather than probe them with silent recall loss.
     """
     init = "array(" + ", ".join(["9223372036854775807L"] * num_hashes) + ")"
     merge = (

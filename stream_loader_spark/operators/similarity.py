@@ -216,24 +216,34 @@ def assign_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """IVF coarse quantizer assignment: broadcast join + per-row argmax;
     one pass over the corpus. Centroids default to the deterministic
-    seed set; pass ``kmeans_centroids(...)`` output for refined ones."""
+    seed set; pass ``kmeans_centroids(...)`` output for refined ones.
+    ``keep_cols`` names passenger columns to carry through the
+    projection so callers that need (cluster_id, passenger) pairs don't
+    re-join the assignment back onto the corpus — the assignment is a
+    pure projection, so carrying a column is free while the join is a
+    corpus-sized shuffle."""
     if centroids is None:
         centroids = seed_centroids(embeddings, num_centroids, id_col, vec_col)
     # Pack the (tiny) centroid set into ONE array-of-structs row,
-    # broadcast it, and take the argmax inside a single projection:
-    # zero shuffles, where the previous explode-to-C-rows + aggregate
-    # shuffled the corpus WITH the vector in the group key. The dot
-    # products are interpreted higher-order functions either way, so
-    # the in-projection transform costs the same C × dim work per row —
-    # it just stops paying to move every vector across the wire for it.
+    # broadcast it, and take the argmax inside a single projection —
+    # zero shuffles of the corpus. The dot products are interpreted
+    # higher-order functions, so scatter() spreads the C × dim per-row
+    # work across the cores. (A literal-unrolled codegen variant was
+    # measured 7× SLOWER: a k·dim-deep nested Add tree overwhelms the
+    # optimizer and falls out of codegen — keep the HOF form.)
     # Centroid norms ride the structs and the row norm is hoisted, so
     # each norm is computed once. Tie-break matches the k-means update
     # step: highest cosine, then lowest centroid_id (struct max over
-    # (cos, neg_id)).
-    cents = centroids.agg(
+    # (cos, neg_id)). coalesce(1) first: the centroid set is ≤
+    # num_centroids rows by construction, so collapsing to one
+    # partition before the global collect_list satisfies the
+    # aggregate's AllTuples requirement without a shuffle — one fewer
+    # exchange (and one fewer AQE stage) on every assignment.
+    cents = centroids.coalesce(1).agg(
         F.array_sort(
             F.collect_list(
                 F.struct(
@@ -261,7 +271,12 @@ def assign_clusters(
         scatter(embeddings)
         .crossJoin(F.broadcast(cents))
         .withColumn("_anorm", norm_col(F.col(vec_col)))
-        .select(id_col, vec_col, (-best["neg_id"]).alias("cluster_id"))
+        .select(
+            id_col,
+            vec_col,
+            *keep_cols,
+            (-best["neg_id"]).alias("cluster_id"),
+        )
         # empty centroid set → empty result, matching the old join form
         .where(F.col("cluster_id").isNotNull())
     )
@@ -314,17 +329,34 @@ def ivf_probe(
     """
     from pyspark.sql import Window
 
+    # Top-nprobe centroids per query as an in-row array selection over
+    # the one-row packed centroid set — no shuffle, no window sort: the
+    # centroid set is tiny by construction, so sort-desc + slice inside
+    # a projection replaces a row_number window (one fewer exchange and
+    # AQE stage per probe). Order matches the window form: cos DESC,
+    # then centroid_id ASC (neg_id DESC under reverse(array_sort)).
+    cents = centroids.coalesce(1).agg(
+        F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("_cents")
+    )
+    ranked = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.col("_cents"),
+                    lambda c: F.struct(
+                        cosine_col(F.col("query_vec"), c["centroid_vec"]).alias("cos"),
+                        (-c["centroid_id"]).alias("neg_id"),
+                    ),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
     qprobe = (
-        queries.crossJoin(F.broadcast(centroids))
-        .withColumn("cos", cosine_col(F.col("query_vec"), F.col("centroid_vec")))
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
-            ),
-        )
-        .where(F.col("rnk") <= nprobe)
-        .select("query_id", "query_vec", F.col("centroid_id").alias("cluster_id"))
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "query_vec", F.explode(ranked).alias("_p"))
+        .select("query_id", "query_vec", (-F.col("_p.neg_id")).alias("cluster_id"))
     )
     scored = (
         assigned.join(F.broadcast(qprobe), "cluster_id")

@@ -3583,21 +3583,25 @@ def cluster_label_purity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_loader_spark.operators.similarity import assign_clusters
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = assign_clusters(emb, num_centroids=16).select("vec_id", "cluster_id")
-    withlab = assigned.join(emb.select("vec_id", "label"), "vec_id")
-    lab = withlab.groupBy("cluster_id", "label").agg(F.count(F.lit(1)).alias("n_label"))
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_label"), F.asc("label"))
-    best = (
-        lab.withColumn("lrnk", F.row_number().over(w))
-        .where(F.col("lrnk") == 1)
-        .select("cluster_id", F.col("label").alias("majority_label"), "n_label")
+    # label rides the assignment projection (keep_cols) — no corpus
+    # self-join — and majority + total collapse into one re-aggregation
+    # of the tiny per-(cluster,label) counts (max over (n, -label)
+    # replaces the window), so the whole query is one linear pipeline:
+    # scan → argmax projection → two small aggregates. One corpus pass,
+    # two key-space-sized exchanges, no join, no window.
+    assigned = assign_clusters(emb, num_centroids=16, keep_cols=("label",)).select(
+        "cluster_id", "label"
     )
-    tot = withlab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_vectors"))
-    return tot.join(best, "cluster_id").select(
+    lab = assigned.groupBy("cluster_id", "label").agg(F.count(F.lit(1)).alias("n_label"))
+    top = F.max(F.struct(F.col("n_label"), (-F.col("label")).alias("neg_label")))
+    res = lab.groupBy("cluster_id").agg(
+        F.sum("n_label").alias("n_vectors"), top.alias("_top")
+    )
+    return res.select(
         "cluster_id",
         "n_vectors",
-        "majority_label",
-        (F.col("n_label").cast("double") / F.col("n_vectors")).alias("purity"),
+        (-F.col("_top.neg_label")).alias("majority_label"),
+        (F.col("_top.n_label").cast("double") / F.col("n_vectors")).alias("purity"),
     )
 
 

@@ -309,6 +309,21 @@ class NearDupIngestSink:
         path = os.path.join(self.out_dir, "scheme.json")
         existing = _read_json(path)
         if existing is None:
+            # Only stamp a genuinely FRESH index. A directory that
+            # already holds band/doc data but no scheme.json was built
+            # by a version that predates scheme stamping — its band
+            # hashes come from an unknown family, so stamping and
+            # probing it would be exactly the silent recall loss this
+            # guard exists to prevent.
+            for sub in (self._bands_dir, self._docs_dir):
+                if os.path.isdir(sub) and os.listdir(sub):
+                    raise ValueError(
+                        f"band index at {self.out_dir!r} has data but no "
+                        "scheme.json: it predates banding-scheme stamping "
+                        "and its band hashes are from an unknown scheme; "
+                        "rebuild the index — probing across schemes "
+                        "silently loses recall"
+                    )
             os.makedirs(self.out_dir, exist_ok=True)
             _write_json_atomic(path, {"scheme": SIGNATURE_SCHEME})
         elif existing.get("scheme") != SIGNATURE_SCHEME:

@@ -448,3 +448,40 @@ class TestRound5QueryPlans:
         plan = plan_of(spark, "profile_documents", sf_small)
         assert plan.count("FileScan") == 1
         assert "Expand" in plan
+
+
+class TestDsumContract:
+    """dsum's integer-cents fast path (plans/queries.py:dsum) silently
+    assumes every aggregated column is an exact 2-decimal value with
+    |v| < 10^6 — unlike the old ANSI decimal path it cannot detect a
+    violation at run time, so the contract is enforced HERE: every
+    fixture column that flows through dsum must round-trip through
+    cents exactly. A new dsum call site over a >2-decimal column must
+    extend this table or use the decimal form (DSUM_SQL)."""
+
+    # (table, column) for every dsum(...) call site in plans/queries.py
+    DSUM_COLUMNS = [
+        ("events", "value"),
+        ("lineitem", "l_quantity"),
+        ("lineitem", "l_extendedprice"),
+        ("orders", "o_totalprice"),
+        ("customer", "c_acctbal"),
+    ]
+
+    @pytest.mark.parametrize("sf_dir_name", ["sf0.001", "sf0.01"])
+    def test_dsum_columns_round_trip_as_cents(self, sf_dir_name):
+        import duckdb
+
+        sf_dir = f"/root/testdata/{sf_dir_name}"
+        con = duckdb.connect()
+        for table, col in self.DSUM_COLUMNS:
+            bad = con.execute(
+                f"SELECT COUNT(*) FROM '{sf_dir}/{table}.parquet' "
+                f"WHERE {col} IS NOT NULL AND ("
+                f"  CAST({col} AS DOUBLE) != ROUND(CAST({col} AS DOUBLE) * 100) / 100"
+                f"  OR ABS({col}) >= 1e6)"
+            ).fetchone()[0]
+            assert bad == 0, (
+                f"{table}.{col} has {bad} rows outside dsum's integer-cents "
+                "contract (2-decimal, |v| < 1e6) — use the decimal path"
+            )

@@ -141,6 +141,22 @@ class TestNearDupIngest:
         with pytest.raises(ValueError, match="scheme"):
             NearDupIngestSink(out)
 
+    def test_legacy_index_without_scheme_stamp_is_refused(self, spark, tmp_path):
+        """A pre-stamping index (band/doc data, NO scheme.json) was
+        built from an unknown hash family — the guard must fail
+        CLOSED, not stamp it with the current scheme and silently
+        probe it (the exact recall loss it exists to prevent). Only a
+        genuinely fresh out_dir gets stamped."""
+        from stream_loader_spark.streaming.ingest import NearDupIngestSink
+
+        out = str(tmp_path / "out")
+        sink = NearDupIngestSink(out)
+        b0 = spark.createDataFrame([(1, NEAR_A)], DOC_SCHEMA)
+        sink(b0, 0)
+        os.remove(os.path.join(out, "scheme.json"))  # simulate legacy index
+        with pytest.raises(ValueError, match="no scheme.json"):
+            NearDupIngestSink(out)
+
     def test_streamed_end_to_end(self, spark, tmp_path):
         from stream_loader_spark.streaming.ingest import NearDupIngestSink
 
