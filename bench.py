@@ -24,6 +24,8 @@ BENCH_QUERIES = [
     # stream-loader recovery / projection surface
     "a1_committed_positions",
     "a3_external_offsets",
+    "k2_manifest_positions",
+    "k8_inrow_positions",
     "a4_stream_ranges",
     "a5_merged_ranges",
     "s5_watermark_clamp",

@@ -19,6 +19,7 @@ check and pytest verifies them against exact baselines instead.
 
 from __future__ import annotations
 
+import os
 from datetime import datetime
 from typing import Callable
 
@@ -246,6 +247,102 @@ def a3_external_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_end_watermark",
     )
     return committed_positions_external(offs, "cg-even")
+
+
+def _sink_fixture_dir(sf_dir: str, name: str) -> str:
+    """Deterministic, version-stamped scratch dir for sink read-path
+    queries: the committed fixture is a pure function of the events
+    table, so reusing it across calls is safe and makes repeat runs
+    read-only; bump the version token whenever the written shape
+    changes so stale fixtures from older code are never reopened."""
+    import tempfile
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), "slsp_sink_fixtures_v1", sf, name)
+
+
+def _sliced_stream(spark: SparkSession, sf_dir: str):
+    """The events stream split into 4 deterministic offset-block slices
+    (FLOOR(offset/500) mod 4) — slices 0-2 get committed, slice 3 plays
+    the in-flight/crashed batch that recovery must exclude."""
+    rec = _events(spark, sf_dir).where(
+        F.col("topic").isNotNull() & F.col("partition").isNotNull()
+    )
+    return rec, F.pmod(F.floor(F.col("offset") / 500.0).cast("long"), F.lit(4))
+
+
+# committed slices (0-2) of the 4-way offset-block split; slice 3 is the
+# uncommitted tail both sink queries must prove invisible
+_COMMITTED_SLICE_SQL = "MOD(CAST(FLOOR(\"offset\" / 500.0) AS BIGINT), 4) != 3"
+
+
+@query(
+    "k2_manifest_positions",
+    f"""{_KAFKA_CTE}
+    SELECT topic, "partition", MAX("offset") + 1 AS next_offset
+    FROM kafka
+    WHERE topic IS NOT NULL AND "partition" IS NOT NULL
+      AND {_COMMITTED_SLICE_SQL}
+    GROUP BY 1, 2""",
+)
+def k2_manifest_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 read path end-to-end: commit three batches through the
+    two-phase manifest sink, write a fourth batch's DATA with no
+    manifest (the crash-between-data-and-manifest state), then recover
+    positions via the sink's own manifest scan — the oracle proves the
+    uncommitted data stayed invisible. Watermarks are compared by the
+    a1 query (full precision); here the manifest's ms-truncated stamp
+    is omitted rather than re-deriving DuckDB's float rounding.
+    Reference: S3FileStorage/two-phase commit
+    (core/batch/storage/TwoPhaseCommitBatchStorage.scala:31-75)."""
+    from stream_loader_spark.sinks.manifest import ManifestFileSink
+
+    rec, slice_col = _sliced_stream(spark, sf_dir)
+    sink = ManifestFileSink(_sink_fixture_dir(sf_dir, "k2_manifest"))
+    for b in range(3):
+        if not sink.is_batch_committed(b):
+            sink.write_batch(rec.where(slice_col == b), b)
+    undir = sink.batch_data_dir(3)
+    if not os.path.isdir(undir):
+        rec.where(slice_col == 3).write.mode("overwrite").parquet(undir)
+    rows = [
+        (topic, partition, int(pos.offset))
+        for (topic, partition), pos in sorted(sink.committed_positions().items())
+    ]
+    return spark.createDataFrame(
+        rows, "topic string, partition int, next_offset bigint"
+    )
+
+
+@query(
+    "k8_inrow_positions",
+    f"""{_KAFKA_CTE}
+    SELECT topic, "partition", MAX("offset") + 1 AS next_offset, MAX(ts) AS watermark
+    FROM kafka
+    WHERE topic IS NOT NULL AND "partition" IS NOT NULL
+      AND {_COMMITTED_SLICE_SQL}
+    GROUP BY 1, 2""",
+)
+def k8_inrow_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 read path end-to-end: commit three batches through the in-row
+    offsets sink, leave a fourth batch's files WITHOUT the _SUCCESS
+    marker (crashed partial write), then recover via the sink's own
+    A1 aggregation over its committed data — Kafka-free restart
+    (reference InDataOffsetBatchStorage.scala:21-22,
+    ClickHouseFileStorage.scala:38-47)."""
+    from stream_loader_spark.sinks.offsets import InRowOffsetsSink
+
+    rec, slice_col = _sliced_stream(spark, sf_dir)
+    sink = InRowOffsetsSink(_sink_fixture_dir(sf_dir, "k8_inrow"))
+    for b in range(3):
+        sink(rec.where(slice_col == b), b)  # idempotent: skips committed
+    pdir = sink._batch_dir(3)
+    if not os.path.isdir(pdir):
+        rec.where(slice_col == 3).write.mode("overwrite").parquet(pdir)
+        marker = os.path.join(pdir, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)  # simulate the crash before commit
+    return sink.committed_positions(spark)
 
 
 @query(
@@ -1976,7 +2073,16 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p.p_brand, p.p_type""",
 )
 def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape: distinct-count aggregation over a filtered join."""
+    """TPC-H Q16 shape: distinct-count aggregation over a filtered join.
+
+    Kept as broadcast-join → count_distinct: a pre-join distinct on
+    (l_partkey, l_suppkey) was tried (round 8) and measured 3× slower
+    locally — it adds a full extra shuffle stage, while the map-side
+    partial aggregate of the count_distinct already collapses the
+    post-join rows to the same (brand, type, suppkey) key space before
+    the one existing shuffle. The broadcast filter on part prunes the
+    probe side first, so nothing larger than the filtered join output
+    ever moves."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(F.col("p_size").isin(1, 5, 9, 13))
     return (

@@ -1,0 +1,162 @@
+"""Randomized kill-restart soak for the exactly-once sinks.
+
+The single-batch crash matrices in test_streaming_sinks.py prove each
+crash PHASE in isolation; this soak proves the phases compose: a run of
+many batches where a seeded RNG kills the sink at a random phase of a
+random subset of commits (sometimes repeatedly for the same batch),
+each kill followed by the restart replay — mirroring the reference's
+restart behavior suite (fixtures KafkaRestartBehaviors.scala:33-93) on
+file storage. Invariants after the dust settles: committed state equals
+the crash-free multiset (no loss), every stream key appears exactly
+once (no dups), and recovered positions equal the A1 aggregation.
+
+Seeded ``random.Random`` keeps the schedule deterministic run-to-run
+while still exercising an arbitrary interleaving of crash phases.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from datetime import datetime, timezone
+
+import pytest
+
+from stream_loader_spark.sinks.manifest import ManifestFileSink
+from stream_loader_spark.sinks.upsert import UpsertSink
+
+TS = datetime(2024, 1, 1, tzinfo=timezone.utc)
+SCHEMA = "topic string, partition int, offset bigint, ts timestamp"
+
+
+class TestManifestSinkSoak:
+    N_BATCHES = 10
+    ROWS_PER_PART = 25  # x2 partitions = 50 rows/batch
+
+    def _batch(self, spark, b):
+        rows = [
+            ("t", p, b * self.ROWS_PER_PART + j, TS)
+            for p in (0, 1)
+            for j in range(self.ROWS_PER_PART)
+        ]
+        return spark.createDataFrame(rows, SCHEMA)
+
+    def test_randomized_kill_restart_soak(self, spark, tmp_path):
+        rng = random.Random(0x5157)
+        sink = ManifestFileSink(str(tmp_path / "out"))
+
+        def crash_pre_data(s):
+            real = s._build_writer
+
+            def boom(df):
+                raise RuntimeError("killed before data write")
+
+            s._build_writer = boom
+            return lambda: setattr(s, "_build_writer", real)
+
+        def crash_mid_commit(s):
+            real = s._commit_manifest
+
+            def boom(batch_id, ranges):
+                raise RuntimeError("killed between data and manifest")
+
+            s._commit_manifest = boom
+            return lambda: setattr(s, "_commit_manifest", real)
+
+        phases = [crash_pre_data, crash_mid_commit, None]
+        kills = 0
+        for b in range(self.N_BATCHES):
+            batch = self._batch(spark, b)
+            attempts = 0
+            while not sink.is_batch_committed(b):
+                attempts += 1
+                # force success eventually so runtime stays bounded
+                phase = rng.choice(phases) if attempts < 3 else None
+                if phase is None:
+                    sink.write_batch(batch, b)
+                else:
+                    restore = phase(sink)
+                    with pytest.raises(RuntimeError, match="killed"):
+                        sink.write_batch(batch, b)
+                    restore()
+                    kills += 1
+            # replay of a committed batch is always a no-op
+            if rng.random() < 0.3:
+                sink.write_batch(batch, b)
+
+        assert kills > 0  # the schedule actually exercised crashes
+        expected = self.N_BATCHES * 2 * self.ROWS_PER_PART
+        data = sink.committed_data(spark)
+        keys = data.select("topic", "partition", "offset")
+        assert keys.count() == expected  # no loss
+        assert keys.distinct().count() == expected  # no dups
+        pos = sink.committed_positions()
+        top = self.N_BATCHES * self.ROWS_PER_PART
+        assert pos[("t", 0)].offset == top
+        assert pos[("t", 1)].offset == top
+        # no stray committed batches beyond the schedule
+        assert [c.batch_id for c in sink.committed_batches()] == list(
+            range(self.N_BATCHES)
+        )
+
+
+class TestUpsertSinkSoak:
+    N_BATCHES = 8
+    KEYSPACE = 24
+
+    def test_randomized_kill_restart_soak(self, spark, tmp_path):
+        rng = random.Random(0xB0B)
+        sink = UpsertSink(
+            str(tmp_path / "state"),
+            key_cols=["k"],
+            order_col="ver",
+            num_buckets=4,
+            tombstone_col="deleted",
+        )
+        model: dict[int, int] = {}  # key -> expected value (crash-free oracle)
+        kills = 0
+        for b in range(self.N_BATCHES):
+            # random upserts + occasional tombstones over a small keyspace
+            ops = []
+            for k in rng.sample(range(self.KEYSPACE), rng.randint(4, 10)):
+                if rng.random() < 0.2 and k in model:
+                    ops.append((k, b * 1000 + k, None, True))
+                    del model[k]
+                else:
+                    val = b * 1000 + k
+                    ops.append((k, val, val, False))
+                    model[k] = val
+            batch = spark.createDataFrame(
+                [(k, ver, val, dead) for k, ver, val, dead in ops],
+                "k int, ver bigint, val bigint, deleted boolean",
+            )
+            attempts = 0
+            while not sink.is_batch_committed(b):
+                attempts += 1
+                if attempts < 3 and rng.random() < 0.5:
+                    # kill between the versioned data write and the
+                    # manifest flip: the deterministic v=<batch_id> path
+                    # must make the replay overwrite, never duplicate
+                    real = sink._write_manifest
+
+                    def boom(manifest):
+                        raise RuntimeError("killed before manifest flip")
+
+                    sink._write_manifest = boom
+                    with pytest.raises(RuntimeError, match="killed"):
+                        sink.write_batch(batch, b)
+                    sink._write_manifest = real
+                    kills += 1
+                else:
+                    sink.write_batch(batch, b)
+            if rng.random() < 0.3:
+                sink.write_batch(batch, b)  # committed replay: no-op
+
+        assert kills > 0
+        got = {
+            r["k"]: r["val"] for r in sink.current_state(spark).collect()
+        }
+        assert got == model
+        # key uniqueness independently of the model comparison
+        state = sink.current_state(spark)
+        assert state.count() == state.select("k").distinct().count()
