@@ -53,6 +53,7 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    breakdown = "--breakdown" in sys.argv
     for name in names:
         fn = QUERIES[name]
         best = None
@@ -63,6 +64,29 @@ def main() -> None:
             best = took if best is None or took < best else best
         df = fn(spark, sf_dir)
         print(f"{name}: {best:.3f}s  {plan_counters(df)}")
+        if breakdown:
+            # Where does a sub-second query's wall clock go? Split the
+            # min-of-3 into: builder (Python DataFrame construction),
+            # compile (analysis+optimization+physical planning via
+            # executedPlan), execute (jobs; includes AQE re-planning,
+            # which only happens at run time). Each phase re-derived
+            # fresh so nothing is amortized across phases.
+            c = e = p = None
+            for _ in range(3):
+                t0 = time.time()
+                d1 = fn(spark, sf_dir)
+                t1 = time.time()
+                d1._jdf.queryExecution().executedPlan()
+                t2 = time.time()
+                d1.write.format("noop").mode("overwrite").save()
+                t3 = time.time()
+                p = min(p or 9e9, t1 - t0)
+                c = min(c or 9e9, t2 - t1)
+                e = min(e or 9e9, t3 - t2)
+            print(
+                f"    breakdown(min-of-3): build={p:.3f}s "
+                f"compile={c:.3f}s execute={e:.3f}s"
+            )
         if explain:
             df.explain("formatted")
 
