@@ -161,6 +161,7 @@ def tfidf_top_terms(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Top-``k`` TF-IDF terms per document.
 
@@ -169,25 +170,37 @@ def tfidf_top_terms(
     total-order deterministic.
 
     Single-derivation shape: the expensive tokenize→tf pipeline is
-    built EXACTLY ONCE. Document frequency attaches as a window count
-    over the token partitioning instead of a groupBy+re-join — the
-    earlier join form consumed ``tf`` three times and counted on
-    exchange reuse to dedup them, which the optimizer did not deliver
-    (the measured runtime plan tokenized the corpus three times). The
-    window costs one tf-sized exchange on token — the same key the
-    vocabulary aggregate shuffled on anyway — and drops the broadcast
-    assumption on vocabulary size entirely. The docs-with-tokens
-    scalar N comes from a second scan of the raw text WITHOUT explode
-    (``size(tokens) > 0`` — column-pruned, no shuffle), which is
-    strictly cheaper than re-deriving tf for a COUNT DISTINCT."""
+    built EXACTLY ONCE (lazily localCheckpoint-ed, the same lesson as
+    ``unigram_logprob``: the broadcast boundary defeats exchange reuse,
+    so without the checkpoint the vocabulary aggregate re-ran the whole
+    scan→tokenize→tf pipeline inside the broadcast build). Document
+    frequency is a vocabulary-sized aggregate of the checkpointed tf,
+    BROADCAST back onto it: df's join key is a unigram token — the most
+    Zipf-skewed key there is — so the earlier window-over-token form
+    hung every ("the", doc) row on one partition at scale, while the
+    vocabulary side (distinct words, sublinear in corpus size) fits an
+    executor for any natural-language corpus. ``broadcast_vocab=False``
+    is the documented fallback for pathological vocabularies; it
+    reverts to the token-partitioned window and leaves the skew to AQE.
+    The docs-with-tokens scalar N comes from a second scan of the raw
+    text WITHOUT explode (a regex FIND per doc — column-pruned, no
+    shuffle), strictly cheaper than re-deriving tf for a COUNT
+    DISTINCT."""
     sdocs = scatter(documents)
     toks = sdocs.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    with_df = tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
-    )
+    if broadcast_vocab:
+        tf = tf.localCheckpoint(eager=False)
+        # each tf row is one distinct (doc, token): counting rows per
+        # token IS document frequency
+        dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        with_df = tf.join(F.broadcast(dfreq), "token")
+    else:
+        with_df = tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
     # "has at least one token" == "has a non-whitespace char": a regex
     # FIND per doc instead of re-running the full split-and-filter
     # tokenizer on the counting scan
