@@ -194,22 +194,28 @@ def tfidf_top_terms(
     if broadcast_vocab:
         tf = tf.localCheckpoint(eager=False)
         # each tf row is one distinct (doc, token): counting rows per
-        # token IS document frequency
+        # token IS document frequency, and counting distinct ids IS
+        # "docs with at least one token" — both derive from the
+        # checkpointed tf, so N rides the same broadcast frame instead
+        # of costing a second raw-text scan + its own broadcast stage
         dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-        with_df = tf.join(F.broadcast(dfreq), "token")
+        nd = tf.agg(F.count_distinct(F.col(id_col)).cast("double").alias("n_docs"))
+        with_df = tf.join(F.broadcast(dfreq.crossJoin(nd)), "token")
+        scored_in = with_df
     else:
         with_df = tf.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
         )
-    # "has at least one token" == "has a non-whitespace char": a regex
-    # FIND per doc instead of re-running the full split-and-filter
-    # tokenizer on the counting scan
-    n_docs = sdocs.select(
-        F.count(F.when(F.col(text_col).rlike(r"\S"), 1))
-        .cast("double")
-        .alias("n_docs")
-    )
-    scored = with_df.crossJoin(F.broadcast(n_docs)).select(
+        # "has at least one token" == "has a non-whitespace char": a
+        # regex FIND per doc instead of re-running the full
+        # split-and-filter tokenizer on the counting scan
+        n_docs = sdocs.select(
+            F.count(F.when(F.col(text_col).rlike(r"\S"), 1))
+            .cast("double")
+            .alias("n_docs")
+        )
+        scored_in = with_df.crossJoin(F.broadcast(n_docs))
+    scored = scored_in.select(
         id_col,
         "token",
         "tf",
