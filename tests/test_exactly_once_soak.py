@@ -160,3 +160,135 @@ class TestUpsertSinkSoak:
         # key uniqueness independently of the model comparison
         state = sink.current_state(spark)
         assert state.count() == state.select("k").distinct().count()
+
+
+class TestClickHouseSoak:
+    """K7 under a randomized HTTP-500 schedule: N contiguous-offset
+    batches, a seeded RNG injecting 0-2 mid-insert failures per batch,
+    every failure followed by the streaming engine's retry of the whole
+    batch. Exactly-once obligations verified against the recording
+    server: every retry re-sends byte-identical dedup tokens (so real
+    ClickHouse drops replayed blocks server-side), one distinct body
+    per token across all attempts, and each failure drops the
+    driver-side position cache (a fresh A1 recovery SELECT precedes the
+    retry)."""
+
+    N_BATCHES = 8
+    ROWS = 20  # per batch, 2 partitions
+
+    @pytest.fixture()
+    def ch_server(self):
+        import json
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        from urllib.parse import urlparse, parse_qs
+
+        requests = []
+        control = {"fail_next_inserts": 0}
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                q = parse_qs(urlparse(self.path).query)
+                body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                query = q.get("query", [""])[0]
+                requests.append(
+                    {
+                        "query": query,
+                        "token": q.get("insert_deduplication_token", [None])[0],
+                        "body": body,
+                    }
+                )
+                if query.startswith("INSERT") and control["fail_next_inserts"] > 0:
+                    control["fail_next_inserts"] -= 1
+                    err = b"Code: 999. DB::Exception: injected failure"
+                    self.send_response(500)
+                    self.send_header("Content-Length", str(len(err)))
+                    self.end_headers()
+                    self.wfile.write(err)
+                    return
+                payload = b'{"data": []}' if query.startswith("SELECT") else b""
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *a):
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        yield {
+            "url": f"http://127.0.0.1:{srv.server_address[1]}",
+            "requests": requests,
+            "control": control,
+        }
+        srv.shutdown()
+
+    def test_randomized_http_fault_soak(self, spark, ch_server):
+        from stream_loader_spark.functions.rowbinary import CHType, RowBinaryEncoder
+        from stream_loader_spark.sinks.clickhouse import ClickHouseHttpStorage
+
+        rng = random.Random(0xC11C)
+        enc = RowBinaryEncoder(
+            [
+                ("topic", CHType("String")),
+                ("partition", CHType("Int32")),
+                ("offset", CHType("Int64")),
+                ("value", CHType("Float64")),
+            ]
+        )
+        storage = ClickHouseHttpStorage(
+            ch_server["url"], "db.events", enc, verify_dedup=False
+        )
+        kills = 0
+        for b in range(self.N_BATCHES):
+            batch = spark.createDataFrame(
+                [
+                    ("t", i % 2, b * self.ROWS + i, float(i), TS)
+                    for i in range(self.ROWS)
+                ],
+                "topic string, partition int, offset bigint, value double, ts timestamp",
+            )
+            while True:
+                n_fail = rng.choice([0, 0, 1, 2])
+                ch_server["control"]["fail_next_inserts"] = n_fail
+                if n_fail == 0:
+                    storage(batch, b)
+                    break
+                kills += 1
+                with pytest.raises(Exception, match="injected|999|500"):
+                    storage(batch, b)
+                # unspent injections must not leak into the retry
+                ch_server["control"]["fail_next_inserts"] = 0
+
+        assert kills > 0
+        inserts = [
+            r for r in ch_server["requests"] if r["query"].startswith("INSERT")
+        ]
+        # ClickHouse-side dedup emulation: one distinct body per token,
+        # byte-identical across every (re)send — a replay is a no-op
+        by_token: dict[str, bytes] = {}
+        for r in inserts:
+            assert r["token"], "every INSERT must carry a dedup token"
+            if r["token"] in by_token:
+                assert by_token[r["token"]] == r["body"], (
+                    "retry re-sent a block with the same token but "
+                    "different bytes — server-side dedup would keep the "
+                    "wrong rows"
+                )
+            else:
+                by_token[r["token"]] = r["body"]
+        # exactly one block per (batch, partition), all of which landed
+        assert len(by_token) == self.N_BATCHES * 2
+        # every row 2+'t'(1)+... = 22 bytes (see
+        # test_insert_posts_tokened_rowbinary_blocks); the deduped body
+        # bytes reconstruct the full row population exactly once
+        assert sum(len(v) for v in by_token.values()) == (
+            self.N_BATCHES * self.ROWS * 22
+        )
+        # each failure dropped the position cache: the sink re-issued
+        # the A1 recovery SELECT before (re)sending
+        selects = [
+            r for r in ch_server["requests"] if r["query"].startswith("SELECT")
+        ]
+        assert len(selects) >= kills
