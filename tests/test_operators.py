@@ -527,6 +527,26 @@ class TestIvfProbePrebuilt:
         probed = ivf_probe(assigned, centroids, queries, k=5).collect()
         assert sorted(map(tuple, probed)) == sorted(map(tuple, direct))
 
+    def test_keep_cols_rides_assignment_without_changing_it(self, spark, sf_small):
+        """keep_cols passengers must not alter cluster assignment, and
+        carrying them through the projection must equal the join-back
+        they exist to replace (the cluster_label_purity shape)."""
+        from stream_loader_spark.operators.similarity import assign_clusters
+        from stream_loader_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_small, "embeddings")
+        plain = {
+            r["vec_id"]: r["cluster_id"]
+            for r in assign_clusters(emb, 16).collect()
+        }
+        carried = assign_clusters(emb, 16, keep_cols=("label",)).collect()
+        assert {r["vec_id"]: r["cluster_id"] for r in carried} == plain
+        joined = {
+            (r["vec_id"], r["label"])
+            for r in emb.select("vec_id", "label").collect()
+        }
+        assert {(r["vec_id"], r["label"]) for r in carried} == joined
+
 
 class TestRepeatedNgramSpans:
     """Crafted-corpus semantics for operators/spans.py (the oracle
