@@ -253,12 +253,19 @@ def _sink_fixture_dir(sf_dir: str, name: str) -> str:
     """Deterministic, version-stamped scratch dir for sink read-path
     queries: the committed fixture is a pure function of the events
     table, so reusing it across calls is safe and makes repeat runs
-    read-only; bump the version token whenever the written shape
-    changes so stale fixtures from older code are never reopened."""
+    read-only. The path embeds (a) a code-version token — bump it when
+    the written shape changes — and (b) a fingerprint of the source
+    parquet (size + mtime), so a regenerated events table can never be
+    compared against a fixture committed from its previous contents."""
     import tempfile
 
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = f"{st.st_size}-{int(st.st_mtime)}"
     sf = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(tempfile.gettempdir(), "slsp_sink_fixtures_v1", sf, name)
+    return os.path.join(
+        tempfile.gettempdir(), "slsp_sink_fixtures_v1", f"{sf}-{fp}", name
+    )
 
 
 def _sliced_stream(spark: SparkSession, sf_dir: str):
