@@ -346,9 +346,12 @@ def k8_inrow_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdir = sink._batch_dir(3)
     if not os.path.isdir(pdir):
         rec.where(slice_col == 3).write.mode("overwrite").parquet(pdir)
-        marker = os.path.join(pdir, "_SUCCESS")
-        if os.path.exists(marker):
-            os.remove(marker)  # simulate the crash before commit
+    # outside the creation guard: a prior invocation crashing between
+    # the write and this removal must not leave the "crashed" batch
+    # looking committed on the next call
+    marker = os.path.join(pdir, "_SUCCESS")
+    if os.path.exists(marker):
+        os.remove(marker)  # simulate the crash before commit
     return sink.committed_positions(spark)
 
 
