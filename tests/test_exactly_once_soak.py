@@ -16,7 +16,6 @@ while still exercising an arbitrary interleaving of crash phases.
 
 from __future__ import annotations
 
-import os
 import random
 from datetime import datetime, timezone
 
