@@ -291,3 +291,64 @@ class TestClickHouseSoak:
             r for r in ch_server["requests"] if r["query"].startswith("SELECT")
         ]
         assert len(selects) >= kills
+
+
+class TestCompactionSoak:
+    """Maintenance ops under the same randomized kill discipline: writes
+    interleaved with compact_data (sometimes killed before its atomic
+    commit record) and vacuum. After EVERY step the committed view must
+    equal the crash-free multiset, and after the dust settles every
+    batch id must still prove committed (the compaction record's
+    transitive ``replaces`` closure — the property vacuum relies on to
+    delete original records safely)."""
+
+    N_BATCHES = 8
+    ROWS_PER_PART = 15
+
+    def test_compaction_vacuum_under_kill_schedule(self, spark, tmp_path):
+        rng = random.Random(0xC04C)
+        sink = ManifestFileSink(str(tmp_path / "out"))
+        for b in range(self.N_BATCHES):
+            batch = spark.createDataFrame(
+                [
+                    ("t", p, b * self.ROWS_PER_PART + j, TS)
+                    for p in (0, 1)
+                    for j in range(self.ROWS_PER_PART)
+                ],
+                SCHEMA,
+            )
+            sink.write_batch(batch, b)
+            roll = rng.random()
+            if roll < 0.4:
+                if rng.random() < 0.5:
+                    # die before the compaction record lands: the
+                    # consolidated dir exists but originals stay live
+                    real = sink._atomic_write_json
+
+                    def boom(record, final_name, _real=real):
+                        if final_name.startswith("compaction-"):
+                            raise RuntimeError("killed before compaction record")
+                        _real(record, final_name)
+
+                    sink._atomic_write_json = boom
+                    with pytest.raises(RuntimeError, match="killed"):
+                        sink.compact_data(spark, min_batches=1)
+                    sink._atomic_write_json = real
+                else:
+                    sink.compact_data(spark, min_batches=1)
+            elif roll > 0.7:
+                sink.vacuum()
+            # invariant after every write/compact/kill/vacuum step
+            n = (b + 1) * 2 * self.ROWS_PER_PART
+            data = sink.committed_data(spark)
+            keys = data.select("topic", "partition", "offset")
+            assert keys.count() == n
+            assert keys.distinct().count() == n
+        # every batch id still proves committed through the compaction
+        # records' transitive replaces closure, vacuums notwithstanding
+        for b in range(self.N_BATCHES):
+            assert sink.is_batch_committed(b), b
+        pos = sink.committed_positions()
+        top = self.N_BATCHES * self.ROWS_PER_PART
+        assert pos[("t", 0)].offset == top
+        assert pos[("t", 1)].offset == top
