@@ -256,15 +256,19 @@ def _sink_fixture_dir(sf_dir: str, name: str) -> str:
     read-only. The path embeds (a) a code-version token — bump it when
     the written shape changes — and (b) a fingerprint of the source
     parquet (size + mtime), so a regenerated events table can never be
-    compared against a fixture committed from its previous contents."""
-    import tempfile
-
+    compared against a fixture committed from its previous contents.
+    Lives under the repo's (gitignored) spark-warehouse scratch dir —
+    the one place this engine writes outside explicit sink paths."""
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     fp = f"{st.st_size}-{int(st.st_mtime)}"
     sf = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(
-        tempfile.gettempdir(), "slsp_sink_fixtures_v1", f"{sf}-{fp}", name
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "sink_fixtures_v1",
+        f"{sf}-{fp}",
+        name,
     )
 
 
