@@ -137,7 +137,9 @@ def kmeans_centroids(
     )
 
     for _ in range(iterations):
-        # same zero-shuffle projection argmax as assign_clusters
+        # same broadcast projection argmax as assign_clusters (its only
+        # exchange is scatter()'s local-mode fan-out, a no-op on
+        # already-split inputs)
         assigned = assign_clusters(
             embeddings, num_centroids, id_col, vec_col, centroids
         )
