@@ -122,6 +122,20 @@ class UpsertSink:
                 f"upsert sink config mismatch at {self.path}: "
                 f"manifest pinned {stored}, sink configured {self._config()}"
             )
+        if stored is None and manifest.get("batches"):
+            # Fail CLOSED on a data-bearing manifest with no pinned
+            # config (written before config pinning existed): its
+            # layout is unknowable from the dirs, and stamping THIS
+            # sink's layout onto it would silently merge the wrong
+            # bucket directories — the exact duplicate-key corruption
+            # the pin exists to prevent.
+            raise ValueError(
+                f"upsert sink manifest at {self.path} has committed "
+                "batches but no pinned config: it predates config "
+                "pinning and its bucket layout is unknown; rebuild the "
+                "state (or open it with the exact original layout and "
+                "a version that does not enforce the pin)"
+            )
 
     def _write_manifest(self, manifest: dict) -> None:
         manifest.setdefault("config", self._config())

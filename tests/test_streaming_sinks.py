@@ -1703,3 +1703,49 @@ class TestUpsertModelBased:
             except ValueError:
                 got = {}
             assert got == model, f"trial {trial} diverged"
+
+
+class TestUpsertConfigPin:
+    """The bucket layout (num_buckets/key_cols/order_col) is pinned in
+    the manifest on first write; reopening under a different layout —
+    or reopening a pre-pinning manifest whose layout is unknowable —
+    must fail loudly: _bucket_col hashes under the CURRENT sink's
+    layout, so a mismatch silently merges the wrong bucket directories
+    and duplicates keys."""
+
+    def _write_one(self, spark, path, **kw):
+        from stream_loader_spark.sinks.upsert import UpsertSink
+
+        sink = UpsertSink(str(path), ["k"], "ver", **kw)
+        sink.write_batch(
+            spark.createDataFrame([(1, 1, "a")], "k int, ver bigint, v string"), 0
+        )
+        return sink
+
+    def test_layout_mismatch_is_refused(self, spark, tmp_path):
+        from stream_loader_spark.sinks.upsert import UpsertSink
+
+        self._write_one(spark, tmp_path / "state", num_buckets=4)
+        # same layout reopens fine
+        UpsertSink(str(tmp_path / "state"), ["k"], "ver", num_buckets=4)._read_manifest()
+        with pytest.raises(ValueError, match="config mismatch"):
+            UpsertSink(
+                str(tmp_path / "state"), ["k"], "ver", num_buckets=8
+            )._read_manifest()
+
+    def test_data_bearing_manifest_without_config_is_refused(self, spark, tmp_path):
+        import json
+
+        from stream_loader_spark.sinks.upsert import UpsertSink
+
+        self._write_one(spark, tmp_path / "state", num_buckets=4)
+        mp = os.path.join(str(tmp_path / "state"), "manifest.json")
+        with open(mp) as fh:
+            m = json.load(fh)
+        del m["config"]  # simulate a pre-pinning manifest
+        with open(mp, "w") as fh:
+            json.dump(m, fh)
+        with pytest.raises(ValueError, match="no pinned config"):
+            UpsertSink(
+                str(tmp_path / "state"), ["k"], "ver", num_buckets=4
+            )._read_manifest()
