@@ -169,10 +169,10 @@ BENCH_QUERIES = [
 RATIO_SKIP: set[str] = set()
 
 
-def duckdb_timings(sf_dir: str, names: list[str]) -> dict[str, float]:
-    """One timed DuckDB run per oracle-backed bench query (same parquet,
-    all cores) — the per-query denominator that keeps Spark regressions
-    visible against an embedded-engine yardstick."""
+def duckdb_connect(sf_dir: str):
+    """DuckDB connection with the fixture tables registered as views,
+    plus the oracle map — shared by the main timing sweep and the
+    outlier re-measure window so both engines can be re-timed."""
     import duckdb
 
     from stream_loader_spark.sources.tables import TABLE_NAMES, table_path
@@ -182,18 +182,35 @@ def duckdb_timings(sf_dir: str, names: list[str]) -> dict[str, float]:
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    return con, oracles
+
+
+def duckdb_timings(con, oracles, names: list[str]) -> dict[str, float]:
+    """Timed DuckDB runs per oracle-backed bench query (same parquet,
+    all cores) — the per-query denominator that keeps Spark regressions
+    visible against an embedded-engine yardstick.
+
+    SAME pass protocol as the Spark side (min of 3, two extra passes
+    when the min is sub-second): an asymmetric protocol where only the
+    numerator gets extra min-of-N samples can only shrink reported
+    ratios, so both engines follow one rule."""
     out: dict[str, float] = {}
-    # min of two runs, mirroring the Spark side: single-shot DuckDB
-    # numbers swing several × with page-cache state and CPU contention
-    for _ in range(2):
-        for name in names:
-            if name not in oracles or name in RATIO_SKIP:
+    passes: dict[str, int] = {}
+    for name in names:
+        if name not in oracles or name in RATIO_SKIP:
+            continue
+        passes[name] = 3
+    for round_no in range(5):
+        for name, want in passes.items():
+            if round_no >= want:
                 continue
             t0 = time.time()
             con.execute(oracles[name]).fetchall()
             took = round(time.time() - t0, 3)
             if name not in out or took < out[name]:
                 out[name] = took
+            if round_no == 2 and out[name] < 1.0:
+                passes[name] = 5
     return out
 
 
@@ -278,19 +295,27 @@ def main() -> None:
                 passes = 5
 
     try:
-        duck = duckdb_timings(sf_dir, [n for n in BENCH_QUERIES if n in timings])
+        duck_con, oracles = duckdb_connect(sf_dir)
+        duck = duckdb_timings(
+            duck_con, oracles, [n for n in BENCH_QUERIES if n in timings]
+        )
     except Exception as exc:  # noqa: BLE001
         failures["__duckdb__"] = f"{type(exc).__name__}: {exc}"[:300]
-        duck = {}
+        duck_con, oracles, duck = None, {}, {}
 
     # Outlier re-measure: a CPU-steal burst that spans a query's whole
     # pass window leaves an inflated min that no within-window pass
-    # count fixes. Now that the DuckDB yardstick is known, queries whose
-    # ratio looks pathological but whose absolute cost is small get one
-    # more 3-pass window minutes later — min across windows is still the
-    # same steady-state estimator, just sampled at two points in time.
-    for name, d in duck.items():
+    # count fixes. Queries whose ratio looks pathological but whose
+    # absolute cost is small get one more 2-pass window minutes later —
+    # min across windows is still the same steady-state estimator, just
+    # sampled at two points in time. BOTH engines are re-timed in the
+    # second window (a min can only decrease, so re-measuring only the
+    # numerator would bias every re-sampled ratio downward), and the
+    # re-sampled set is recorded in the artifact for auditability.
+    resampled: list[str] = []
+    for name, d in sorted(duck.items()):
         if d > 0 and timings[name] / d > 8 and timings[name] < 2.5:
+            resampled.append(name)
             fn = QUERIES[name]
             for _ in range(2):
                 t0 = time.time()
@@ -299,6 +324,10 @@ def main() -> None:
                 except Exception:  # noqa: BLE001 — keep the original min
                     break
                 timings[name] = min(timings[name], round(time.time() - t0, 3))
+            for _ in range(2):
+                t0 = time.time()
+                duck_con.execute(oracles[name]).fetchall()
+                duck[name] = min(duck[name], round(time.time() - t0, 3))
 
     total = round(sum(timings.values()), 3)
     ratios = {
@@ -321,6 +350,9 @@ def main() -> None:
         "ratio_total": round(common_spark / duck_total, 2) if duck_total else None,
         "duckdb_total": duck_total,
         "ratio_skipped": sorted(RATIO_SKIP),
+        # audit trail: queries whose ratio triggered the second-window
+        # re-measure (both engines re-timed there, see above)
+        "resampled": resampled,
         "failures": failures,
     }
     # Per-query detail goes to a file plus an early stdout line; the

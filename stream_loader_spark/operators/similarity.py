@@ -228,6 +228,16 @@ def assign_clusters(
     re-join the assignment back onto the corpus — the assignment is a
     pure projection, so carrying a column is free while the join is a
     corpus-sized shuffle."""
+    # fail fast on passenger-column collisions: a keep_col named like
+    # an output/input column would only surface downstream as an
+    # ambiguous-reference AnalysisException far from the cause
+    if len(set(keep_cols)) != len(keep_cols):
+        raise ValueError(f"keep_cols contains duplicates: {keep_cols}")
+    clash = set(keep_cols) & {id_col, vec_col, "cluster_id"}
+    if clash:
+        raise ValueError(
+            f"keep_cols {sorted(clash)} collide with id_col/vec_col/'cluster_id'"
+        )
     if centroids is None:
         centroids = seed_centroids(embeddings, num_centroids, id_col, vec_col)
     # Pack the (tiny) centroid set into ONE array-of-structs row,

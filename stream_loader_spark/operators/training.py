@@ -170,38 +170,45 @@ def tfidf_top_terms(
     total-order deterministic.
 
     Single-derivation shape: the expensive tokenize→tf pipeline is
-    built EXACTLY ONCE (lazily localCheckpoint-ed, the same lesson as
-    ``unigram_logprob``: the broadcast boundary defeats exchange reuse,
-    so without the checkpoint the vocabulary aggregate re-ran the whole
-    scan→tokenize→tf pipeline inside the broadcast build). Document
-    frequency is a vocabulary-sized aggregate of the checkpointed tf,
-    BROADCAST back onto it: df's join key is a unigram token — the most
-    Zipf-skewed key there is — so the earlier window-over-token form
-    hung every ("the", doc) row on one partition at scale, while the
-    vocabulary side (distinct words, sublinear in corpus size) fits an
-    executor for any natural-language corpus. ``broadcast_vocab=False``
-    is the documented fallback for pathological vocabularies; it
-    reverts to the token-partitioned window and leaves the skew to AQE.
-    The docs-with-tokens scalar N comes from a second scan of the raw
-    text WITHOUT explode (a regex FIND per doc — column-pruned, no
-    shuffle), strictly cheaper than re-deriving tf for a COUNT
-    DISTINCT."""
+    built EXACTLY ONCE (cached, the same lesson as ``unigram_logprob``:
+    the broadcast boundary defeats exchange reuse, so without the cache
+    the vocabulary aggregate re-ran the whole scan→tokenize→tf pipeline
+    inside the broadcast build). The cache is populated by the SAME
+    action that computes the docs-with-tokens scalar N — each tf row is
+    one distinct (doc, token), so COUNT(DISTINCT id) over tf is exactly
+    "docs with at least one token" — and N becomes a literal, deleting
+    the separate N-aggregate job and the crossJoin the old form paid.
+    Document frequency is a vocabulary-sized aggregate of the cached
+    tf, BROADCAST back onto it: df's join key is a unigram token — the
+    most Zipf-skewed key there is — so the earlier window-over-token
+    form hung every ("the", doc) row on one partition at scale, while
+    the vocabulary side (distinct words, sublinear in corpus size) fits
+    an executor for any natural-language corpus. cache() (not
+    localCheckpoint) keeps lineage, so a lost executor recomputes
+    instead of failing the job under dynamic allocation, and the blocks
+    are LRU-evictable rather than pinned; in a long-lived session the
+    caller can reclaim them eagerly with
+    ``spark.catalog.clearCache()``. ``broadcast_vocab=False`` is the
+    documented fallback for pathological vocabularies; it reverts to
+    the token-partitioned window and leaves the skew to AQE, deriving N
+    from a second scan of the raw text WITHOUT explode (a regex FIND
+    per doc — column-pruned, no shuffle)."""
     sdocs = scatter(documents)
     toks = sdocs.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     if broadcast_vocab:
-        tf = tf.localCheckpoint(eager=False)
-        # each tf row is one distinct (doc, token): counting rows per
-        # token IS document frequency, and counting distinct ids IS
-        # "docs with at least one token" — both derive from the
-        # checkpointed tf, so N rides the same broadcast frame instead
-        # of costing a second raw-text scan + its own broadcast stage
+        tf = tf.cache()
+        # one eager action fills the cache AND yields the scalar N —
+        # a single driver-side float, the size-bounded kind of collect
+        n_docs = float(
+            tf.agg(F.count_distinct(F.col(id_col)).alias("nd")).first()["nd"]
+        )
         dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-        nd = tf.agg(F.count_distinct(F.col(id_col)).cast("double").alias("n_docs"))
-        with_df = tf.join(F.broadcast(dfreq.crossJoin(nd)), "token")
-        scored_in = with_df
+        scored_in = tf.join(F.broadcast(dfreq), "token").withColumn(
+            "n_docs", F.lit(n_docs)
+        )
     else:
         with_df = tf.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("token"))

@@ -255,21 +255,78 @@ def _sink_fixture_dir(sf_dir: str, name: str) -> str:
     table, so reusing it across calls is safe and makes repeat runs
     read-only. The path embeds (a) a code-version token — bump it when
     the written shape changes — and (b) a fingerprint of the source
-    parquet (size + mtime), so a regenerated events table can never be
-    compared against a fixture committed from its previous contents.
-    Lives under the repo's (gitignored) spark-warehouse scratch dir —
-    the one place this engine writes outside explicit sink paths."""
+    parquet (size + NANOSECOND mtime: second-resolution stamps let a
+    same-second regeneration silently reuse a stale fixture), so a
+    regenerated events table can never be compared against a fixture
+    committed from its previous contents. Lives under the repo's
+    (gitignored) spark-warehouse scratch dir — the one place this
+    engine writes outside explicit sink paths."""
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
-    fp = f"{st.st_size}-{int(st.st_mtime)}"
+    fp = f"{st.st_size}-{st.st_mtime_ns}"
     sf = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "spark-warehouse",
-        "sink_fixtures_v1",
+        "sink_fixtures_v2",
         f"{sf}-{fp}",
         name,
     )
+
+
+_FIXTURE_DONE = ".fixture_complete"
+
+
+def _build_fixture(final_dir: str, build: Callable[[], None]) -> None:
+    """Build-once guard for the sink fixtures. Two hazards this closes
+    (both real with concurrent bench/test processes on one sf_dir):
+
+    * **racing builders** — a pid-stamped ``O_CREAT|O_EXCL`` lock file
+      serializes builds, so one process can't overwrite batch data or
+      strip a _SUCCESS marker mid-read of another;
+    * **torn fixtures** — a completion marker (written via the sinks'
+      own atomic rename) is the ONLY signal the fixture is usable. A
+      crash mid-build leaves no marker; the next caller re-runs the
+      (idempotent) build under the lock instead of reading a half-
+      committed state. Once the marker exists every call is read-only.
+
+    A lock older than 10 minutes is treated as a crashed holder and
+    stolen; waiting builders poll for the marker so they return as soon
+    as the winner finishes."""
+    import time as _time
+
+    from stream_loader_spark.sinks.manifest import atomic_write_json
+
+    done = os.path.join(final_dir, _FIXTURE_DONE)
+    if os.path.exists(done):
+        return
+    os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+    lock = final_dir + ".lock"
+    deadline = _time.time() + 600.0
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            if os.path.exists(done):
+                return  # the winner finished while we waited
+            try:
+                if _time.time() - os.stat(lock).st_mtime > 600.0:
+                    os.unlink(lock)  # stale lock from a crashed holder
+                    continue
+            except FileNotFoundError:
+                continue  # holder just released; retry acquire
+            if _time.time() > deadline:
+                raise TimeoutError(f"sink fixture lock held too long: {lock}")
+            _time.sleep(0.2)
+    try:
+        if not os.path.exists(done):
+            build()
+            atomic_write_json(final_dir, {"complete": True}, _FIXTURE_DONE)
+    finally:
+        os.unlink(lock)
 
 
 def _sliced_stream(spark: SparkSession, sf_dir: str):
@@ -309,13 +366,19 @@ def k2_manifest_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_loader_spark.sinks.manifest import ManifestFileSink
 
     rec, slice_col = _sliced_stream(spark, sf_dir)
-    sink = ManifestFileSink(_sink_fixture_dir(sf_dir, "k2_manifest"))
-    for b in range(3):
-        if not sink.is_batch_committed(b):
-            sink.write_batch(rec.where(slice_col == b), b)
-    undir = sink.batch_data_dir(3)
-    if not os.path.isdir(undir):
-        rec.where(slice_col == 3).write.mode("overwrite").parquet(undir)
+    fdir = _sink_fixture_dir(sf_dir, "k2_manifest")
+    sink = ManifestFileSink(fdir)
+
+    def build() -> None:
+        for b in range(3):
+            if not sink.is_batch_committed(b):
+                sink.write_batch(rec.where(slice_col == b), b)
+        # the crashed tail: data written, manifest never stamped
+        rec.where(slice_col == 3).write.mode("overwrite").parquet(
+            sink.batch_data_dir(3)
+        )
+
+    _build_fixture(fdir, build)
     rows = [
         (topic, partition, int(pos.offset))
         for (topic, partition), pos in sorted(sink.committed_positions().items())
@@ -344,18 +407,24 @@ def k8_inrow_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_loader_spark.sinks.offsets import InRowOffsetsSink
 
     rec, slice_col = _sliced_stream(spark, sf_dir)
-    sink = InRowOffsetsSink(_sink_fixture_dir(sf_dir, "k8_inrow"))
-    for b in range(3):
-        sink(rec.where(slice_col == b), b)  # idempotent: skips committed
-    pdir = sink._batch_dir(3)
-    if not os.path.isdir(pdir):
+    fdir = _sink_fixture_dir(sf_dir, "k8_inrow")
+    sink = InRowOffsetsSink(fdir)
+
+    def build() -> None:
+        for b in range(3):
+            sink(rec.where(slice_col == b), b)  # idempotent: skips committed
+        pdir = sink._batch_dir(3)
         rec.where(slice_col == 3).write.mode("overwrite").parquet(pdir)
-    # outside the creation guard: a prior invocation crashing between
-    # the write and this removal must not leave the "crashed" batch
-    # looking committed on the next call
-    marker = os.path.join(pdir, "_SUCCESS")
-    if os.path.exists(marker):
-        os.remove(marker)  # simulate the crash before commit
+        # strip the commit marker BEFORE the fixture is stamped
+        # complete: a crash between the write and this removal leaves
+        # no completion marker, so the next call rebuilds (the
+        # overwrite recreates then re-strips _SUCCESS) — the "crashed"
+        # batch can never be observed looking committed
+        marker = os.path.join(pdir, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)  # simulate the crash before commit
+
+    _build_fixture(fdir, build)
     return sink.committed_positions(spark)
 
 

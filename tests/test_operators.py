@@ -547,6 +547,20 @@ class TestIvfProbePrebuilt:
         }
         assert {(r["vec_id"], r["label"]) for r in carried} == joined
 
+    def test_keep_cols_collisions_fail_fast(self, spark, sf_small):
+        """A keep_col that collides with the id/vec/output columns (or
+        repeats) must raise at call time, not as a downstream ambiguous-
+        reference AnalysisException."""
+        import pytest
+
+        from stream_loader_spark.operators.similarity import assign_clusters
+        from stream_loader_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_small, "embeddings")
+        for bad in (("cluster_id",), ("vec_id",), ("embedding",), ("label", "label")):
+            with pytest.raises(ValueError):
+                assign_clusters(emb, 16, keep_cols=bad)
+
 
 class TestRepeatedNgramSpans:
     """Crafted-corpus semantics for operators/spans.py (the oracle

@@ -4,6 +4,8 @@ against `.explain` output so they can't silently regress."""
 
 import io
 import contextlib
+import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -485,3 +487,98 @@ class TestDsumContract:
                 f"{table}.{col} has {bad} rows outside dsum's integer-cents "
                 "contract (2-decimal, |v| < 1e6) — use the decimal path"
             )
+
+
+class TestSinkFixtureGuard:
+    """The k2/k8 on-disk fixture must be crash-safe and race-safe:
+    builds serialize on an O_EXCL lock, the completion marker is the
+    only 'usable' signal, and a complete fixture is never rebuilt."""
+
+    def test_build_once_then_read_only(self, tmp_path):
+        from stream_loader_spark.plans.queries import _build_fixture, _FIXTURE_DONE
+
+        fdir = str(tmp_path / "fix")
+        calls = []
+
+        def build():
+            calls.append(1)
+            os.makedirs(fdir, exist_ok=True)
+
+        _build_fixture(fdir, build)
+        assert calls == [1]
+        assert os.path.exists(os.path.join(fdir, _FIXTURE_DONE))
+        assert not os.path.exists(fdir + ".lock")
+        _build_fixture(fdir, build)  # complete → read-only, no rebuild
+        assert calls == [1]
+
+    def test_torn_build_is_retried(self, tmp_path):
+        """A build that crashes before the marker is stamped leaves the
+        fixture unusable; the next caller rebuilds under the lock."""
+        import pytest
+
+        from stream_loader_spark.plans.queries import _build_fixture, _FIXTURE_DONE
+
+        fdir = str(tmp_path / "fix")
+        attempts = []
+
+        def crashing():
+            attempts.append(1)
+            os.makedirs(fdir, exist_ok=True)
+            raise RuntimeError("die between data and marker")
+
+        with pytest.raises(RuntimeError):
+            _build_fixture(fdir, crashing)
+        assert not os.path.exists(os.path.join(fdir, _FIXTURE_DONE))
+        assert not os.path.exists(fdir + ".lock")  # lock released on crash
+
+        def good():
+            attempts.append(2)
+
+        _build_fixture(fdir, good)
+        assert attempts == [1, 2]
+        assert os.path.exists(os.path.join(fdir, _FIXTURE_DONE))
+
+    def test_waiter_returns_when_winner_finishes(self, tmp_path):
+        """A second process blocked on the lock must return as soon as
+        the winner stamps the marker — without re-running the build."""
+        import threading
+
+        from stream_loader_spark.plans.queries import _build_fixture
+
+        fdir = str(tmp_path / "fix")
+        calls = []
+        release = threading.Event()
+
+        def slow_build():
+            calls.append("winner")
+            release.wait(timeout=10)
+
+        t = threading.Thread(target=_build_fixture, args=(fdir, slow_build))
+        t.start()
+        # wait until the winner holds the lock
+        for _ in range(200):
+            if os.path.exists(fdir + ".lock"):
+                break
+            time.sleep(0.01)
+        waiter_done = []
+
+        def waiter():
+            _build_fixture(fdir, lambda: calls.append("loser"))
+            waiter_done.append(True)
+
+        t2 = threading.Thread(target=waiter)
+        t2.start()
+        time.sleep(0.3)
+        assert not waiter_done  # still blocked on the winner's lock
+        release.set()
+        t.join(timeout=10)
+        t2.join(timeout=10)
+        assert waiter_done == [True]
+        assert calls == ["winner"]  # the loser's build never ran
+
+    def test_fingerprint_uses_nanosecond_mtime(self):
+        from stream_loader_spark.plans.queries import _sink_fixture_dir
+
+        st = os.stat("/root/testdata/sf0.001/events.parquet")
+        d = _sink_fixture_dir("/root/testdata/sf0.001", "k2_manifest")
+        assert str(st.st_mtime_ns) in d
