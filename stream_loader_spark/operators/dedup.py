@@ -698,8 +698,20 @@ def ngram_jaccard_pairs(
     # bucket's aggregate row is O(B) member structs (~12 bytes each —
     # linear, with the 2GB array limit ~5 orders past any real
     # shingle frequency), never the quadratic pair expansion.
+    # Explicit key-repartition (pinned to cluster parallelism) instead
+    # of the groupBy's implicit exchange: the partitioning satisfies the
+    # aggregate's clustering requirement, so no second exchange — and
+    # the pinned width keeps the bucket/pair stages parallel where AQE's
+    # byte-targeted coalescing would serialize them (shingle buckets are
+    # byte-wise tiny but carry quadratic expansion work — bytes are the
+    # wrong cost model for this stage). Both bucket routes consume this
+    # ONE exchange (ReusedExchange): re-running the vocabulary-scale
+    # aggregate per route costs less than a checkpoint materialization
+    # barrier, which also pinned blocks an executor loss can't rebuild.
+    par = documents.sparkSession.sparkContext.defaultParallelism
     grouped = (
-        ex.groupBy(*block, "shingle")
+        ex.repartition(par, *[F.col(c) for c in block], F.col("shingle"))
+        .groupBy(*block, "shingle")
         .agg(
             F.sort_array(
                 F.collect_list(
@@ -708,20 +720,28 @@ def ngram_jaccard_pairs(
             ).alias("docs")
         )
         .where(F.size("docs") >= 2)
-        .localCheckpoint(eager=False)
     )
-    par = documents.sparkSession.sparkContext.defaultParallelism
+    # **Lossless size prefilter** (standard set-similarity join
+    # pruning): |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
+    # J(A,B) ≤ min/max — a pair whose shingle counts differ by more
+    # than the threshold ratio can NEVER qualify and is dropped BEFORE
+    # the intersection-count shuffle (inside the expansion array for
+    # small buckets, in the join condition for oversized ones). The
+    # 1e-9 slack keeps the double-arithmetic comparison conservative at
+    # the exact boundary: a borderline pair is kept and decided by the
+    # exact Jaccard filter, so output is bit-identical.
+    size_ok = f"least(p.na, p.nb) >= {float(threshold)} * greatest(p.na, p.nb) - 1e-9"
     small_pairs = (
         grouped.where(F.size("docs") <= max_bucket)
-        .repartition(par)
         .selectExpr(
-            """explode(
-                 flatten(
-                   transform(sequence(1, size(docs) - 1),
-                     i -> transform(sequence(0, i - 1),
-                       j -> struct(docs[j].id AS doc_a, docs[i].id AS doc_b,
-                                   docs[j].nsh AS na, docs[i].nsh AS nb)))
-                 )
+            f"""explode(
+                 filter(
+                   flatten(
+                     transform(sequence(1, size(docs) - 1),
+                       i -> transform(sequence(0, i - 1),
+                         j -> struct(docs[j].id AS doc_a, docs[i].id AS doc_b,
+                                     docs[j].nsh AS na, docs[i].nsh AS nb)))),
+                   p -> {size_ok})
                ) AS p"""
         )
         .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
@@ -739,7 +759,12 @@ def ngram_jaccard_pairs(
     big_pairs = a.join(
         b,
         [F.col(f"a.{c}") == F.col(f"b.{c}") for c in [*block, "shingle"]]
-        + [F.col("a.id") < F.col("b.id")],
+        + [
+            F.col("a.id") < F.col("b.id"),
+            # same lossless size prefilter as the small-bucket route
+            F.least(F.col("a.nsh"), F.col("b.nsh"))
+            >= float(threshold) * F.greatest(F.col("a.nsh"), F.col("b.nsh")) - 1e-9,
+        ],
     ).select(
         F.col("a.id").alias("doc_a"),
         F.col("b.id").alias("doc_b"),
@@ -747,10 +772,16 @@ def ngram_jaccard_pairs(
         F.col("b.nsh").alias("nb"),
     )
     pairs = small_pairs.unionByName(big_pairs)
-    inter = pairs.groupBy("doc_a", "doc_b").agg(
-        F.count(F.lit(1)).alias("ninter"),
-        F.any_value(F.col("na")).alias("na"),
-        F.any_value(F.col("nb")).alias("nb"),
+    # same pinned-width exchange rationale as the bucket aggregate: the
+    # co-occurrence rows are tiny but fan in from quadratic expansions
+    inter = (
+        pairs.repartition(par, F.col("doc_a"), F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("ninter"),
+            F.any_value(F.col("na")).alias("na"),
+            F.any_value(F.col("nb")).alias("nb"),
+        )
     )
     return inter.select(
         "doc_a",

@@ -169,57 +169,47 @@ def tfidf_top_terms(
     round(tf · idf, 6); ties break by token text so the top-k set is
     total-order deterministic.
 
-    Single-derivation shape: the expensive tokenize→tf pipeline is
-    built EXACTLY ONCE (cached, the same lesson as ``unigram_logprob``:
-    the broadcast boundary defeats exchange reuse, so without the cache
-    the vocabulary aggregate re-ran the whole scan→tokenize→tf pipeline
-    inside the broadcast build). The cache is populated by the SAME
-    action that computes the docs-with-tokens scalar N — each tf row is
-    one distinct (doc, token), so COUNT(DISTINCT id) over tf is exactly
-    "docs with at least one token" — and N becomes a literal, deleting
-    the separate N-aggregate job and the crossJoin the old form paid.
-    Document frequency is a vocabulary-sized aggregate of the cached
-    tf, BROADCAST back onto it: df's join key is a unigram token — the
-    most Zipf-skewed key there is — so the earlier window-over-token
-    form hung every ("the", doc) row on one partition at scale, while
-    the vocabulary side (distinct words, sublinear in corpus size) fits
-    an executor for any natural-language corpus. cache() (not
-    localCheckpoint) keeps lineage, so a lost executor recomputes
-    instead of failing the job under dynamic allocation, and the blocks
-    are LRU-evictable rather than pinned; in a long-lived session the
-    caller can reclaim them eagerly with
-    ``spark.catalog.clearCache()``. ``broadcast_vocab=False`` is the
-    documented fallback for pathological vocabularies; it reverts to
-    the token-partitioned window and leaves the skew to AQE, deriving N
-    from a second scan of the raw text WITHOUT explode (a regex FIND
-    per doc — column-pruned, no shuffle)."""
-    sdocs = scatter(documents)
+    ONE corpus shuffle, keyed by the document id. The corpus is
+    explicitly hash-partitioned on ``id_col`` up front, and everything
+    downstream reuses that single partitioning: the (doc, token)
+    tf aggregate needs no exchange (clustering by doc alone co-locates
+    every (doc, token) group), the top-k window partitions by doc and
+    needs no exchange, and Catalyst shares the one repartition exchange
+    across the main/df/N subtrees (ReusedExchange), so no
+    materialization barrier (cache/checkpoint — both measured SLOWER
+    than the shared exchange, and a pinned checkpoint dies with its
+    executor) is needed. Crucially the corpus is NEVER shuffled on the
+    token: document frequency is a vocabulary-sized aggregate (partial
+    map-side per doc-partition, then a tiny token-keyed exchange of
+    per-partition vocabularies — sublinear in corpus size) BROADCAST
+    back onto tf, so "the"-grade Zipf skew has no key to pile up on.
+    The docs-with-tokens scalar N scans the raw text WITHOUT explode
+    ("has ≥1 token" ⇔ "has a non-whitespace char" under the \\s+
+    tokenizer — a regex FIND per doc), strictly cheaper than
+    re-deriving tf for a COUNT DISTINCT. ``broadcast_vocab=False`` is
+    the documented fallback for pathological vocabularies too large to
+    broadcast; it reverts to the token-partitioned window and leaves
+    the skew to AQE."""
+    P = documents.sparkSession.sparkContext.defaultParallelism
+    sdocs = documents.repartition(P, F.col(id_col))
     toks = sdocs.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    # "has at least one token" == "has a non-whitespace char": a regex
+    # FIND per doc instead of re-running the full split-and-filter
+    # tokenizer on the counting scan
+    n_docs = sdocs.select(
+        F.count(F.when(F.col(text_col).rlike(r"\S"), 1))
+        .cast("double")
+        .alias("n_docs")
+    )
     if broadcast_vocab:
-        tf = tf.cache()
-        # one eager action fills the cache AND yields the scalar N —
-        # a single driver-side float, the size-bounded kind of collect
-        n_docs = float(
-            tf.agg(F.count_distinct(F.col(id_col)).alias("nd")).first()["nd"]
-        )
         dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-        scored_in = tf.join(F.broadcast(dfreq), "token").withColumn(
-            "n_docs", F.lit(n_docs)
-        )
+        scored_in = tf.join(F.broadcast(dfreq.crossJoin(n_docs)), "token")
     else:
         with_df = tf.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
-        )
-        # "has at least one token" == "has a non-whitespace char": a
-        # regex FIND per doc instead of re-running the full
-        # split-and-filter tokenizer on the counting scan
-        n_docs = sdocs.select(
-            F.count(F.when(F.col(text_col).rlike(r"\S"), 1))
-            .cast("double")
-            .alias("n_docs")
         )
         scored_in = with_df.crossJoin(F.broadcast(n_docs))
     scored = scored_in.select(
