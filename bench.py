@@ -158,6 +158,10 @@ BENCH_QUERIES = [
     "dsir_gumbel_topk",
     "perplexity_buckets",
     "leakage_free_splits",
+    # round 9: the upsert sink's own current-state read over a
+    # committed/crashed-tail fixture, and KLL's exact regime
+    "k11_upsert_state",
+    "kll_exact_quantiles",
 ]
 
 

@@ -429,6 +429,61 @@ def k8_inrow_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "k11_upsert_state",
+    f"""{_KAFKA_CTE},
+    t AS (SELECT topic, "partition", "offset", value
+          FROM kafka WHERE topic IS NOT NULL AND "partition" IS NOT NULL),
+    m AS (SELECT MAX("offset") + 1 AS hi FROM t),
+    c AS (SELECT t.* FROM t CROSS JOIN m WHERE ("offset" * 4) // hi < 3),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY topic, "partition"
+                                       ORDER BY "offset" DESC) AS rn
+          FROM c)
+    SELECT topic, "partition", "offset" AS last_offset, value AS last_value
+    FROM r WHERE rn = 1""",
+)
+def k11_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC keep-latest read path end-to-end: commit three upsert
+    batches through the bucketed UpsertSink (every batch REPLACES its
+    keys' rows — keep-latest semantics live in the sink, not this
+    query), then write a fourth batch's bucket-version DATA with no
+    manifest update (the crash-between-data-and-manifest state) and
+    recover via the sink's own ``current_state`` manifest read — the
+    oracle proves the crashed tail stayed invisible. Batches are
+    MONOTONE offset quartiles (integer division, exact in both
+    engines), so sink keep-latest == keep-latest-by-offset and the
+    oracle is plain SQL. Same two-phase-commit shape as k2/k8
+    (reference core/batch/storage/TwoPhaseCommitBatchStorage.scala:31-75),
+    exercised on the upsert/CDC sink instead of the append sinks."""
+    from stream_loader_spark.sinks.upsert import UpsertSink
+
+    rec = _events(spark, sf_dir).where(
+        F.col("topic").isNotNull() & F.col("partition").isNotNull()
+    )
+    fdir = _sink_fixture_dir(sf_dir, "k11_upsert")
+    sink = UpsertSink(fdir, key_cols=["topic", "partition"], order_col="offset")
+
+    def build() -> None:
+        hi = int(rec.agg(F.max("offset")).first()[0]) + 1
+        slice_col = F.expr(f"CAST((offset * 4) DIV {hi} AS INT)")
+        for b in range(3):
+            sink.write_batch(rec.where(slice_col == b), b)
+        # the crashed tail: bucket-version files written, manifest
+        # never updated — current_state must not see them
+        tail = rec.where(slice_col == 3).withColumn("_bucket", sink._bucket_col())
+        tail.write.partitionBy("_bucket").mode("overwrite").parquet(
+            os.path.join(fdir, "versions", "v=3")
+        )
+
+    _build_fixture(fdir, build)
+    return sink.current_state(spark).select(
+        "topic",
+        "partition",
+        F.col("offset").alias("last_offset"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@query(
     "a4_stream_ranges",
     f"""{_KAFKA_CTE}
     SELECT topic, "partition",
@@ -4363,6 +4418,46 @@ def kll_merged_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("rank_of_median") >= 0.35) & (F.col("rank_of_median") <= 0.65)
             ).alias("within_tolerance"),
         )
+    )
+
+
+@query(
+    "kll_exact_quantiles",
+    f"""{_KAFKA_CTE}
+    SELECT topic,
+           CAST(COUNT(value) AS BIGINT) AS n_values,
+           quantile_disc(value, 0.25) AS q25,
+           quantile_disc(value, 0.5) AS q50,
+           quantile_disc(value, 0.9) AS q90
+    FROM kafka WHERE value IS NOT NULL GROUP BY topic""",
+)
+def kll_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL in its EXACT regime: with k ≥ the group's value count the
+    sketch retains every item, and its inclusive-rank quantile rule
+    (smallest item whose ≤-rank covers q) coincides with SQL
+    ``quantile_disc`` — so unlike the tolerance-checked sketch queries
+    this one hash-matches an exact oracle VALUE-for-value. k=32768
+    covers the per-topic counts through sf0.1 (max ~20.3k); past the
+    exact regime the right tool is ``kll_merged_median``'s
+    rank-error contract, not this query. The point being pinned:
+    the sketch path degrades to exact answers on small groups, so a
+    rollup can use ONE code path for both the kilobyte-sketch 100 TB
+    shape and exact small-table reads."""
+    from stream_loader_spark.operators.sketches import kll_merged_quantiles
+
+    rec = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    sk = rec.groupBy("topic").agg(
+        F.kll_sketch_agg_double(F.col("value").cast("double"), F.lit(32768)).alias(
+            "sketch"
+        )
+    )
+    out = kll_merged_quantiles(sk, "topic", [0.25, 0.5, 0.9])
+    return out.select(
+        "topic",
+        F.col("n_values").cast("bigint").alias("n_values"),
+        "q25",
+        "q50",
+        "q90",
     )
 
 
