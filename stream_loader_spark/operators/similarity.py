@@ -421,17 +421,41 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Embedding near-dup pairs via banded sign-LSH + exact verify.
 
     ``num_bands`` independent bucketings of ``num_planes`` sign bits
     each; vectors agreeing on ALL signs of ANY band become candidates
     (OR-ing bands is how recall grows), and only candidates are
-    verified with exact cosine. The banded join is the scale path: each
-    vector appears in exactly ``num_bands`` rows and candidates come
-    from bucket equality, never an all-pairs product. Signs are taken
-    on the dot product ROUNDED to 6 decimals so an ulp of float-sum
-    difference can never flip a boundary sign between engines.
+    verified with exact cosine. Candidates come from bucket equality,
+    never an all-pairs product. Signs are taken on the dot product
+    ROUNDED to 6 decimals so an ulp of float-sum difference can never
+    flip a boundary sign between engines.
+
+    **Sizing num_planes (the scale knob the r9 probe measured):** a
+    sign band has 2^num_planes buckets, so even fully UNRELATED
+    vectors collide at rate 2^-num_planes per band and candidate
+    volume has a floor of num_bands · N² / 2^(num_planes+1). With the
+    default 8 planes that floor turned measured superlinear at ~64 k
+    vectors (SCALE_TREND.md: exponent ~1.7). At scale, pick
+    ``num_planes ≈ log2(N / target_bucket_size)`` and re-grow
+    ``num_bands`` to hold recall at the chosen threshold (per-band
+    match probability is p^num_planes, p = 1 − θ/π) — the probe's
+    tuned row shows the same corpus going back to ~linear. The
+    defaults stay (8, 4) because the declared queries' DuckDB oracles
+    replicate exactly that banding in SQL.
+
+    **Bucket cap (the boilerplate guard, same discipline as
+    ``minhash_lsh_pairs``):** a degenerate bucket — embeddings of
+    near-identical boilerplate — would expand B·(B−1)/2 pairs from one
+    aggregate row. Buckets over ``max_bucket`` are star-linked through
+    their min-id representative instead: O(B) pairs that still pass
+    exact verify, so clusters stay recoverable via connected
+    components while enumeration is capped; capped volume is published
+    as an ``observe()`` metric (``cosine_lsh_capped_*``). Pairs not
+    involving the representative may be missed if they collide in no
+    other band — acceptable for the dedup/clustering consumers.
 
     ``dim`` defaults to None = INFER from the first non-empty vector (a
     LIMIT-1 job at build time) — a caller with 128-d embeddings must
@@ -450,14 +474,15 @@ def cosine_near_dup_pairs(
       64× row blow-up), no hash aggregate, no exchange. The r2
       explode+32-conditional-sums shape was 2.25× slower end-to-end,
       dominated by the giant codegen'd aggregate's compile cost.
-    - The banded self-join CARRIES the vectors, and exact cosine +
-      threshold run inside the join projection, with the pair-dedup
-      LAST on the (tiny) surviving pairs. The alternative — join on
-      ids+sigs only, then two vector-fetch joins — moves ~num_bands×
-      fewer vector bytes through the LSH shuffle but adds three more
-      shuffles and two scans; at ``num_bands=4`` the carried design
-      wins (1.4 s vs 1.9 s warm at sf0.1) and stays within ~2× of the
-      minimum shuffle bytes. Revisit only for very large band counts.
+    - Candidate generation is GROUP-then-expand over the (band, sig)
+      buckets, not a banded self-join: the join shuffled the
+      vector-carrying banded table twice and sort-merged string keys,
+      while the bucket aggregate shuffles it once (pinned to cluster
+      parallelism — byte-targeted AQE coalescing is the wrong cost
+      model for rows carrying quadratic expansion work) and expands
+      each bucket's collisions locally — the same pairs. Vectors ride
+      the bucket row (O(B·dim) per row, bounded by ``max_bucket``), so
+      exact cosine verifies in the same stage with no fetch join.
     """
 
     if dim is None:
@@ -499,26 +524,55 @@ def cosine_near_dup_pairs(
         id_col, vec_col, f"explode(array({band_structs})) AS bs"
     ).selectExpr(id_col, vec_col, "bs.band AS band", "bs.sig AS sig")
 
+    from stream_loader_spark.operators.dedup import _obs_name
+
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    # ms sorts by id (struct ordering, id first), so ms[j].id < ms[i].id
+    # for j < i — pair orientation (vec_a < vec_b) is positional
+    grouped = (
+        banded.repartition(par, F.col("band"), F.col("sig"))
+        .groupBy("band", "sig")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+                )
+            ).alias("ms")
+        )
+        .where(F.size("ms") >= 2)
+    )
+    candidates = (
+        grouped.selectExpr(
+            f"""explode(
+                  if(size(ms) <= {int(max_bucket)},
+                     flatten(transform(sequence(1, size(ms) - 1),
+                       i -> transform(sequence(0, i - 1),
+                         j -> struct(ms[j].id AS vec_a, ms[i].id AS vec_b,
+                                     ms[j].vec AS va, ms[i].vec AS vb,
+                                     false AS star)))),
+                     transform(sequence(1, size(ms) - 1),
+                       i -> struct(ms[0].id AS vec_a, ms[i].id AS vec_b,
+                                   ms[0].vec AS va, ms[i].vec AS vb,
+                                   true AS star)))
+                ) AS p"""
+        )
+        .select("p.vec_a", "p.vec_b", "p.va", "p.vb", "p.star")
+        .observe(
+            _obs_name("cosine_lsh"),
+            F.sum(F.col("star").cast("long")).alias("star_pairs"),
+        )
+    )
     sq = lambda side: (  # noqa: E731 — Σ x² of one side's vector
-        f"aggregate(transform({side}.{vec_col}, x -> cast(x as double) * cast(x as double)), "
+        f"aggregate(transform({side}, x -> cast(x as double) * cast(x as double)), "
         "0.0d, (a, v) -> a + v)"
     )
     cos_sql = (
-        f"round(aggregate(zip_with(l.{vec_col}, r.{vec_col}, "
+        "round(aggregate(zip_with(va, vb, "
         "(x, y) -> cast(x as double) * cast(y as double)), 0.0d, (a, v) -> a + v)"
-        f" / (sqrt({sq('l')}) * sqrt({sq('r')})), {COSINE_SCALE})"
+        f" / (sqrt({sq('va')}) * sqrt({sq('vb')})), {COSINE_SCALE})"
     )
-    l, r = banded.alias("l"), banded.alias("r")
     return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .selectExpr(
-            f"l.{id_col} AS vec_a", f"r.{id_col} AS vec_b", f"{cos_sql} AS cosine"
-        )
+        candidates.selectExpr("vec_a", "vec_b", f"{cos_sql} AS cosine")
         .where(F.col("cosine") >= threshold)
         .dropDuplicates(["vec_a", "vec_b"])
     )

@@ -157,6 +157,31 @@ class TestSimilarity:
         assert {(i, i + 50000) for i in range(5)} <= found
         assert all(r["cosine"] >= 0.99 for r in pairs)
 
+    def test_oversized_bucket_star_links_through_min_id(self, spark, sf_small):
+        """With max_bucket forced below a boilerplate cluster's size,
+        the bucket must star-link through its min id (O(B) pairs, all
+        exact-verified) instead of expanding B·(B-1)/2 — and the
+        cluster stays recoverable: every member pairs with the rep."""
+        emb = load_table(spark, sf_small, "embeddings")
+        # 12 copies of vector 0 under fresh ids = one degenerate bucket
+        clones = None
+        for i in range(12):
+            c = emb.where(F.col("vec_id") == 0).select(
+                F.lit(90000 + i).cast("long").alias("vec_id"), "embedding", "label"
+            )
+            clones = c if clones is None else clones.unionAll(c)
+        pairs = cosine_near_dup_pairs(
+            emb.unionAll(clones), threshold=0.999, max_bucket=5
+        ).collect()
+        found = {(r["vec_a"], r["vec_b"]) for r in pairs}
+        # rep is the cluster's min id = the original vector 0
+        assert {(0, 90000 + i) for i in range(12)} <= found
+        # capped: nothing like the 78-pair full expansion of the clones
+        clone_pairs = {
+            p for p in found if p[0] >= 90000 and p[1] >= 90000
+        }
+        assert len(clone_pairs) == 0
+
 
 class TestMultimodal:
     def test_feature_extraction_shape(self, spark, sf_small):

@@ -1,0 +1,198 @@
+"""Streaming-ingest throughput benchmark: the one reference capability
+with no quantitative coverage until round 9 (the reference's entire
+published perf story is loader overhead — reference README.md:92-100).
+
+Drives the two stateful foreachBatch sinks over N micro-batches of the
+events fixture and records:
+
+* **rows/s** end-to-end (plan + write + two-phase commit per batch);
+* **commit latency** p50/p95 per micro-batch;
+* **recovery time vs committed-batch count** — the manifest recovery
+  path is a JSON-per-batch directory scan (sinks/manifest.py:273), so
+  this is the number that would grow unbounded at 100k batches;
+* **recovery after compaction + vacuum** — proving the existing
+  compaction bounds that growth (one consolidated record replaces the
+  per-batch tail);
+* a **synthetic manifest-scan curve** (dataless manifests at 100/1k/5k
+  batches) isolating the pure scan cost from Spark write time.
+
+Prints ONE JSON line and stamps INGEST_BENCH.json at the repo root.
+
+Usage::
+
+    python tools/ingest_bench.py                   # sf0.1, 60 batches
+    INGEST_BENCH_BATCHES=10 python tools/ingest_bench.py --sf /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from stream_loader_spark.session import get_spark  # noqa: E402
+from stream_loader_spark.sources.kafka_view import as_stream_records  # noqa: E402
+
+
+def _pctl(sorted_vals: list[float], q: float) -> float:
+    if not sorted_vals:
+        return 0.0
+    i = min(len(sorted_vals) - 1, int(round(q * (len(sorted_vals) - 1))))
+    return sorted_vals[i]
+
+
+def bench_manifest_sink(spark, rec, n_batches: int, root: str) -> dict:
+    from stream_loader_spark.sinks.manifest import ManifestFileSink
+
+    sink = ManifestFileSink(os.path.join(root, "manifest_sink"))
+    hi = int(rec.agg(F.max("offset")).first()[0]) + 1
+    slice_col = F.expr(f"CAST((offset * {n_batches}) DIV {hi} AS INT)")
+    total_rows = rec.count()
+
+    lat_ms: list[float] = []
+    recovery_curve: dict[str, float] = {}
+    checkpoints = sorted({max(1, n_batches // 4), max(1, n_batches // 2), n_batches})
+    t_start = time.time()
+    for b in range(n_batches):
+        t0 = time.time()
+        sink.write_batch(rec.where(slice_col == b), b)
+        lat_ms.append((time.time() - t0) * 1000)
+        if (b + 1) in checkpoints:
+            t0 = time.time()
+            pos = sink.committed_positions()
+            recovery_curve[str(b + 1)] = round((time.time() - t0) * 1000, 1)
+            assert pos, "recovery returned no positions"
+    wall = time.time() - t_start
+
+    # compaction bounds the manifest/data-dir growth: one consolidated
+    # record + dir replaces the whole committed tail, vacuum removes it
+    t0 = time.time()
+    target = sink.compact_data(spark)
+    compact_ms = (time.time() - t0) * 1000
+    removed = sink.vacuum()
+    t0 = time.time()
+    pos_after = sink.committed_positions()
+    recovery_after_ms = (time.time() - t0) * 1000
+    assert pos_after == pos, "compaction changed recovered positions"
+
+    lat_sorted = sorted(lat_ms)
+    return {
+        "batches": n_batches,
+        "rows": total_rows,
+        "rows_per_sec": round(total_rows / wall, 1),
+        "wall_sec": round(wall, 2),
+        "commit_p50_ms": round(_pctl(lat_sorted, 0.5), 1),
+        "commit_p95_ms": round(_pctl(lat_sorted, 0.95), 1),
+        "recovery_ms_by_batches": recovery_curve,
+        "compact_ms": round(compact_ms, 1),
+        "vacuumed_paths": len(removed),
+        "recovery_after_compaction_ms": round(recovery_after_ms, 1),
+        "compacted_dir": bool(target),
+    }
+
+
+def bench_upsert_sink(spark, rec, n_batches: int, root: str) -> dict:
+    from stream_loader_spark.sinks.upsert import UpsertSink
+
+    sink = UpsertSink(
+        os.path.join(root, "upsert_sink"),
+        key_cols=["topic", "partition"],
+        order_col="offset",
+    )
+    base = rec.where(F.col("topic").isNotNull() & F.col("partition").isNotNull())
+    hi = int(base.agg(F.max("offset")).first()[0]) + 1
+    slice_col = F.expr(f"CAST((offset * {n_batches}) DIV {hi} AS INT)")
+    total_rows = base.count()
+
+    lat_ms: list[float] = []
+    t_start = time.time()
+    for b in range(n_batches):
+        t0 = time.time()
+        sink.write_batch(base.where(slice_col == b), b)
+        lat_ms.append((time.time() - t0) * 1000)
+    wall = time.time() - t_start
+
+    t0 = time.time()
+    n_state = sink.current_state(spark).count()
+    recovery_ms = (time.time() - t0) * 1000
+    removed = sink.vacuum(keep_last=1)
+    t0 = time.time()
+    n_state2 = sink.current_state(spark).count()
+    recovery_after_ms = (time.time() - t0) * 1000
+    assert n_state == n_state2, "vacuum changed current state"
+
+    lat_sorted = sorted(lat_ms)
+    return {
+        "batches": n_batches,
+        "rows": total_rows,
+        "rows_per_sec": round(total_rows / wall, 1),
+        "wall_sec": round(wall, 2),
+        "commit_p50_ms": round(_pctl(lat_sorted, 0.5), 1),
+        "commit_p95_ms": round(_pctl(lat_sorted, 0.95), 1),
+        "state_keys": n_state,
+        "recovery_ms": round(recovery_ms, 1),
+        "vacuumed_paths": len(removed),
+        "recovery_after_vacuum_ms": round(recovery_after_ms, 1),
+    }
+
+
+def bench_manifest_scan_synthetic(root: str, counts: list[int]) -> dict:
+    """Pure manifest-scan cost vs committed-batch count, isolated from
+    Spark write time: dataless manifests (a committed batch whose data
+    dir is empty — the heartbeat-flush shape) written straight through
+    the sink's own atomic writer, then timed through the sink's own
+    recovery read. This is the curve that says whether a 100k-batch
+    stream NEEDS compaction or merely benefits from it."""
+    from stream_loader_spark.sinks.manifest import ManifestFileSink
+
+    out: dict[str, float] = {}
+    for n in counts:
+        d = os.path.join(root, f"scan_{n}")
+        sink = ManifestFileSink(d)
+        for b in range(n):
+            sink._commit_manifest(b, [])
+        t0 = time.time()
+        sink.committed_positions()
+        out[str(n)] = round((time.time() - t0) * 1000, 1)
+        shutil.rmtree(d)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--sf" in sys.argv:
+        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
+    n_batches = int(os.environ.get("INGEST_BENCH_BATCHES", "60"))
+    spark = get_spark("ingest_bench")
+    rec = as_stream_records(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    root = tempfile.mkdtemp(prefix="ingest_bench_", dir=os.path.join(REPO, "spark-warehouse"))
+    try:
+        result = {
+            "metric": "ingest_bench",
+            "sf_dir": sf_dir,
+            "manifest_sink": bench_manifest_sink(spark, rec, n_batches, root),
+            "upsert_sink": bench_upsert_sink(
+                spark, rec, max(4, n_batches // 2), root
+            ),
+            "manifest_scan_ms_synthetic": bench_manifest_scan_synthetic(
+                root, [100, 1000, 5000]
+            ),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    if "--dry" not in sys.argv:
+        with open(os.path.join(REPO, "INGEST_BENCH.json"), "w") as fh:
+            json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,350 @@
+"""Empirical scale probe: measure how the expensive query families
+scale as the corpus grows, holding per-replica structure constant.
+
+The SCALE_AUDIT census is a static plan argument ("no cartesian, no
+skewed-key shuffle"); this probe is the measurement that backs it.
+The sf0.1 documents/embeddings/events fixtures are replicated M× with
+salted ids into scratch dirs, the probe queries run at each tier, and
+a per-query scaling exponent is fitted on the log-log curve:
+
+    exponent = log(t_hi / t_lo) / log(m_hi / m_lo)
+
+fitted over the two LARGEST tiers (the 1× point is scheduler-floor
+dominated — a fixed ~0.2-0.5s that would bias every exponent low).
+
+Replication semantics (what "the same corpus, bigger" means here):
+
+* ``documents``: ids shift by a replica stride; every token in a
+  replica's text is PREFIXED with a replica tag, so replicas are
+  disjoint in shingle/minhash space and the per-replica duplicate
+  RATE stays exactly the original corpus's. Without this, replication
+  itself manufactures near-duplicate clusters of size M and the LSH
+  families measure duplicate-explosion (quadratic in M by
+  construction), not corpus growth. The within-replica dup structure
+  — what the operators exist to find — is preserved untouched.
+* ``embeddings``: ids shift; each replica's vectors go through a
+  replica-keyed elementwise SIGN FLIP. A shared ±1 pattern s gives
+  (s⊙x)·(s⊙y) = x·y, so every within-replica cosine — the structure
+  the similarity operators rank on — is preserved EXACTLY, while
+  cross-replica vectors are quasi-orthogonal (random relative signs
+  in 64 dims). A small additive perturbation was tried first and
+  measured: it leaves cross-replica cosines ≈ 1, so the LSH bucket
+  population grows ∝ M and pair volume ∝ M² — the probe then
+  measures replication-manufactured duplicate explosion (exponent
+  1.7), not corpus growth.
+* ``events``: event ids shift by a stride (offsets stay globally
+  unique and monotone per replica block); user ids shift so the
+  synthetic Kafka partitioning spreads; timestamps are kept, so a
+  bigger tier means denser traffic in the same window — the shape a
+  loader actually sees under growth.
+
+Tables the probe queries don't scale (TPC-H dims etc.) are symlinked
+from the source dir so ``load_table`` works unchanged.
+
+Usage::
+
+    python tools/scale_probe.py                  # full probe, writes
+                                                 # SCALE_TREND.{md,json}
+    SCALE_PROBE_MULTS=1,4 SCALE_PROBE_QUERIES=dedup_exact \
+        python tools/scale_probe.py --sf /root/testdata/sf0.001 --dry
+
+The fixture build is idempotent (fingerprinted on the source events
+parquet, built under a _SUCCESS-style completion marker); repeat runs
+reuse the scratch tiers.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from stream_loader_spark.session import get_spark  # noqa: E402
+from stream_loader_spark.sources.tables import TABLE_NAMES  # noqa: E402
+
+ID_STRIDE = 1 << 40
+GEN_VERSION = 2  # bump when replication semantics change (tiers rebuild)
+
+# the families the 100×-scale story rests on (VERDICT r8: the 10 most
+# expensive = dedup/LSH/similarity + clean_corpus_pipeline), plus two
+# events-surface queries so the streaming-ish shapes get a trend too
+PROBE_QUERIES = [
+    "clean_corpus_pipeline",
+    "near_dup_keep_best",
+    "semantic_dedup_keep_best",
+    "near_dup_dedup_end_to_end",
+    "leakage_free_splits",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "similarity_topk",
+    "similarity_ivf_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_tuned",
+    "tfidf_top_terms",
+    "dedup_exact",
+    "events_hourly_rollup",
+    "sessionize_events",
+]
+
+
+def _embedding_near_dup_tuned(spark, sf_dir):
+    """The registered embedding_near_dup plan with num_planes grown for
+    the probed corpus size (log2(N/target_bucket) ≈ 14 at the 64 k-row
+    tier) and num_bands re-grown for recall — the tuning the operator
+    docstring prescribes at scale. Same operator, same plan shape; the
+    parameter change is the whole point being measured."""
+    from stream_loader_spark.operators.similarity import cosine_near_dup_pairs
+    from stream_loader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(
+        emb, threshold=0.35, num_planes=14, num_bands=8, dim=64
+    )
+
+
+EXTRA_PROBES = {"embedding_near_dup_tuned": _embedding_near_dup_tuned}
+
+# expected-superlinear notes surfaced verbatim in the artifact: an
+# exponent > 1 on these is the operator's contract, not a plan defect
+EXPECTED_NOTES = {
+    "similarity_topk": (
+        "brute-force baseline: all query×corpus pairs by design — the "
+        "at-scale path is similarity_ivf_topk"
+    ),
+    "ngram_jaccard_pairs": (
+        "exact-Jaccard baseline: pair work grows with shared-shingle "
+        "co-occurrence — the at-scale path is minhash_lsh_pairs"
+    ),
+    "embedding_near_dup": (
+        "fixed (8,4) sign-LSH as the oracle pins it: candidate floor "
+        "num_bands·N²/2^(planes+1) — superlinear here BY PARAMETER, "
+        "see the _tuned row for the same operator sized to the corpus"
+    ),
+    "embedding_near_dup_tuned": (
+        "same operator, num_planes grown to log2(N/bucket) per the "
+        "docstring's scale rule — the knob that restores ~linear"
+    ),
+    "semantic_dedup_keep_best": (
+        "pair stage is embedding_near_dup's fixed (8,4) banding (oracle"
+        "-pinned) — same parameter floor, same tuning lever at scale"
+    ),
+}
+
+
+def build_tier(spark: SparkSession, src_sf: str, mult: int, scratch: str) -> str:
+    """Materialize the mult× tier under ``scratch`` and return its dir.
+
+    Idempotent: a completed tier (marker present) is reused. The tier
+    dir embeds the source events fingerprint so regenerated testdata
+    can't be read against stale replicas.
+    """
+    st = os.stat(os.path.join(src_sf, "events.parquet"))
+    tier = os.path.join(
+        scratch,
+        f"{os.path.basename(src_sf.rstrip('/'))}-g{GEN_VERSION}-{st.st_size}-{st.st_mtime_ns}",
+        f"x{mult}",
+    )
+    marker = os.path.join(tier, "_PROBE_TIER_COMPLETE")
+    if os.path.exists(marker):
+        return tier
+    os.makedirs(tier, exist_ok=True)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("replica")
+
+    docs = spark.read.parquet(os.path.join(src_sf, "documents.parquet"))
+    (
+        docs.select("*", rep)
+        .select(
+            (F.col("doc_id") + F.col("replica").cast("long") * ID_STRIDE).alias("doc_id"),
+            F.when(F.col("replica") == 0, F.col("text"))
+            .otherwise(
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit("r"), F.col("replica").cast("string"), F.lit("$1")),
+                )
+            )
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(max(4, mult))
+        .write.mode("overwrite")
+        .parquet(os.path.join(tier, "documents.parquet"))
+    )
+
+    emb = spark.read.parquet(os.path.join(src_sf, "embeddings.parquet"))
+    (
+        emb.select("*", rep)
+        .selectExpr(
+            f"vec_id + CAST(replica AS BIGINT) * {ID_STRIDE} AS vec_id",
+            # replica-keyed elementwise sign flip: within-replica dot
+            # products exactly preserved, cross-replica quasi-orthogonal
+            "transform(embedding, (x, i) -> x * CAST("
+            "1 - 2 * pmod(xxhash64(CAST(replica AS BIGINT), CAST(i AS BIGINT)), 2)"
+            " AS FLOAT)) AS embedding",
+            "label",
+        )
+        .repartition(max(4, mult))
+        .write.mode("overwrite")
+        .parquet(os.path.join(tier, "embeddings.parquet"))
+    )
+
+    ev = spark.read.parquet(os.path.join(src_sf, "events.parquet"))
+    (
+        ev.select("*", rep)
+        .select(
+            (F.col("event_id") + F.col("replica").cast("long") * ID_STRIDE).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("replica").cast("long") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(max(4, mult))
+        .write.mode("overwrite")
+        .parquet(os.path.join(tier, "events.parquet"))
+    )
+
+    for t in TABLE_NAMES:
+        dst = os.path.join(tier, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(src_sf, f"{t}.parquet"), dst)
+
+    with open(marker, "w") as fh:
+        fh.write(json.dumps({"mult": mult, "src": src_sf}))
+    return tier
+
+
+def _heap_used_mb(spark: SparkSession) -> float:
+    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    return round((rt.totalMemory() - rt.freeMemory()) / (1 << 20), 1)
+
+
+def run_probe(
+    spark: SparkSession,
+    src_sf: str,
+    mults: list[int],
+    query_names: list[str],
+    scratch: str,
+    passes: int = 2,
+) -> dict:
+    from stream_loader_spark.plans.queries import QUERIES
+
+    def _fn(name):
+        return EXTRA_PROBES.get(name) or QUERIES[name]
+
+    tiers = {}
+    for m in sorted(mults):
+        t0 = time.time()
+        tiers[m] = build_tier(spark, src_sf, m, scratch)
+        print(f"tier x{m}: {tiers[m]} ({time.time() - t0:.1f}s)", flush=True)
+
+    results: dict[str, dict] = {}
+    heap: dict[int, float] = {}
+    for m in sorted(mults):
+        tier = tiers[m]
+        for name in query_names:
+            best = None
+            for _ in range(passes):
+                t0 = time.time()
+                _fn(name)(spark, tier).write.format("noop").mode("overwrite").save()
+                took = time.time() - t0
+                best = took if best is None else min(best, took)
+            results.setdefault(name, {})[m] = round(best, 3)
+            print(f"x{m} {name}: {best:.3f}s", flush=True)
+        spark.sparkContext._jvm.java.lang.System.gc()
+        heap[m] = _heap_used_mb(spark)
+        print(f"x{m} driver heap after gc: {heap[m]} MB", flush=True)
+
+    ms = sorted(mults)
+    out = {"sf": src_sf, "mults": ms, "heap_mb": heap, "queries": {}}
+    for name, times in results.items():
+        hi, lo = ms[-1], ms[-2] if len(ms) > 1 else ms[-1]
+        exp = (
+            math.log(times[hi] / times[lo]) / math.log(hi / lo)
+            if len(ms) > 1 and times[lo] > 0
+            else None
+        )
+        out["queries"][name] = {
+            "times": {str(m): times[m] for m in ms},
+            "exponent_tail": round(exp, 3) if exp is not None else None,
+            "note": EXPECTED_NOTES.get(name, ""),
+        }
+    return out
+
+
+def render_md(out: dict) -> str:
+    ms = out["mults"]
+    lines = [
+        "# SCALE_TREND — measured scaling of the expensive query families",
+        "",
+        f"Source fixtures: `{out['sf']}`, replicated ×{ms} with salted ids",
+        "(token-tagged document replicas: the per-replica duplicate rate is",
+        "held at the original corpus's — see tools/scale_probe.py docstring).",
+        "Times are min-of-N noop-sink runs on local[32]; **exponent** is the",
+        "log-log slope over the two largest tiers (the 1× point is",
+        "scheduler-floor dominated). exponent ≈ 1 ⇒ linear in rows;",
+        "< 1 ⇒ floor still amortizing; > 1 ⇒ superlinear (expected only",
+        "where noted).",
+        "",
+        "| query | " + " | ".join(f"x{m}" for m in ms) + " | exponent | note |",
+        "|---|" + "---|" * (len(ms) + 2),
+    ]
+    for name, q in sorted(out["queries"].items()):
+        row = [name] + [f"{q['times'][str(m)]:.2f}s" for m in ms]
+        row.append(f"{q['exponent_tail']}" if q["exponent_tail"] is not None else "—")
+        row.append(q["note"] or "")
+        lines.append("| " + " | ".join(row) + " |")
+    lines += [
+        "",
+        "Driver heap after gc per tier (MB): "
+        + ", ".join(f"x{m}: {out['heap_mb'][m]}" for m in ms)
+        + " — growth here would mean a corpus-sized driver collect.",
+        "",
+    ]
+    return "\n".join(lines)
+
+
+def main() -> None:
+    src_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--sf" in sys.argv:
+        src_sf = sys.argv[sys.argv.index("--sf") + 1]
+    mults = [int(x) for x in os.environ.get("SCALE_PROBE_MULTS", "1,8,32").split(",")]
+    qnames = [
+        q
+        for q in os.environ.get("SCALE_PROBE_QUERIES", ",".join(PROBE_QUERIES)).split(",")
+        if q
+    ]
+    scratch = os.path.join(REPO, "spark-warehouse", "scale_probe")
+    spark = get_spark(
+        "scale_probe",
+        extra_conf={
+            # production-shaped splits: the tiers are written as multiple
+            # parquet parts, so the scan fans out without tiny-split help
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+            "spark.sql.files.maxPartitionBytes": str(4 << 20),
+            "spark.sql.files.openCostInBytes": str(1 << 20),
+        },
+    )
+    out = run_probe(spark, src_sf, mults, qnames, scratch)
+    if "--dry" in sys.argv:
+        print(json.dumps(out))
+        return
+    with open(os.path.join(REPO, "SCALE_TREND.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    with open(os.path.join(REPO, "SCALE_TREND.md"), "w") as fh:
+        fh.write(render_md(out))
+    print(json.dumps({"metric": "scale_probe", "queries": len(out["queries"]), "mults": out["mults"]}))
+
+
+if __name__ == "__main__":
+    main()
