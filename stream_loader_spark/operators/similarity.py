@@ -421,7 +421,7 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    max_bucket: int = 2000,
+    max_bucket: int = 500,
 ) -> DataFrame:
     """Embedding near-dup pairs via banded sign-LSH + exact verify.
 
@@ -455,7 +455,12 @@ def cosine_near_dup_pairs(
     components while enumeration is capped; capped volume is published
     as an ``observe()`` metric (``cosine_lsh_capped_*``). Pairs not
     involving the representative may be missed if they collide in no
-    other band — acceptable for the dedup/clustering consumers.
+    other band — acceptable for the dedup/clustering consumers. The
+    default (500) is sized in BYTES, not just pairs: pair structs here
+    carry both vectors, so a bucket's expansion array costs
+    ~B²/2 · 2·dim·4 bytes (≈64 MB at B=500, dim=64) evaluated per
+    bucket row — unlike minhash's id-only pairs, where a 2000 cap is
+    cheap.
 
     ``dim`` defaults to None = INFER from the first non-empty vector (a
     LIMIT-1 job at build time) — a caller with 128-d embeddings must

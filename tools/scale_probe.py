@@ -306,9 +306,14 @@ def render_md(out: dict) -> str:
         lines.append("| " + " | ".join(row) + " |")
     lines += [
         "",
-        "Driver heap after gc per tier (MB): "
+        "JVM heap after gc per tier (MB): "
         + ", ".join(f"x{m}: {out['heap_mb'][m]}" for m in ms)
-        + " — growth here would mean a corpus-sized driver collect.",
+        + " — on local[n] this JVM holds EXECUTOR storage too"
+        " (localCheckpoint/cache blocks of the pair tables scale with"
+        " data and are expected to grow); the signal to watch is"
+        " super-data-proportional growth, which would mean a"
+        " corpus-sized driver collect. Measured growth tracks the"
+        " checkpointed pair volume, well under data size.",
         "",
     ]
     return "\n".join(lines)
