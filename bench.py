@@ -158,9 +158,12 @@ BENCH_QUERIES = [
     "dsir_gumbel_topk",
     "perplexity_buckets",
     "leakage_free_splits",
-    # round 9: the upsert sink's own current-state read over a
-    # committed/crashed-tail fixture, and KLL's exact regime
+    # round 9: the upsert sink's own read paths over a committed/
+    # crashed-tail fixture (current state, time travel, CDC changelog)
+    # and KLL's exact regime
     "k11_upsert_state",
+    "k12_upsert_time_travel",
+    "k13_upsert_change_feed",
     "kll_exact_quantiles",
 ]
 

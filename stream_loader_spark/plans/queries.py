@@ -454,6 +454,18 @@ def k11_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is plain SQL. Same two-phase-commit shape as k2/k8
     (reference core/batch/storage/TwoPhaseCommitBatchStorage.scala:31-75),
     exercised on the upsert/CDC sink instead of the append sinks."""
+    sink = _k11_sink(spark, sf_dir)
+    return sink.current_state(spark).select(
+        "topic",
+        "partition",
+        F.col("offset").alias("last_offset"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def _k11_sink(spark: SparkSession, sf_dir: str):
+    """The k11 committed-upsert fixture, built on demand (shared by the
+    time-travel and change-feed read-path queries)."""
     from stream_loader_spark.sinks.upsert import UpsertSink
 
     rec = _events(spark, sf_dir).where(
@@ -467,19 +479,81 @@ def k11_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         slice_col = F.expr(f"CAST((offset * 4) DIV {hi} AS INT)")
         for b in range(3):
             sink.write_batch(rec.where(slice_col == b), b)
-        # the crashed tail: bucket-version files written, manifest
-        # never updated — current_state must not see them
         tail = rec.where(slice_col == 3).withColumn("_bucket", sink._bucket_col())
         tail.write.partitionBy("_bucket").mode("overwrite").parquet(
             os.path.join(fdir, "versions", "v=3")
         )
 
     _build_fixture(fdir, build)
-    return sink.current_state(spark).select(
+    return sink
+
+
+@query(
+    "k12_upsert_time_travel",
+    f"""{_KAFKA_CTE},
+    t AS (SELECT topic, "partition", "offset", value
+          FROM kafka WHERE topic IS NOT NULL AND "partition" IS NOT NULL),
+    m AS (SELECT MAX("offset") + 1 AS hi FROM t),
+    c AS (SELECT t.* FROM t CROSS JOIN m WHERE ("offset" * 4) // hi < 2),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY topic, "partition"
+                                       ORDER BY "offset" DESC) AS rn
+          FROM c)
+    SELECT topic, "partition", "offset" AS last_offset, value AS last_value
+    FROM r WHERE rn = 1""",
+)
+def k12_upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert time travel: ``current_state(as_of_batch=1)`` reads the
+    manifest's per-batch bucket→version snapshot — the state as of the
+    SECOND committed batch, with batch 2's writes and the crashed tail
+    both invisible. Keep-latest over the first two offset quartiles is
+    the exact SQL equivalent (see k11 for why quartile slicing makes
+    sink semantics reduce to keep-latest-by-offset)."""
+    sink = _k11_sink(spark, sf_dir)
+    return sink.current_state(spark, as_of_batch=1).select(
         "topic",
         "partition",
         F.col("offset").alias("last_offset"),
         F.col("value").alias("last_value"),
+    )
+
+
+@query(
+    "k13_upsert_change_feed",
+    f"""{_KAFKA_CTE},
+    t AS (SELECT topic, "partition", "offset"
+          FROM kafka WHERE topic IS NOT NULL AND "partition" IS NOT NULL),
+    m AS (SELECT MAX("offset") + 1 AS hi FROM t),
+    s AS (SELECT t.*, ("offset" * 4) // hi AS q FROM t CROSS JOIN m),
+    n AS (SELECT topic, "partition", "offset",
+                 ROW_NUMBER() OVER (PARTITION BY topic, "partition"
+                                    ORDER BY "offset" DESC) AS rn
+          FROM s WHERE q = 1),
+    new AS (SELECT topic, "partition", "offset" AS last_offset FROM n WHERE rn = 1),
+    o AS (SELECT topic, "partition", "offset",
+                 ROW_NUMBER() OVER (PARTITION BY topic, "partition"
+                                    ORDER BY "offset" DESC) AS rn
+          FROM s WHERE q = 0),
+    old AS (SELECT topic, "partition", "offset" AS prev_offset FROM o WHERE rn = 1)
+    SELECT CASE WHEN prev_offset IS NULL THEN 'insert' ELSE 'update' END AS op,
+           topic, "partition", last_offset, prev_offset
+    FROM new LEFT JOIN old USING (topic, "partition")""",
+)
+def k13_upsert_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog read path: ``change_feed(batch_id=1)`` labels every
+    key batch 1 wrote as insert (absent before) or update (prior row's
+    columns attached as ``_old_*``), reading ONLY the batch's version
+    dirs plus the touched buckets' prior versions — delta-sized, never
+    a snapshot scan. The SQL equivalent: keep-latest per key within
+    quartile 1 (the new row) left-joined to keep-latest within
+    quartile 0 (the prior row)."""
+    sink = _k11_sink(spark, sf_dir)
+    feed = sink.change_feed(spark, batch_id=1)
+    return feed.select(
+        F.col("_change").alias("op"),
+        "topic",
+        "partition",
+        F.col("offset").alias("last_offset"),
+        F.col("_old_offset").alias("prev_offset"),
     )
 
 
