@@ -165,6 +165,10 @@ BENCH_QUERIES = [
     "k12_upsert_time_travel",
     "k13_upsert_change_feed",
     "kll_exact_quantiles",
+    # round 9: entity resolution (blocked fuzzy join) and the
+    # whitening/PCA covariance primitive (exact treeAggregate moments)
+    "fuzzy_part_matches",
+    "embedding_covariance_block",
 ]
 
 

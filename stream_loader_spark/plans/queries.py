@@ -5094,3 +5094,72 @@ def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return perplexity_buckets(docs)
+
+
+@query(
+    "fuzzy_part_matches",
+    """WITH vals AS (SELECT DISTINCT p_brand, p_name FROM part),
+    cand AS (
+      SELECT a.p_brand, a.p_name AS value_a, b.p_name AS value_b,
+             levenshtein(a.p_name, b.p_name) AS lev_dist
+      FROM vals a JOIN vals b ON a.p_brand = b.p_brand AND a.p_name <= b.p_name
+      WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+        AND levenshtein(a.p_name, b.p_name) <= 2)
+    SELECT l.p_partkey AS part_a, r.p_partkey AS part_b,
+           c.value_a AS name_a, c.value_b AS name_b, c.lev_dist
+    FROM cand c
+    JOIN part l ON l.p_brand = c.p_brand AND l.p_name = c.value_a
+    JOIN part r ON r.p_brand = c.p_brand AND r.p_name = c.value_b
+    WHERE c.value_a < c.value_b OR l.p_partkey < r.p_partkey""",
+)
+def fuzzy_part_matches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy join: part-name pairs within
+    2 Levenshtein edits inside a brand block. Distances are computed
+    once per distinct (brand, name) pair — the quadratic runs over
+    distinct values, the row expansion is two hash joins — with the
+    lossless length-band prune ahead of the JVM-side distance kernel
+    (operators/fuzzy.py)."""
+    from stream_loader_spark.operators.fuzzy import blocked_fuzzy_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = blocked_fuzzy_pairs(
+        part, id_col="p_partkey", value_col="p_name",
+        block_cols=["p_brand"], max_distance=2,
+    )
+    return pairs.select(
+        F.col("id_a").alias("part_a"),
+        F.col("id_b").alias("part_b"),
+        F.col("value_a").alias("name_a"),
+        F.col("value_b").alias("name_b"),
+        "lev_dist",
+    )
+
+
+@query(
+    "embedding_covariance_block",
+    """WITH u AS (
+      SELECT vec_id,
+             CAST(ROUND(embedding[i + 1] * 1000000, 0) AS BIGINT) AS xs,
+             CAST(i AS INTEGER) AS i
+      FROM embeddings, (SELECT UNNEST(range(24)) AS i)),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+    s AS (SELECT i, CAST(SUM(xs) AS DOUBLE) AS s FROM u GROUP BY i),
+    x AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.xs * b.xs) AS DOUBLE) AS sxx
+          FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i >= a.i
+          GROUP BY a.i, b.i)
+    SELECT x.i AS i, x.j AS j,
+           CAST(CAST((x.sxx / 1e12 - (s1.s / 1e6) * (s2.s / 1e6) / nn.n) / nn.n
+                AS DECIMAL(18,6)) AS DOUBLE) AS cov
+    FROM x JOIN s s1 ON s1.i = x.i JOIN s s2 ON s2.i = x.j CROSS JOIN nn""",
+)
+def embedding_covariance_block_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance of the first 24 embedding dims (the whitening/PCA
+    primitive under SemDeDup-style semantic dedup), upper triangle as
+    (i, j, cov). One pass of per-partition integer sufficient statistics
+    (Arrow-batched, dim^2 longs per partition) + an exact long combine —
+    the treeAggregate shape that holds at any corpus size, vs the
+    oracle's row-pair expansion (operators/embstats.py)."""
+    from stream_loader_spark.operators.embstats import embedding_covariance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, dim=24)

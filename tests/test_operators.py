@@ -1604,3 +1604,104 @@ class TestBucketCaps:
         # no signature → never pair; the single-token twins collide at 0
         assert (6, 7) in sp and (3, 4) in sp
         assert not any(a in (1, 2) or b in (1, 2) for a, b in sp)
+
+
+# ---------------------------------------------------------------- fuzzy
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_blocked_fuzzy_pairs_matches_bruteforce(spark):
+    from stream_loader_spark.operators.fuzzy import blocked_fuzzy_pairs
+
+    rows = [
+        (1, "alpha", "X"), (2, "alphq", "X"), (3, "alpha", "X"),
+        (4, "beta", "X"), (5, "alpha", "Y"), (6, "alphaa", "Y"),
+        (7, "gamma", "Y"), (8, "gamm", "Y"), (9, "zzzzzzzzzz", "X"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    got = {
+        tuple(r)
+        for r in blocked_fuzzy_pairs(
+            df, id_col="id", value_col="name", block_cols=["blk"], max_distance=2
+        ).collect()
+    }
+    expected = set()
+    for i, (ia, va, ba) in enumerate(rows):
+        for ib, vb, bb in rows[i + 1:]:
+            if ba != bb:
+                continue
+            d = _lev(va, vb)
+            if d > 2:
+                continue
+            if va < vb:
+                expected.add((ia, ib, va, vb, d))
+            elif vb < va:
+                expected.add((ib, ia, vb, va, d))
+            else:
+                expected.add((min(ia, ib), max(ia, ib), va, vb, d))
+    assert got == expected
+    # every unordered pair appears exactly once
+    assert len({frozenset((a, b)) for a, b, *_ in got}) == len(got)
+
+
+def test_blocked_fuzzy_pairs_validates(spark):
+    from stream_loader_spark.operators.fuzzy import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame([(1, "a", "X")], "id long, name string, blk string")
+    with pytest.raises(ValueError, match="columns not in input"):
+        blocked_fuzzy_pairs(df, "id", "nope", ["blk"], 2)
+    with pytest.raises(ValueError, match="max_distance"):
+        blocked_fuzzy_pairs(df, "id", "name", ["blk"], -1)
+
+
+# -------------------------------------------------------------- embstats
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+    from stream_loader_spark.operators.embstats import embedding_covariance
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(scale=0.3, size=(257, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, x.tolist()) for i, x in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    ).repartition(5)
+    got = {
+        (r.i, r.j): r.cov
+        for r in embedding_covariance(df, dim=8).collect()
+    }
+    assert len(got) == 8 * 9 // 2
+    # exact reference over the same integer-scaled values
+    S = np.where(X >= 0, np.floor(X.astype(np.float64) * 1e6 + 0.5),
+                 -np.floor(-X.astype(np.float64) * 1e6 + 0.5)).astype(np.int64)
+    n = float(len(S))
+    for (i, j), cov in got.items():
+        sxx = float(np.sum(S[:, i] * S[:, j]))
+        want = (sxx / 1e12 - (S[:, i].sum() / 1e6) * (S[:, j].sum() / 1e6) / n) / n
+        assert abs(cov - round(want, 6)) <= 1e-6, (i, j, cov, want)
+
+
+def test_embedding_moment_partials_one_row_per_partition(spark):
+    import numpy as np
+    from stream_loader_spark.operators.embstats import embedding_moment_partials
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(64, 4)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, x.tolist()) for i, x in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    ).repartition(6)
+    parts = embedding_moment_partials(df, dim=4).collect()
+    assert 1 <= len(parts) <= 6
+    assert sum(p.n for p in parts) == 64
+    assert all(len(p.s) == 4 and len(p.xtx) == 16 for p in parts)

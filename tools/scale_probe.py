@@ -88,6 +88,7 @@ PROBE_QUERIES = [
     "similarity_ivf_topk",
     "embedding_near_dup",
     "embedding_near_dup_tuned",
+    "semantic_dedup_keep_best_tuned",
     "tfidf_top_terms",
     "dedup_exact",
     "events_hourly_rollup",
@@ -110,7 +111,35 @@ def _embedding_near_dup_tuned(spark, sf_dir):
     )
 
 
-EXTRA_PROBES = {"embedding_near_dup_tuned": _embedding_near_dup_tuned}
+def _semantic_dedup_keep_best_tuned(spark, sf_dir):
+    """semantic_dedup_keep_best with its pair stage's sign-LSH sized to
+    the probed corpus (num_planes=14, bands re-grown) — the same tuning
+    lever the embedding_near_dup_tuned row measures, applied to the
+    full keep-best pipeline whose registered form pins the oracle's
+    fixed (8,4) banding."""
+    from stream_loader_spark.operators.dedup import dedup_keep_best_in_cluster
+    from stream_loader_spark.operators.similarity import cosine_near_dup_pairs
+    from stream_loader_spark.operators.text import with_text_stats
+    from stream_loader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs(
+        emb, threshold=0.35, num_planes=14, num_bands=8, dim=64
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    scored = (
+        with_text_stats(docs)
+        .select("doc_id", "lang", "quality_score")
+        .localCheckpoint(eager=False)
+    )
+    kept = dedup_keep_best_in_cluster(scored, pairs, quality_col="quality_score")
+    return kept.select("doc_id", "lang", "quality_score")
+
+
+EXTRA_PROBES = {
+    "embedding_near_dup_tuned": _embedding_near_dup_tuned,
+    "semantic_dedup_keep_best_tuned": _semantic_dedup_keep_best_tuned,
+}
 
 # expected-superlinear notes surfaced verbatim in the artifact: an
 # exponent > 1 on these is the operator's contract, not a plan defect
@@ -134,7 +163,12 @@ EXPECTED_NOTES = {
     ),
     "semantic_dedup_keep_best": (
         "pair stage is embedding_near_dup's fixed (8,4) banding (oracle"
-        "-pinned) — same parameter floor, same tuning lever at scale"
+        "-pinned) — same parameter floor, same tuning lever at scale; "
+        "see the _tuned row for the pipeline sized to the corpus"
+    ),
+    "semantic_dedup_keep_best_tuned": (
+        "same pipeline with the pair stage's num_planes grown to "
+        "log2(N/bucket) — the knob that restores ~linear end to end"
     ),
 }
 
