@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     # round 9: entity resolution (blocked fuzzy join) and the
     # whitening/PCA covariance primitive (exact treeAggregate moments)
     "fuzzy_part_matches",
+    "fuzzy_customer_supplier_links",
     "embedding_covariance_block",
 ]
 

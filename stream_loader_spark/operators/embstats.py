@@ -143,3 +143,108 @@ def embedding_covariance(
             .alias("cov"),
         )
     )
+
+
+def covariance_matrix_local(
+    emb: DataFrame, vec_col: str = "embedding", dim: int = 64, scale: int = SCALE
+) -> np.ndarray:
+    """Collect the d×d covariance to the driver as a numpy array.
+
+    The collect is d(d+1)/2 rows — bounded by the embedding width, never
+    by the corpus — so this is safe at any scale (same contract as the
+    k×dim centroid collect in operators/similarity.py)."""
+    cov = np.zeros((dim, dim), dtype=np.float64)
+    for r in embedding_covariance(emb, vec_col=vec_col, dim=dim, scale=scale).collect():
+        cov[r.i, r.j] = r.cov
+        cov[r.j, r.i] = r.cov
+    return cov
+
+
+def pca_components(cov: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k eigenpairs of a covariance matrix, deterministically
+    oriented: eigenvalues descending, each eigenvector's largest-|.|
+    component made positive (eigh's sign is otherwise arbitrary, which
+    would make downstream projections run-to-run unstable)."""
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    vals, vecs = vals[order], vecs[:, order]
+    for c in range(vecs.shape[1]):
+        if vecs[np.argmax(np.abs(vecs[:, c])), c] < 0:
+            vecs[:, c] = -vecs[:, c]
+    return vals, vecs
+
+
+def embedding_pca_project(
+    emb: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Project embeddings onto their top-k principal components as
+    scalar columns ``pc_0..pc_{k-1}`` (rounded to 6 decimals).
+
+    Two passes: one distributed moments pass for the covariance (driver
+    holds d² floats only), then one map-only pass where each projection
+    is a JVM-side zip_with/aggregate dot product against the broadcast
+    component literals — no shuffle, no Python in the projection."""
+    keep = list(keep_cols or [])
+    clash = {id_col, vec_col, *keep} & {f"pc_{c}" for c in range(k)}
+    if clash:
+        raise ValueError(f"output pc_* columns collide with: {sorted(clash)}")
+    _, vecs = pca_components(
+        covariance_matrix_local(emb, vec_col=vec_col, dim=dim), k
+    )
+    v = F.transform(F.slice(F.col(vec_col), 1, dim), lambda x: x.cast("double"))
+    projections = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(w)) for w in vecs[:, c]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias(f"pc_{c}")
+        for c in range(k)
+    ]
+    return emb.select(F.col(id_col), *keep, *projections)
+
+
+def whitening_matrix(cov: np.ndarray, eps: float = 1e-6) -> np.ndarray:
+    """PCA-whitening transform W with W·cov·Wᵀ ≈ I: rows are
+    eigenvectors scaled by 1/sqrt(eigenvalue + eps)."""
+    vals, vecs = pca_components(cov, cov.shape[0])
+    return (vecs / np.sqrt(vals + eps)).T
+
+
+def embedding_whiten(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Whiten the embedding column (decorrelate + unit variance) —
+    the preprocessing step in front of cosine/semantic dedup when raw
+    dimensions are correlated. Output: ``(id, whitened array<double>)``,
+    computed map-only against the broadcast d×d transform."""
+    W = whitening_matrix(covariance_matrix_local(emb, vec_col=vec_col, dim=dim), eps)
+    v = F.transform(F.slice(F.col(vec_col), 1, dim), lambda x: x.cast("double"))
+    rows = [
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(w)) for w in W[r, :]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for r in range(dim)
+    ]
+    return emb.select(F.col(id_col), F.array(*rows).alias("whitened"))

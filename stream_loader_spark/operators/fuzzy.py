@@ -111,3 +111,70 @@ def blocked_fuzzy_pairs(
         )
     )
     return out.select("id_a", "id_b", "value_a", "value_b", "lev_dist")
+
+
+def blocked_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_value: str,
+    right_value: str,
+    block_cols: list[str],
+    max_distance: int,
+) -> DataFrame:
+    """Two-table fuzzy equi-join: rows of ``left`` matched to rows of
+    ``right`` sharing a block whose value strings are within
+    ``max_distance`` Levenshtein edits.
+
+    Returns ``(id_a, id_b, value_a, value_b, lev_dist)`` — one row per
+    matching (left row, right row) combination. Same plan shape as
+    :func:`blocked_fuzzy_pairs`: distances once per distinct value pair,
+    row expansion via hash joins, lossless length-band prune.
+    """
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    for df, cols in ((left, [left_id, left_value]), (right, [right_id, right_value])):
+        missing = [c for c in [*cols, *block_cols] if c not in df.columns]
+        if missing:
+            raise ValueError(f"columns not in input: {missing}")
+
+    lrows = left.select(
+        F.col(left_id).alias("id_a"),
+        F.col(left_value).alias("value_a"),
+        *[F.col(c) for c in block_cols],
+    )
+    rrows = right.select(
+        F.col(right_id).alias("id_b"),
+        F.col(right_value).alias("__rval"),
+        *[F.col(c).alias(f"__rb_{c}") for c in block_cols],
+    )
+    lvals = lrows.select(*block_cols, "value_a").distinct()
+    rvals = rrows.select(
+        *[F.col(f"__rb_{c}") for c in block_cols], F.col("__rval").alias("value_b")
+    ).distinct()
+    cand = (
+        lvals.join(
+            rvals,
+            on=[F.col(c) == F.col(f"__rb_{c}") for c in block_cols],
+            how="inner",
+        )
+        .where(
+            F.abs(F.length("value_a") - F.length("value_b")) <= F.lit(max_distance)
+        )
+        .withColumn("lev_dist", F.levenshtein("value_a", "value_b"))
+        .where(F.col("lev_dist") <= F.lit(max_distance))
+        .select(*block_cols, "value_a", "value_b", "lev_dist")
+    )
+    return (
+        cand.join(lrows, on=[*block_cols, "value_a"], how="inner")
+        .join(
+            rrows,
+            on=[
+                *[F.col(c) == F.col(f"__rb_{c}") for c in block_cols],
+                F.col("value_b") == F.col("__rval"),
+            ],
+            how="inner",
+        )
+        .select("id_a", "id_b", "value_a", "value_b", "lev_dist")
+    )

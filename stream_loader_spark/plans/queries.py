@@ -5163,3 +5163,32 @@ def embedding_covariance_block_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_covariance(emb, dim=24)
+
+
+@query(
+    "fuzzy_customer_supplier_links",
+    """SELECT c.c_custkey AS id_a, s.s_suppkey AS id_b,
+           c.c_name AS value_a, s.s_name AS value_b,
+           levenshtein(c.c_name, s.s_name) AS lev_dist
+    FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    WHERE abs(length(c.c_name) - length(s.s_name)) <= 6
+      AND levenshtein(c.c_name, s.s_name) <= 6""",
+)
+def fuzzy_customer_supplier_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-registry entity linkage: customer names matched to supplier
+    names within 6 edits inside a nation block (two-table variant of the
+    blocked fuzzy join — operators/fuzzy.py::blocked_fuzzy_join). The
+    blocking key bounds the candidate quadratic; the distance kernel is
+    the JVM-side levenshtein expression."""
+    from stream_loader_spark.operators.fuzzy import blocked_fuzzy_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_nationkey", "c_nationkey"
+    )
+    return blocked_fuzzy_join(
+        cust, supp,
+        left_id="c_custkey", right_id="s_suppkey",
+        left_value="c_name", right_value="s_name",
+        block_cols=["c_nationkey"], max_distance=6,
+    )

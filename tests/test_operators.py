@@ -1705,3 +1705,74 @@ def test_embedding_moment_partials_one_row_per_partition(spark):
     assert 1 <= len(parts) <= 6
     assert sum(p.n for p in parts) == 64
     assert all(len(p.s) == 4 and len(p.xtx) == 16 for p in parts)
+
+
+def test_blocked_fuzzy_join_two_tables(spark):
+    from stream_loader_spark.operators.fuzzy import blocked_fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "kitten", "X"), (2, "sitting", "X"), (3, "kitten", "Y")],
+        "id long, name string, blk string",
+    )
+    right = spark.createDataFrame(
+        [(10, "sitting", "X"), (11, "kitten", "X"), (12, "mitten", "Y"),
+         (13, "banana", "Y")],
+        "id long, name string, blk string",
+    )
+    got = {
+        tuple(r)
+        for r in blocked_fuzzy_join(
+            left, right, "id", "id", "name", "name", ["blk"], 3
+        ).collect()
+    }
+    expected = set()
+    for ia, va, ba in left.collect():
+        for ib, vb, bb in right.collect():
+            if ba == bb and _lev(va, vb) <= 3:
+                expected.add((ia, ib, va, vb, _lev(va, vb)))
+    assert got == expected
+    assert (1, 10, "kitten", "sitting", 3) in got
+    assert (3, 12, "kitten", "mitten", 1) in got
+
+
+def test_embedding_whiten_decorrelates(spark):
+    import numpy as np
+    from stream_loader_spark.operators.embstats import embedding_whiten
+
+    rng = np.random.default_rng(11)
+    # correlated 6-dim data: latent 3-dim factors mixed into 6 dims
+    Z = rng.normal(size=(400, 3))
+    M = rng.normal(size=(3, 6))
+    X = (Z @ M + 0.1 * rng.normal(size=(400, 6))).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, x.tolist()) for i, x in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    W = np.stack(
+        [np.array(r.whitened) for r in embedding_whiten(df, dim=6).collect()]
+    )
+    C = np.cov(W, rowvar=False, bias=True)
+    assert np.abs(C - np.eye(6)).max() < 0.05
+
+
+def test_embedding_pca_project_orders_variance(spark):
+    import numpy as np
+    from stream_loader_spark.operators.embstats import embedding_pca_project
+
+    rng = np.random.default_rng(5)
+    X = (rng.normal(size=(300, 5)) * np.array([5.0, 2.0, 1.0, 0.5, 0.1])).astype(
+        np.float32
+    )
+    df = spark.createDataFrame(
+        [(i, x.tolist()) for i, x in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    ).repartition(3)
+    out = embedding_pca_project(df, k=3, dim=5)
+    assert out.columns == ["vec_id", "pc_0", "pc_1", "pc_2"]
+    pdf = out.toPandas()
+    variances = [pdf[f"pc_{c}"].var() for c in range(3)]
+    assert variances[0] > variances[1] > variances[2]
+    # dominant axis recovered: pc_0 tracks the scale-5 dimension
+    assert np.abs(np.corrcoef(pdf.sort_values("vec_id")["pc_0"], X[:, 0])[0, 1]) > 0.99
+    with pytest.raises(ValueError, match="collide"):
+        embedding_pca_project(df.withColumnRenamed("vec_id", "pc_0"), k=3, dim=5, id_col="pc_0")
