@@ -73,8 +73,10 @@ def blocked_fuzzy_pairs(
         .where(
             F.abs(F.length("value_a") - F.length("value_b")) <= F.lit(max_distance)
         )
-        .withColumn("lev_dist", F.levenshtein("value_a", "value_b"))
-        .where(F.col("lev_dist") <= F.lit(max_distance))
+        .withColumn(
+            "lev_dist", F.levenshtein(F.col("value_a"), F.col("value_b"), max_distance)
+        )
+        .where(F.col("lev_dist") >= 0)
         .select(
             *[F.col(f"__ba_{c}").alias(c) for c in block_cols],
             "value_a",
@@ -122,6 +124,7 @@ def blocked_fuzzy_join(
     right_value: str,
     block_cols: list[str],
     max_distance: int,
+    compress: bool = True,
 ) -> DataFrame:
     """Two-table fuzzy equi-join: rows of ``left`` matched to rows of
     ``right`` sharing a block whose value strings are within
@@ -131,6 +134,13 @@ def blocked_fuzzy_join(
     matching (left row, right row) combination. Same plan shape as
     :func:`blocked_fuzzy_pairs`: distances once per distinct value pair,
     row expansion via hash joins, lossless length-band prune.
+
+    ``compress=True`` (the default) pays two distincts + two expansion
+    joins to run the distance kernel once per distinct value pair — the
+    right trade when values repeat heavily (catalog names, user
+    agents). With near-unique values (ids, personal names) the
+    compression buys nothing; ``compress=False`` joins the row sets
+    directly, one shuffle join + one distance pass.
     """
     if max_distance < 0:
         raise ValueError("max_distance must be >= 0")
@@ -149,6 +159,35 @@ def blocked_fuzzy_join(
         F.col(right_value).alias("__rval"),
         *[F.col(c).alias(f"__rb_{c}") for c in block_cols],
     )
+    if not compress:
+        # pin the distance kernel's width: a small left table can scan
+        # as one split (fixture scale) or a few fat ones, serializing
+        # the O(pairs · m·n) kernel behind the broadcast join — the
+        # 15 k-row shuffle is far cheaper than a single-core DP pass.
+        # At production scale the scan is already wide and this is a
+        # cheap rebalance of the probe side.
+        par = lrows.sparkSession.sparkContext.defaultParallelism
+        lwide = lrows.repartition(par, *[F.col(c) for c in block_cols], F.col("id_a"))
+        # threshold form: the DP early-exits past max_distance (returns
+        # -1), and filtered rows keep their true distance
+        lev = F.levenshtein(F.col("value_a"), F.col("__rval"), max_distance)
+        return (
+            lwide.join(
+                rrows,
+                on=[F.col(c) == F.col(f"__rb_{c}") for c in block_cols],
+                how="inner",
+            )
+            .where(
+                F.abs(F.length("value_a") - F.length("__rval"))
+                <= F.lit(max_distance)
+            )
+            .withColumn("lev_dist", lev)
+            .where(F.col("lev_dist") >= 0)
+            .select(
+                "id_a", "id_b", "value_a",
+                F.col("__rval").alias("value_b"), "lev_dist",
+            )
+        )
     lvals = lrows.select(*block_cols, "value_a").distinct()
     rvals = rrows.select(
         *[F.col(f"__rb_{c}") for c in block_cols], F.col("__rval").alias("value_b")
@@ -162,8 +201,10 @@ def blocked_fuzzy_join(
         .where(
             F.abs(F.length("value_a") - F.length("value_b")) <= F.lit(max_distance)
         )
-        .withColumn("lev_dist", F.levenshtein("value_a", "value_b"))
-        .where(F.col("lev_dist") <= F.lit(max_distance))
+        .withColumn(
+            "lev_dist", F.levenshtein(F.col("value_a"), F.col("value_b"), max_distance)
+        )
+        .where(F.col("lev_dist") >= 0)
         .select(*block_cols, "value_a", "value_b", "lev_dist")
     )
     return (

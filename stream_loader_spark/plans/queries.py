@@ -5186,9 +5186,11 @@ def fuzzy_customer_supplier_links_q(spark: SparkSession, sf_dir: str) -> DataFra
     supp = load_table(spark, sf_dir, "supplier").withColumnRenamed(
         "s_nationkey", "c_nationkey"
     )
+    # names are unique per row: distinct-value compression buys
+    # nothing here, so take the direct one-join plan
     return blocked_fuzzy_join(
         cust, supp,
         left_id="c_custkey", right_id="s_suppkey",
         left_value="c_name", right_value="s_name",
-        block_cols=["c_nationkey"], max_distance=6,
+        block_cols=["c_nationkey"], max_distance=6, compress=False,
     )

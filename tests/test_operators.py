@@ -1776,3 +1776,21 @@ def test_embedding_pca_project_orders_variance(spark):
     assert np.abs(np.corrcoef(pdf.sort_values("vec_id")["pc_0"], X[:, 0])[0, 1]) > 0.99
     with pytest.raises(ValueError, match="collide"):
         embedding_pca_project(df.withColumnRenamed("vec_id", "pc_0"), k=3, dim=5, id_col="pc_0")
+
+
+def test_blocked_fuzzy_join_compress_modes_agree(spark):
+    from stream_loader_spark.operators.fuzzy import blocked_fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "kitten", "X"), (2, "sitting", "X"), (3, "kitten", "Y")],
+        "id long, name string, blk string",
+    )
+    right = spark.createDataFrame(
+        [(10, "sitting", "X"), (11, "kitten", "X"), (12, "mitten", "Y")],
+        "id long, name string, blk string",
+    )
+    kw = dict(left_id="id", right_id="id", left_value="name",
+              right_value="name", block_cols=["blk"], max_distance=3)
+    a = {tuple(r) for r in blocked_fuzzy_join(left, right, **kw).collect()}
+    b = {tuple(r) for r in blocked_fuzzy_join(left, right, compress=False, **kw).collect()}
+    assert a == b and a
