@@ -282,6 +282,18 @@ def run_probe(
         tiers[m] = build_tier(spark, src_sf, m, scratch)
         print(f"tier x{m}: {tiers[m]} ({time.time() - t0:.1f}s)", flush=True)
 
+    def _drop_persisted() -> None:
+        """Unpersist every cached/localCheckpointed RDD left by the
+        previous query: the probe reuses one session across ~50 query
+        executions, and stale checkpoint blocks from the heavy pair
+        tables otherwise fill executor storage and force later queries
+        into disk spill / recompute — measured as a 20× outlier on a
+        mid-list query, pure cross-query pollution."""
+        spark.catalog.clearCache()
+        # py4j exposes the JavaSparkContext's Map as a dict-like view
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(True)
+
     results: dict[str, dict] = {}
     heap: dict[int, float] = {}
     for m in sorted(mults):
@@ -295,6 +307,7 @@ def run_probe(
                 best = took if best is None else min(best, took)
             results.setdefault(name, {})[m] = round(best, 3)
             print(f"x{m} {name}: {best:.3f}s", flush=True)
+            _drop_persisted()
         spark.sparkContext._jvm.java.lang.System.gc()
         heap[m] = _heap_used_mb(spark)
         print(f"x{m} driver heap after gc: {heap[m]} MB", flush=True)
@@ -342,12 +355,13 @@ def render_md(out: dict) -> str:
         "",
         "JVM heap after gc per tier (MB): "
         + ", ".join(f"x{m}: {out['heap_mb'][m]}" for m in ms)
-        + " — on local[n] this JVM holds EXECUTOR storage too"
-        " (localCheckpoint/cache blocks of the pair tables scale with"
-        " data and are expected to grow); the signal to watch is"
-        " super-data-proportional growth, which would mean a"
-        " corpus-sized driver collect. Measured growth tracks the"
-        " checkpointed pair volume, well under data size.",
+        + " — on local[n] this JVM holds EXECUTOR storage too, and the"
+        " probe unpersists each query's cache/localCheckpoint blocks"
+        " before the next one runs (cross-query storage pressure"
+        " measured as a 20× outlier on a mid-list query before the"
+        " cleanup). The signal to watch is heap growing with the tier,"
+        " which would mean a corpus-sized driver collect; measured heap"
+        " is flat across tiers.",
         "",
     ]
     return "\n".join(lines)
