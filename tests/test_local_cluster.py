@@ -33,6 +33,10 @@ from stream_loader_spark.sinks.manifest import ManifestFileSink
 
 spark = (
     SparkSession.builder.master("local-cluster[2,2,2048]")
+    # executor Python workers are separate processes that don't inherit
+    # the driver's sys.path — ship the package location the way a real
+    # cluster would (PYTHONPATH / --py-files)
+    .config("spark.executorEnv.PYTHONPATH", sys.argv[1])
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "true")
@@ -80,6 +84,39 @@ toks = docs.select(
 )
 counts = toks.groupBy("tok").count().collect()
 assert sum(r["count"] for r in counts) == 1200
+
+# Arrow-batched mapInPandas partial aggregation (the covariance moment
+# fold) across real executor Python workers: partials serialize over
+# Arrow from separate processes, the long combine crosses the shuffle
+import numpy as np
+from stream_loader_spark.operators.embstats import embedding_covariance
+
+rng = np.random.default_rng(2)
+X = rng.normal(scale=0.25, size=(120, 4)).astype(np.float32)
+emb = spark.createDataFrame(
+    [(i, x.tolist()) for i, x in enumerate(X)],
+    "vec_id long, embedding array<float>",
+).repartition(4)
+cov = {(r.i, r.j): r.cov for r in embedding_covariance(emb, dim=4).collect()}
+assert len(cov) == 10
+S = np.where(X >= 0, np.floor(X.astype(np.float64) * 1e6 + 0.5),
+             -np.floor(-X.astype(np.float64) * 1e6 + 0.5)).astype(np.int64)
+n = float(len(S))
+want = (float(np.sum(S[:, 0] * S[:, 0])) / 1e12
+        - (S[:, 0].sum() / 1e6) ** 2 / n) / n
+assert abs(cov[(0, 0)] - round(want, 6)) <= 1e-6, (cov[(0, 0)], want)
+
+# blocked fuzzy join (distinct-compression + expansion joins) across
+# executor processes
+from stream_loader_spark.operators.fuzzy import blocked_fuzzy_pairs
+
+names = spark.createDataFrame(
+    [(i, ["alpha", "alphq", "beta", "gamma"][i % 4], "B") for i in range(40)],
+    "id long, name string, blk string",
+)
+fp = blocked_fuzzy_pairs(names, "id", "name", ["blk"], 1).collect()
+# alpha↔alphq pairs (10×10) + same-name pairs (4 groups of 10 → 45 each)
+assert len(fp) == 100 + 4 * 45, len(fp)
 
 print("LC-OK")
 spark.stop()

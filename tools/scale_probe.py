@@ -89,6 +89,7 @@ PROBE_QUERIES = [
     "embedding_near_dup",
     "embedding_near_dup_tuned",
     "semantic_dedup_keep_best_tuned",
+    "embedding_covariance_block",
     "tfidf_top_terms",
     "dedup_exact",
     "events_hourly_rollup",
@@ -169,6 +170,10 @@ EXPECTED_NOTES = {
     "semantic_dedup_keep_best_tuned": (
         "same pipeline with the pair stage's num_planes grown to "
         "log2(N/bucket) — the knob that restores ~linear end to end"
+    ),
+    "embedding_covariance_block": (
+        "one-pass integer moment fold (dim² state per partition) + "
+        "exact long combine — cost is the scan, state is constant"
     ),
 }
 
@@ -269,7 +274,7 @@ def run_probe(
     mults: list[int],
     query_names: list[str],
     scratch: str,
-    passes: int = 2,
+    passes: int = 3,
 ) -> dict:
     from stream_loader_spark.plans.queries import QUERIES
 
