@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "fuzzy_part_matches",
     "fuzzy_customer_supplier_links",
     "embedding_covariance_block",
+    "multimodal_resize",
 ]
 
 

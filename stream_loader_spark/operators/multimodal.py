@@ -224,3 +224,60 @@ def sample_frames(media: DataFrame, every_k: int = 4, frame_size: int = 32) -> D
             )
 
     return media.where(F.col("media_type") == "video").mapInPandas(batches, schema=out_schema)
+
+
+def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Nearest-neighbor resize for image payloads (deterministic stub of
+    an image resizer; a real decoder slots into the same mapInPandas).
+
+    Fake-decode contract: the byte stream is a grayscale grid of
+    width = floor(sqrt(len)) and height = len // width (trailing
+    remainder bytes ignored), matching what the SQL oracle can slice.
+    The resize itself is the real algorithm — source pixel (i·h)//out_h,
+    (j·w)//out_w per output pixel — and the whole batch is one numpy
+    gather over the concatenated buffer (no per-pixel Python).
+    Zero-length payloads emit no row, like ``sample_frames``.
+    """
+    out_schema = "media_id BIGINT, src_w INT, src_h INT, resized BINARY"
+    if out_w < 1 or out_h < 1:
+        raise ValueError("output dimensions must be >= 1")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cells = out_h * out_w
+        gi = np.repeat(np.arange(out_h, dtype=np.int64), out_w)  # grid row
+        gj = np.tile(np.arange(out_w, dtype=np.int64), out_h)  # grid col
+        for pdf in it:
+            bufs = [bytes(b) if b is not None else b"" for b in pdf["content"]]
+            lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+            keep = lens >= 1
+            if not keep.any():
+                continue
+            bufs = [b for b, k in zip(bufs, keep) if k]
+            lens = lens[keep]
+            ids = pdf["media_id"].to_numpy()[keep]
+            n = len(bufs)
+            # floor(sqrt) in float64 — the same expression the SQL
+            # oracle evaluates, so both engines agree bit-for-bit
+            w = np.floor(np.sqrt(lens.astype(np.float64))).astype(np.int64)
+            h = lens // w
+            base = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            rows_rep = np.repeat(np.arange(n, dtype=np.int64), cells)
+            src = (
+                base[rows_rep]
+                + (np.tile(gi, n) * h[rows_rep]) // out_h * w[rows_rep]
+                + (np.tile(gj, n) * w[rows_rep]) // out_w
+            )
+            arr = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            sampled = arr[src].reshape(n, cells)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "src_w": w.astype(np.int32),
+                    "src_h": h.astype(np.int32),
+                    "resized": [r.tobytes() for r in sampled],
+                }
+            )
+
+    return media.where(F.col("media_type") == "image").mapInPandas(
+        batches, schema=out_schema
+    )

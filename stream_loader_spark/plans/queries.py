@@ -5194,3 +5194,42 @@ def fuzzy_customer_supplier_links_q(spark: SparkSession, sf_dir: str) -> DataFra
         left_value="c_name", right_value="s_name",
         block_cols=["c_nationkey"], max_distance=6, compress=False,
     )
+
+
+@query(
+    "multimodal_resize",
+    """WITH ascii_img AS (
+      SELECT doc_id, text, strlen(text) AS len FROM documents
+      WHERE strlen(text) = length(text) AND doc_id % 3 = 0 AND strlen(text) >= 1),
+    dims AS (
+      SELECT doc_id, text, len,
+             CAST(floor(sqrt(len)) AS BIGINT) AS w
+      FROM ascii_img),
+    px AS (
+      SELECT doc_id, w, len // w AS h, i.i, j.j,
+             substr(text,
+                    CAST((i.i * (len // w)) // 8 * w + (j.j * w) // 8 + 1 AS BIGINT),
+                    1) AS ch
+      FROM dims,
+           (SELECT UNNEST(range(8)) AS i) i,
+           (SELECT UNNEST(range(8)) AS j) j)
+    SELECT doc_id AS media_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+           md5(string_agg(ch, '' ORDER BY i, j)) AS resized_md5
+    FROM px GROUP BY doc_id, w, h""",
+)
+def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor image resize through mapInPandas, hash-verified:
+    each image payload fake-decodes to a floor(sqrt(len))-wide byte
+    grid and resizes to 8×8 with the real gather algorithm (one numpy
+    gather per batch). Restricted to ASCII documents so the SQL
+    oracle's character slicing is byte-exact, like multimodal_frames;
+    the binary plumbing under test is identical."""
+    from stream_loader_spark.operators.multimodal import resize_media
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.octet_length("text") == F.length("text")
+    )
+    resized = resize_media(synthetic_media(docs), out_w=8, out_h=8)
+    return resized.select(
+        "media_id", "src_w", "src_h", F.md5("resized").alias("resized_md5")
+    )

@@ -1794,3 +1794,35 @@ def test_blocked_fuzzy_join_compress_modes_agree(spark):
     a = {tuple(r) for r in blocked_fuzzy_join(left, right, **kw).collect()}
     b = {tuple(r) for r in blocked_fuzzy_join(left, right, compress=False, **kw).collect()}
     assert a == b and a
+
+
+def test_resize_media_shapes_and_determinism(spark):
+    import hashlib
+    from stream_loader_spark.operators.multimodal import resize_media
+
+    rows = [(i * 3, "image", bytes(range(256))[: 17 + i * 13]) for i in range(8)]
+    rows.append((99, "image", b""))      # empty payload: no row
+    rows.append((100, "audio", b"abc"))  # non-image: filtered
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary"
+    )
+    out = {r.media_id: r for r in resize_media(media, out_w=8, out_h=8).collect()}
+    assert set(out) == {i * 3 for i in range(8)}
+    for mid, r in out.items():
+        buf = dict((m, c) for m, _, c in rows)[mid]
+        w = int(len(buf) ** 0.5)
+        h = len(buf) // w
+        assert (r.src_w, r.src_h) == (w, h)
+        assert len(r.resized) == 64
+        want = bytes(
+            buf[(i * h) // 8 * w + (j * w) // 8] for i in range(8) for j in range(8)
+        )
+        assert bytes(r.resized) == want, mid
+    # partitioning must not change results (batch-boundary invariance)
+    out2 = {
+        r.media_id: bytes(r.resized)
+        for r in resize_media(media.repartition(7), out_w=8, out_h=8).collect()
+    }
+    assert out2 == {k: bytes(v.resized) for k, v in out.items()}
+    with pytest.raises(ValueError, match="dimensions"):
+        resize_media(media, out_w=0)
