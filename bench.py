@@ -335,9 +335,16 @@ def main() -> None:
     # second window (a min can only decrease, so re-measuring only the
     # numerator would bias every re-sampled ratio downward), and the
     # re-sampled set is recorded in the artifact for auditability.
+    # The >5 band exists because JIT warm-up on the heaviest generated
+    # expressions (the quadratic pair expansion) can hold all three
+    # consecutive passes at pre-steady-state cost — measured on
+    # ngram_jaccard_pairs: passes 7.9/2.2/1.6s fresh, so a min-of-3
+    # lands anywhere in 1.6-2.3s depending on when C2 kicks in. Two
+    # more passes minutes later reach steady state; DuckDB is re-timed
+    # identically so the window cannot bias the ratio.
     resampled: list[str] = []
     for name, d in sorted(duck.items()):
-        if d > 0 and timings[name] / d > 8 and timings[name] < 2.5:
+        if d > 0 and timings[name] / d > 5 and timings[name] < 2.5:
             resampled.append(name)
             fn = QUERIES[name]
             for _ in range(2):
