@@ -30,7 +30,7 @@ from __future__ import annotations
 import math
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DEFAULT_TARGET_FILE_BYTES = 512 * 1024 * 1024
@@ -264,3 +264,53 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def shard_by_budget(
+    df: DataFrame,
+    size_col: str,
+    id_col: str = "doc_id",
+    budget: int = 1 << 28,
+    n_slices: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic greedy packing of rows into size-budgeted output
+    shards — the "write the corpus as ~256 MB training files" layout
+    step, computed as a metadata pass (no byte movement).
+
+    Rows are first hashed into ``n_slices`` independent slices (md5 of
+    the id, same arithmetic as ``sampling.sample_bucket``), then packed
+    SEQUENTIALLY within their slice in md5 order: a running size cumsum
+    opens a new shard each time the budget boundary is crossed. A row
+    that straddles the boundary belongs to the shard it STARTS in, so
+    shards may overrun the budget by at most one row — the classic
+    streaming first-fit, chosen because it is a pure window expression
+    (exactly reproducible in any engine, and in the oracle SQL).
+
+    Scale shape: ONE shuffle (hash partition by slice + in-partition
+    sort by the md5 order key); each slice's cumsum is independent, so
+    parallelism is ``n_slices`` regardless of corpus size — size
+    n_slices to the cluster, not the data. No global sort, no driver
+    state. Output adds ``slice``, ``shard`` (globally unique:
+    slice * 2^32 + local index), and ``start_off`` (the row's first
+    byte offset inside its shard).
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    sliced = df.withColumn(
+        "slice", F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % n_slices
+    ).withColumn("_ord", h)
+    w = Window.partitionBy("slice").orderBy("_ord", id_col)
+    cum = F.sum(F.col(size_col).cast("bigint")).over(w)
+    start = (cum - F.col(size_col).cast("bigint")).alias("_start")
+    out = (
+        sliced.withColumn("_start", start)
+        .withColumn("_local", F.expr(f"_start div {budget}L"))
+        .withColumn(
+            "shard",
+            (F.col("slice").cast("bigint") * F.lit(1 << 32) + F.col("_local")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn("start_off", F.col("_start") % budget)
+    )
+    return out.drop("_ord", "_start", "_local")

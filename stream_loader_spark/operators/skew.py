@@ -59,3 +59,38 @@ def salted_join(
     )
     joined = big_s.join(small_s, on + ["_salt"], how)
     return joined.drop("_salt")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter profile of a prospective join/aggregation key —
+    the diagnostic run BEFORE picking a strategy (broadcast vs salted
+    vs AQE skew-join): the top-k heaviest keys with their exact row
+    counts, corpus share, and skew factor versus a uniform key.
+
+    All-integer output (share in ppm, skew ×100 — both exact integer
+    divisions), so the profile is bit-reproducible anywhere. One
+    map-side-combinable count aggregate + one scalar-singleton
+    broadcast; top-k compiles to TakeOrderedAndProject, never a global
+    sort.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "cnt",
+            F.expr("(cnt * 1000000L) div _total").alias("share_ppm"),
+            F.expr("(cnt * _nkeys * 100L) div _total").alias("skew_x100"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(top_k)
+    )

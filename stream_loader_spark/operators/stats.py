@@ -25,7 +25,7 @@ within 1e-9, so the built-in surface is exercised too.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -234,4 +234,89 @@ def stream_anomaly_stats(
         .cast("decimal(18,6)")
         .cast("double")
         .alias("max_abs_z"),
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Median/MAD outlier flags per group — the robust alternative to
+    z-scores (``stream_anomaly_stats``) when the metric distribution
+    has heavy tails, which corpus length/quality metrics always do
+    (mean and stddev are themselves dragged by the outliers they are
+    supposed to find).
+
+    Median and MAD are EXACT DISCRETE quantiles (percentile_disc
+    semantics) computed with the same RANGE-framed windowed-count
+    pattern as ``text.perplexity_buckets`` — no global sort, and for
+    integer inputs every derived statistic is an integer, so the
+    outlier verdict ``|x − med| > k · MAD`` is bit-reproducible on any
+    engine (no float tolerance anywhere).
+
+    Scale shape: two per-group window passes (the cumulative histogram
+    over values, then over deviations) — both hash-partition on
+    ``group_col`` only, so skew follows the group sizes; the
+    per-language/per-source groups this is built for are the same ones
+    ``perplexity_buckets`` already windows over. The KLL-sketch swap
+    documented there applies here identically if a group outgrows a
+    partition.
+    """
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("_v").asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_grp = Window.partitionBy(group_col)
+    base = df.select(id_col, group_col, F.col(value_col).cast("bigint").alias("_v"))
+    cum = base.select(
+        id_col,
+        group_col,
+        "_v",
+        F.count(F.lit(1)).over(w_cum).alias("_cum"),
+        F.count(F.lit(1)).over(w_grp).alias("_tot"),
+    )
+    # percentile_disc(0.5): smallest value whose cumulative count
+    # reaches half the group (2·cum >= tot avoids any division)
+    med = cum.select(
+        id_col,
+        group_col,
+        "_v",
+        F.min(F.when(2 * F.col("_cum") >= F.col("_tot"), F.col("_v")))
+        .over(w_grp)
+        .alias("med"),
+    ).withColumn("_dev", F.abs(F.col("_v") - F.col("med")))
+    w_dcum = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("_dev").asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = med.select(
+        id_col,
+        group_col,
+        "_v",
+        "med",
+        "_dev",
+        F.count(F.lit(1)).over(w_dcum).alias("_dcum"),
+        F.count(F.lit(1)).over(w_grp).alias("_tot"),
+    ).select(
+        id_col,
+        group_col,
+        F.col("_v").alias(value_col),
+        "med",
+        "_dev",
+        F.min(F.when(2 * F.col("_dcum") >= F.col("_tot"), F.col("_dev")))
+        .over(w_grp)
+        .alias("mad"),
+    )
+    return out.select(
+        id_col,
+        group_col,
+        value_col,
+        "med",
+        "mad",
+        (F.col("_dev") > F.lit(k) * F.col("mad")).alias("is_outlier"),
     )

@@ -635,3 +635,158 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+def bigram_logprob(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Mean smoothed bigram log-likelihood per document under the
+    corpus's own bigram distribution — the next step up from
+    ``unigram_logprob`` as an LM-based quality signal (it catches
+    word-salad documents whose unigram mix looks fine but whose local
+    order is noise).
+
+    Per bigram (prev, cur): p = (c(prev,cur) + 1) / (cf(prev) + V)
+    with cf(prev) = occurrences of prev as a non-final token and
+    V = the corpus's distinct CONTINUATION vocabulary (distinct ``cur``
+    tokens) — the add-one denominator derivable from the bigram table
+    itself, so the corpus is tokenized exactly once. Per-bigram logs
+    round to 6 decimals and sum as exact decimals (float-order
+    independent, cross-engine stable). Docs with < 2 tokens emit no
+    row.
+
+    Scale shape: bigrams are built IN-ROW with ``zip_with`` over two
+    array slices — never a positional self-join. The exploded (doc,
+    prev, cur) block is localCheckpoint-ed EAGERLY (lazy checkpoints
+    raced this block's two consumers into double materialization —
+    measured ~4× this plan's cost), so the corpus is scanned and
+    tokenized exactly once; the model derives from those blocks with
+    one vocab-scale aggregate, its cf totals and the
+    continuation-vocabulary scalar folding in as two windows over the
+    |bigram types|-row table (no second corpus pass, no extra
+    aggregate job). Scoring is then a broadcast hash join over the
+    same blocks plus ONE map-side-combinable per-doc shuffle. The
+    per-doc-bigram block is the same corpus-sized state note as
+    ``unigram_logprob``'s dtc; ``broadcast_vocab=False`` is the
+    shuffle-join fallback documented there. No ``scatter`` here: the
+    in-row gram build is cheap enough that parallelism from the input
+    splits suffices (at production split counts scatter is a no-op,
+    and locally its repartition exchange costs more than the explode
+    it parallelizes — measured).
+    """
+    toks = documents.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
+    )
+    bg = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    " slice(toks, 2, size(toks) - 1),"
+                    " (a, b) -> struct(a AS prev, b AS cur))"
+                )
+            ).alias("z"),
+        )
+        .select(id_col, "z.prev", "z.cur")
+        .localCheckpoint(eager=True)
+    )
+    freq = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
+    model = freq.select(
+        "prev",
+        "cur",
+        "c",
+        F.sum("c").over(Window.partitionBy("prev")).alias("cf"),
+        F.size(F.collect_set("cur").over(Window.partitionBy())).alias("v"),
+    )
+    if broadcast_vocab:
+        model = F.broadcast(model)
+    scored = bg.join(model, ["prev", "cur"]).select(
+        id_col,
+        F.round(F.log((F.col("c") + F.lit(1.0)) / (F.col("cf") + F.col("v"))), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum(F.col("lp")).cast("decimal(38,6)").cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_logprob"),
+    )
+
+
+def inverted_postings(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    min_df: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Inverted-index construction: per n-gram term, its document
+    frequency, total term frequency, and the posting list (ascending
+    doc ids, comma-joined) — the retrieval-side artifact a corpus
+    store builds next to its training shards. ``n=1`` indexes single
+    tokens; the default phrase index (n=2) is what selective lookup
+    queries actually hit.
+
+    The df band [min_df, max_df] is the scale contract: terms above
+    ``max_df`` (stopword-band — their posting lists grow with the
+    corpus and answer no selective query) and below ``min_df`` are
+    dropped BEFORE any list is materialized. Two phases over one
+    per-(doc, term) count block: the df aggregate picks surviving
+    terms, and only their rows flow into the collect. Posting lists
+    are therefore bounded at ``max_df`` entries by construction — the
+    collect_list can never see an unbounded group. Grams are built
+    IN-ROW (one transform over the token array), never a positional
+    self-join; the per-(doc, term) count block is localCheckpoint-ed
+    EAGERLY so the corpus is tokenized and aggregated exactly once
+    across the df pass and the posting collect (the same
+    single-derivation rule as ``bigram_logprob``, and no ``scatter``
+    for the same measured reason).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = (
+        documents
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
+        .where(F.size("toks") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n} + 1),"
+                    f" i -> array_join(slice(toks, i, {n}), ' '))"
+                )
+            ).alias("token"),
+        )
+    )
+    dtc = (
+        toks.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .localCheckpoint(eager=True)
+    )
+    keep = (
+        dtc.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tc").alias("tf"))
+        .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )
+    return (
+        dtc.join(F.broadcast(keep), "token")
+        .groupBy("token", "df", "tf")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.col(id_col).cast("bigint"))),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+        .select("token", "df", "tf", "postings")
+    )

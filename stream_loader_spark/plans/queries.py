@@ -5233,3 +5233,194 @@ def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "media_id", "src_w", "src_h", F.md5("resized").alias("resized_md5")
     )
+
+
+from stream_loader_spark.operators.graph import pagerank, pagerank_oracle_sql
+
+_PAGERANK_EDGES_CTE = """base AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+edges AS (SELECT c AS src, s AS dst FROM base UNION SELECT s, c FROM base)"""
+
+
+@query("graph_pagerank", pagerank_oracle_sql(_PAGERANK_EDGES_CTE, iterations=5))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph ranking: 5 PageRank rounds over the
+    customer↔supplier purchase graph (bidirectional edges, node ids in
+    disjoint even/odd keyspaces). Exact integer fixed-point — the
+    oracle unrolls the SAME iterations as chained SQL CTEs and the
+    hashes must match bit-for-bit, no float tolerance. The operator
+    (operators/graph.py::pagerank) is the repo's Pregel template:
+    degree-joined edges materialized once; ranks broadcast here because
+    the purchase graph's node set (customers + suppliers) is orders of
+    magnitude smaller than its edge set — each round is a map-side hash
+    join over the pinned edges plus one |V|-sized message shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    # the mirrored distinct pair set is distinct by construction and
+    # symmetric, so the operator skips its dedup and node-union passes
+    return pagerank(
+        edges,
+        iterations=5,
+        broadcast_ranks=True,
+        assume_distinct=True,
+        symmetric=True,
+    )
+
+
+@query(
+    "shard_packing",
+    f"""WITH s AS (
+      SELECT doc_id, n_chars,
+             ({_MD5_BUCKET_SQL.format(e="CAST(doc_id AS VARCHAR)")}) % 8 AS slice,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_chars, slice,
+             SUM(n_chars) OVER (PARTITION BY slice ORDER BY ord, doc_id)
+               - n_chars AS strt
+      FROM s)
+    SELECT doc_id, slice,
+           CAST(slice * 4294967296 + strt // 4096 AS BIGINT) AS shard,
+           CAST(strt % 4096 AS BIGINT) AS start_off
+    FROM c""",
+)
+def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard bin-packing: documents packed greedily into
+    4 KiB-budget shards within 8 md5 slices (operators/layout.py::
+    shard_by_budget). One shuffle, per-slice windows — parallelism is
+    the slice count, never the corpus size. The oracle replays the
+    identical window arithmetic in SQL."""
+    from stream_loader_spark.operators.layout import shard_by_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = shard_by_budget(docs, size_col="n_chars", budget=4096, n_slices=8)
+    return out.select("doc_id", "slice", "shard", "start_off")
+
+
+@query(
+    "bigram_logprob",
+    """WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+      FROM documents),
+    bx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+           FROM t WHERE len(toks) >= 2),
+    b AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur FROM bx),
+    dbc AS (SELECT doc_id, prev, cur, COUNT(*) AS tc FROM b GROUP BY doc_id, prev, cur),
+    freq AS MATERIALIZED (
+      SELECT prev, cur, CAST(SUM(tc) AS BIGINT) AS c FROM dbc GROUP BY prev, cur),
+    cf AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS cf FROM freq GROUP BY prev),
+    vocab AS (SELECT COUNT(DISTINCT cur) AS v FROM freq),
+    scored AS (
+      SELECT d.doc_id, d.tc,
+             CAST(ROUND(ln((f.c + 1.0) / (cf.cf + v.v)), 6) AS DECIMAL(18,6)) AS lp
+      FROM dbc d JOIN freq f USING (prev, cur) JOIN cf USING (prev)
+      CROSS JOIN vocab v)
+    SELECT doc_id, CAST(SUM(tc) AS BIGINT) AS n_bigrams,
+           CAST(CAST(SUM(lp * tc) AS DECIMAL(38,6)) AS DOUBLE) / SUM(tc) AS mean_logprob
+    FROM scored GROUP BY doc_id""",
+)
+def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score: mean add-one-smoothed conditional
+    log-likelihood per document (operators/text.py::bigram_logprob).
+    Bigrams built in-row with zip_with — no positional self-join; logs
+    rounded then summed exactly, so the hash matches the oracle's."""
+    from stream_loader_spark.operators.text import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
+
+
+@query(
+    "robust_outlier_docs",
+    """WITH m AS (
+      SELECT lang, quantile_disc(n_chars, 0.5) AS med
+      FROM documents GROUP BY lang),
+    d AS (
+      SELECT doc_id, dd.lang, n_chars, med, abs(n_chars - med) AS dev
+      FROM documents dd JOIN m USING (lang)),
+    md AS (SELECT lang, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY lang)
+    SELECT doc_id, d.lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(d.med AS BIGINT) AS med, CAST(md.mad AS BIGINT) AS mad,
+           dev > 3 * md.mad AS is_outlier
+    FROM d JOIN md USING (lang)""",
+)
+def robust_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language median/MAD outlier flags on document length
+    (operators/stats.py::robust_outliers) — exact discrete quantiles
+    via RANGE-framed windowed counts, all-integer verdicts. The oracle
+    derives the same percentile_disc medians through DuckDB's
+    aggregate form (quantile_disc), an independent formulation."""
+    from stream_loader_spark.operators.stats import robust_outliers
+
+    docs = load_table(spark, sf_dir, "documents")
+    return robust_outliers(
+        docs, value_col="n_chars", group_col="lang", id_col="doc_id", k=3
+    )
+
+
+@query(
+    "join_key_skew_profile",
+    """WITH c AS (
+      SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_suppkey),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS nkeys FROM c)
+    SELECT key, cnt,
+           CAST((cnt * 1000000) // total AS BIGINT) AS share_ppm,
+           CAST((cnt * nkeys * 100) // total AS BIGINT) AS skew_x100
+    FROM c CROSS JOIN t
+    ORDER BY cnt DESC, key LIMIT 20""",
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of lineitem's supplier join key
+    (operators/skew.py::key_skew_profile): exact integer share/skew
+    factors for the 20 heaviest keys — the diagnostic that decides
+    broadcast vs salted vs AQE skew-join before the join runs."""
+    from stream_loader_spark.operators.skew import key_skew_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, key_col="l_suppkey", top_k=20)
+
+
+@query(
+    "inverted_postings",
+    """WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+      FROM documents),
+    gx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+           FROM t WHERE len(toks) >= 2),
+    tok AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS token FROM gx),
+    dtc AS (SELECT doc_id, token, COUNT(*) AS tc FROM tok GROUP BY doc_id, token),
+    keep AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tc) AS BIGINT) AS tf
+      FROM dtc GROUP BY token HAVING COUNT(*) BETWEEN 2 AND 50)
+    SELECT k.token, k.df, k.tf,
+           string_agg(CAST(d.doc_id AS VARCHAR), ',' ORDER BY d.doc_id) AS postings
+    FROM dtc d JOIN keep k USING (token)
+    GROUP BY k.token, k.df, k.tf""",
+)
+def inverted_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index postings for mid-frequency bigram terms (df in [2, 50])
+    — operators/text.py::inverted_postings. The phrase (bigram) index:
+    stopword-band terms are dropped before any posting list
+    materializes, so list size is bounded by the df ceiling at any
+    corpus scale; grams build in-row, never via a positional
+    self-join."""
+    from stream_loader_spark.operators.text import inverted_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_postings(docs, n=2, min_df=2, max_df=50)

@@ -1,0 +1,291 @@
+"""Tests for the round-9 additions: PageRank, shard bin-packing,
+robust median/MAD outliers, key-skew profiling, n-gram inverted
+postings, and the bigram LM score.
+
+Each operator's exact-integer / exact-decimal contract is verified
+against a hand-computed or pure-Python reference, plus the
+partition-independence property the cross-engine oracles rely on.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_loader_spark.operators.graph import pagerank, pagerank_oracle_sql
+from stream_loader_spark.operators.layout import shard_by_budget
+from stream_loader_spark.operators.skew import key_skew_profile
+from stream_loader_spark.operators.stats import robust_outliers
+from stream_loader_spark.operators.text import bigram_logprob, inverted_postings
+
+
+def _py_pagerank(edges, iterations=5, damping_pct=85, scale=10**9):
+    """Driver-side reference: same integer fixed-point, plain dicts."""
+    e = sorted(set(edges))
+    deg = {}
+    for s, _ in e:
+        deg[s] = deg.get(s, 0) + 1
+    nodes = sorted({n for pair in e for n in pair})
+    base = (100 - damping_pct) * scale // 100
+    r = {n: scale for n in nodes}
+    for _ in range(iterations):
+        msg = {}
+        for s, d in e:
+            msg[d] = msg.get(d, 0) + r[s] // deg[s]
+        r = {n: base + (damping_pct * msg.get(n, 0)) // 100 for n in nodes}
+    return r
+
+
+class TestPagerank:
+    EDGES = [
+        (1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1),  # triangle
+        (4, 1), (1, 4),                                   # pendant
+        (5, 1),                                           # directed-only in
+    ]
+
+    def test_matches_python_reference(self, spark):
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {r.node: r.rank_scaled for r in pagerank(df, iterations=5).collect()}
+        assert got == _py_pagerank(self.EDGES)
+
+    def test_broadcast_path_identical(self, spark):
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        a = {r.node: r.rank_scaled for r in pagerank(df, iterations=3).collect()}
+        b = {
+            r.node: r.rank_scaled
+            for r in pagerank(df, iterations=3, broadcast_ranks=True).collect()
+        }
+        assert a == b
+
+    def test_symmetric_fast_path_identical(self, spark):
+        sym = [(s, d) for s, d in self.EDGES if (d, s) in self.EDGES]
+        df = spark.createDataFrame(sorted(set(sym)), "src long, dst long")
+        a = {r.node: r.rank_scaled for r in pagerank(df, iterations=3).collect()}
+        b = {
+            r.node: r.rank_scaled
+            for r in pagerank(
+                df, iterations=3, assume_distinct=True, symmetric=True
+            ).collect()
+        }
+        assert a == b
+
+    def test_duplicate_edges_collapse(self, spark):
+        df = spark.createDataFrame(self.EDGES * 3, "src long, dst long")
+        got = {r.node: r.rank_scaled for r in pagerank(df, iterations=2).collect()}
+        assert got == _py_pagerank(self.EDGES, iterations=2)
+
+    def test_node_without_inedges_keeps_base(self, spark):
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {r.node: r.rank_scaled for r in pagerank(df, iterations=1).collect()}
+        # node 5 only emits, never receives: pure base rank
+        assert got[5] == 15 * 10**9 // 100
+
+    def test_oracle_sql_matches(self, spark):
+        duckdb = pytest.importorskip("duckdb")
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {r.node: r.rank_scaled for r in pagerank(df, iterations=4).collect()}
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE raw(src BIGINT, dst BIGINT)"
+        )
+        con.executemany("INSERT INTO raw VALUES (?, ?)", self.EDGES)
+        sql = pagerank_oracle_sql(
+            "edges AS (SELECT DISTINCT src, dst FROM raw)", iterations=4
+        )
+        oracle = dict(con.execute(sql).fetchall())
+        assert got == oracle
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        with pytest.raises(ValueError):
+            pagerank(df, damping_pct=0)
+        with pytest.raises(ValueError):
+            pagerank(df, iterations=0)
+
+
+class TestShardByBudget:
+    def _docs(self, spark, n=200):
+        rows = [(i, 10 + (i * 37) % 90) for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, sz long")
+
+    def test_greedy_packing_invariants(self, spark):
+        out = shard_by_budget(
+            self._docs(spark), size_col="sz", budget=100, n_slices=4
+        ).collect()
+        assert len(out) == 200
+        for r in out:
+            assert 0 <= r.slice < 4
+            assert r.shard >> 32 == r.slice
+            assert 0 <= r.start_off < 100  # a row STARTS inside its shard
+
+    def test_shards_fill_sequentially(self, spark):
+        out = shard_by_budget(
+            self._docs(spark), size_col="sz", budget=100, n_slices=4
+        ).collect()
+        # within a slice, cumulative sizes must reconstruct: each row's
+        # start offset equals the running total of all earlier rows
+        by_slice = {}
+        for r in sorted(out, key=lambda r: (r.slice, r.shard, r.start_off)):
+            tot = by_slice.get(r.slice, 0)
+            assert (r.shard & 0xFFFFFFFF) == tot // 100
+            assert r.start_off == tot % 100
+            by_slice[r.slice] = tot + r.sz
+
+    def test_partition_independent(self, spark):
+        docs = self._docs(spark)
+        a = sorted(
+            shard_by_budget(docs, size_col="sz", budget=64, n_slices=8).collect()
+        )
+        b = sorted(
+            shard_by_budget(
+                docs.repartition(13), size_col="sz", budget=64, n_slices=8
+            ).collect()
+        )
+        assert a == b
+
+
+class TestRobustOutliers:
+    def test_hand_computed(self, spark):
+        # group 'a': values 1..7 plus outlier 1000 → med(percentile_disc)
+        # over [1,2,3,4,5,6,7,1000] is 4th smallest = 4; devs sorted
+        # [0,1,1,2,2,3,3,996] → mad = 4th = 2; outlier iff dev > 6
+        vals = [1, 2, 3, 4, 5, 6, 7, 1000]
+        rows = [(i, "a", v) for i, v in enumerate(vals)]
+        out = robust_outliers(
+            spark.createDataFrame(rows, "id long, g string, v long"),
+            value_col="v", group_col="g", id_col="id", k=3,
+        ).collect()
+        assert {r.med for r in out} == {4}
+        assert {r.mad for r in out} == {2}
+        flagged = {r.v for r in out if r.is_outlier}
+        assert flagged == {1000}
+
+    def test_all_identical_values_never_flag(self, spark):
+        rows = [(i, "g", 42) for i in range(10)]
+        out = robust_outliers(
+            spark.createDataFrame(rows, "id long, g string, v long"),
+            value_col="v", group_col="g", id_col="id",
+        ).collect()
+        assert all(r.mad == 0 and not r.is_outlier for r in out)
+
+    def test_groups_independent(self, spark):
+        rows = [(1, "a", 10), (2, "a", 10), (3, "b", 10**6), (4, "b", 10**6)]
+        out = robust_outliers(
+            spark.createDataFrame(rows, "id long, g string, v long"),
+            value_col="v", group_col="g", id_col="id",
+        ).collect()
+        assert not any(r.is_outlier for r in out)
+
+
+class TestKeySkewProfile:
+    def test_exact_integers(self, spark):
+        # key 1 ×6, key 2 ×3, key 3 ×1 → total 10, nkeys 3
+        rows = [(1,)] * 6 + [(2,)] * 3 + [(3,)]
+        prof = {
+            r.key: r
+            for r in key_skew_profile(
+                spark.createDataFrame(rows, "k long"), key_col="k"
+            ).collect()
+        }
+        assert prof[1].cnt == 6 and prof[1].share_ppm == 600000
+        assert prof[1].skew_x100 == 6 * 3 * 100 // 10  # 1.8x uniform → 180
+        assert prof[3].share_ppm == 100000 and prof[3].skew_x100 == 30
+
+    def test_top_k_order(self, spark):
+        rows = [(k,) for k in range(50) for _ in range(k + 1)]
+        out = key_skew_profile(
+            spark.createDataFrame(rows, "k long"), key_col="k", top_k=5
+        ).collect()
+        assert [r.key for r in out] == [49, 48, 47, 46, 45]
+
+
+class TestInvertedPostings:
+    DOCS = [
+        (1, "red fox red fox"),
+        (2, "red fox jumps"),
+        (3, "blue fox jumps"),
+        (4, "red fox"),
+    ]
+
+    def test_bigram_postings(self, spark):
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        out = {
+            r.token: r
+            for r in inverted_postings(df, n=2, min_df=2, max_df=3).collect()
+        }
+        # 'red fox' df=3 (docs 1,2,4), tf=4 (twice in doc 1)
+        assert out["red fox"].df == 3 and out["red fox"].tf == 4
+        assert out["red fox"].postings == "1,2,4"
+        assert out["fox jumps"].postings == "2,3"
+        # df=1 terms ('blue fox', 'fox red') are dropped
+        assert "blue fox" not in out and "fox red" not in out
+
+    def test_max_df_ceiling(self, spark):
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        out = inverted_postings(df, n=2, min_df=2, max_df=2).collect()
+        assert {r.token for r in out} == {"fox jumps"}
+
+    def test_unigram_mode(self, spark):
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        out = {
+            r.token: r for r in inverted_postings(df, n=1, min_df=4, max_df=4).collect()
+        }
+        assert out["fox"].df == 4 and out["fox"].postings == "1,2,3,4"
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        with pytest.raises(ValueError):
+            inverted_postings(df, n=0)
+
+
+class TestBigramLogprob:
+    DOCS = [
+        (1, "a b a b"),
+        (2, "a b c"),
+        (3, "c"),          # <2 tokens: no row
+        (4, "b a"),
+    ]
+
+    def _reference(self):
+        """Pure-Python twin of the documented arithmetic."""
+        from collections import Counter
+        from decimal import Decimal
+
+        docs = {i: t.split() for i, t in self.DOCS}
+        bigrams = {
+            i: list(zip(t, t[1:])) for i, t in docs.items() if len(t) >= 2
+        }
+        freq = Counter(b for bs in bigrams.values() for b in bs)
+        cf = Counter()
+        for (p, _), c in freq.items():
+            cf[p] += c
+        v = len({c for (_, c) in freq})
+        out = {}
+        for i, bs in bigrams.items():
+            n = len(bs)
+            tot = Decimal(0)
+            for b in bs:
+                lp = Decimal(
+                    f"{round(math.log((freq[b] + 1.0) / (cf[b[0]] + v)), 6):.6f}"
+                )
+                tot += lp
+            out[i] = (n, float(tot) / n)
+        return out
+
+    def test_matches_reference(self, spark):
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_bigrams, r.mean_logprob)
+            for r in bigram_logprob(df).collect()
+        }
+        ref = self._reference()
+        assert set(got) == set(ref)
+        for k in ref:
+            assert got[k][0] == ref[k][0]
+            assert got[k][1] == pytest.approx(ref[k][1], abs=1e-9)
+
+    def test_shuffle_join_fallback_identical(self, spark):
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        a = sorted(bigram_logprob(df, broadcast_vocab=True).collect())
+        b = sorted(bigram_logprob(df, broadcast_vocab=False).collect())
+        assert a == b
