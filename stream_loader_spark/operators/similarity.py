@@ -581,3 +581,61 @@ def cosine_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .dropDuplicates(["vec_a", "vec_b"])
     )
+
+
+def max_cosine_to_set(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per corpus vector: the exact maximum cosine to ANY reference
+    vector, plus which reference achieves it — the semantic
+    decontamination primitive (reference = benchmark/eval embeddings;
+    corpus rows above a threshold are contamination candidates the
+    n-gram check in ``training.benchmark_contamination`` cannot see).
+
+    Same zero-shuffle shape as ``assign_clusters``: the reference set
+    packs into one array-of-structs row (norms precomputed), broadcasts,
+    and the max folds inside a single projection — the corpus is
+    scanned once, never shuffled. The reference side must be
+    executor-fit (benchmark suites are thousands of rows, not corpora);
+    past that, the banded sign-LSH family (``cosine_near_dup_pairs``)
+    is the documented scale path. Ties break to the LOWEST reference id
+    (struct max over (cos, -id) — same convention as assign_clusters).
+    An empty reference set yields NULL max_cos/nearest_ref.
+    """
+    refs = reference.coalesce(1).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).cast("bigint").alias("rid"),
+                    F.col(vec_col).alias("rvec"),
+                    norm_col(F.col(vec_col)).alias("rnorm"),
+                )
+            )
+        ).alias("_refs")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("_refs"),
+            lambda r: F.struct(
+                F.round(
+                    dot_col(F.col(vec_col), r["rvec"])
+                    / (F.col("_anorm") * r["rnorm"]),
+                    COSINE_SCALE,
+                ).alias("cos"),
+                (-r["rid"]).alias("neg_id"),
+            ),
+        )
+    )
+    return (
+        scatter(corpus)
+        .crossJoin(F.broadcast(refs))
+        .withColumn("_anorm", norm_col(F.col(vec_col)))
+        .select(
+            id_col,
+            best["cos"].alias("max_cos"),
+            (-best["neg_id"]).alias("nearest_ref"),
+        )
+    )

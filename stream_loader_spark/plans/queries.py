@@ -5424,3 +5424,55 @@ def inverted_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return inverted_postings(docs, n=2, min_df=2, max_df=50)
+
+
+_BENCH_BUCKET = _MD5_BUCKET_SQL.format(e="'bench' || CAST(vec_id AS VARCHAR)")
+
+_COS_SQL = """ROUND(
+               list_sum(list_transform(range(1, len(c.embedding) + 1),
+                        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+               6)"""
+
+
+@query(
+    "semantic_contamination",
+    f"""WITH tagged AS (
+      SELECT vec_id, embedding, ({_BENCH_BUCKET}) AS bkt FROM embeddings),
+    b AS (SELECT vec_id, embedding FROM tagged WHERE bkt < 16),
+    c AS (SELECT vec_id, embedding FROM tagged WHERE bkt >= 16),
+    scored AS (
+      SELECT c.vec_id, b.vec_id AS ref_id, {_COS_SQL} AS cos
+      FROM c CROSS JOIN b),
+    ranked AS (
+      SELECT vec_id, ref_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, ref_id) AS rn
+      FROM scored)
+    SELECT vec_id, cos AS max_cos, ref_id AS nearest_ref,
+           cos >= 0.35 AS contaminated
+    FROM ranked WHERE rn = 1""",
+)
+def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: each corpus embedding's exact max
+    cosine to a held-out 'benchmark' subset (md5 bucket < 16/256 under
+    the 'bench' salt), flagged at >= 0.35 — the embedding-space
+    complement of the n-gram benchmark_contamination check
+    (operators/similarity.py::max_cosine_to_set: broadcast reference
+    pack + in-row max, zero corpus shuffles)."""
+    from stream_loader_spark.operators.similarity import max_cosine_to_set
+    from stream_loader_spark.operators.sampling import sample_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bkt = sample_bucket(F.col("vec_id"), salt="bench")
+    bench = emb.where(bkt < 16)
+    corpus = emb.where(bkt >= 16)
+    out = max_cosine_to_set(corpus, bench)
+    return out.select(
+        "vec_id",
+        "max_cos",
+        "nearest_ref",
+        (F.col("max_cos") >= 0.35).alias("contaminated"),
+    )

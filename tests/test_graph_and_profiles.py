@@ -289,3 +289,53 @@ class TestBigramLogprob:
         a = sorted(bigram_logprob(df, broadcast_vocab=True).collect())
         b = sorted(bigram_logprob(df, broadcast_vocab=False).collect())
         assert a == b
+
+
+class TestMaxCosineToSet:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from stream_loader_spark.operators.similarity import max_cosine_to_set
+
+        corpus = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.6, 0.8, 0.0])]
+        refs = [(10, [1.0, 1.0, 0.0]), (11, [0.0, 0.0, 1.0])]
+        out = {
+            r.vec_id: r
+            for r in max_cosine_to_set(
+                spark.createDataFrame(corpus, "vec_id long, embedding array<double>"),
+                spark.createDataFrame(refs, "vec_id long, embedding array<double>"),
+            ).collect()
+        }
+        for cid, cv in corpus:
+            cos = [
+                round(
+                    float(np.dot(cv, rv))
+                    / (np.linalg.norm(cv) * np.linalg.norm(rv)),
+                    6,
+                )
+                for _, rv in refs
+            ]
+            best = max(range(len(refs)), key=lambda i: (cos[i], -refs[i][0]))
+            assert out[cid].max_cos == pytest.approx(cos[best], abs=1e-9)
+            assert out[cid].nearest_ref == refs[best][0]
+
+    def test_tie_breaks_to_lowest_ref_id(self, spark):
+        from stream_loader_spark.operators.similarity import max_cosine_to_set
+
+        corpus = [(1, [1.0, 0.0])]
+        refs = [(20, [2.0, 0.0]), (10, [3.0, 0.0])]  # both cosine 1.0
+        row = max_cosine_to_set(
+            spark.createDataFrame(corpus, "vec_id long, embedding array<double>"),
+            spark.createDataFrame(refs, "vec_id long, embedding array<double>"),
+        ).collect()[0]
+        assert row.max_cos == 1.0 and row.nearest_ref == 10
+
+    def test_empty_reference_yields_nulls(self, spark):
+        from stream_loader_spark.operators.similarity import max_cosine_to_set
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        refs = corpus.where(F.lit(False))
+        row = max_cosine_to_set(corpus, refs).collect()[0]
+        assert row.max_cos is None and row.nearest_ref is None

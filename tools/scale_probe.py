@@ -94,6 +94,13 @@ PROBE_QUERIES = [
     "dedup_exact",
     "events_hourly_rollup",
     "sessionize_events",
+    # second r9 session: the new operator families that scale with the
+    # replicated documents/events fixtures
+    "bigram_logprob",
+    "inverted_postings",
+    "shard_packing",
+    "robust_outlier_docs",
+    "graph_pagerank_events",
 ]
 
 
@@ -137,14 +144,46 @@ def _semantic_dedup_keep_best_tuned(spark, sf_dir):
     return kept.select("doc_id", "lang", "quality_score")
 
 
+def _graph_pagerank_events(spark, sf_dir):
+    """PageRank over the scaled events tier: a bipartite user↔event-type
+    graph (user ids shift per replica, so |V| grows with the tier while
+    the type side stays a fixed hub set). Deliberately hub-skewed — the
+    message SUM into a hub node is map-side combinable, so the probe
+    measures whether the Pregel loop's cost tracks |E| under extreme
+    in-degree skew. The registered graph_pagerank query runs on TPC-H
+    tables the probe does not replicate; this is the same operator on
+    the fixture that does scale."""
+    from stream_loader_spark.operators.graph import pagerank
+    from stream_loader_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        (F.col("user_id") * 2).alias("u"),
+        (F.pmod(F.hash("event_type"), F.lit(1024)) * 2 + 1).alias("t"),
+    ).distinct()
+    edges = pairs.select(F.col("u").alias("src"), F.col("t").alias("dst")).union(
+        pairs.select(F.col("t").alias("src"), F.col("u").alias("dst"))
+    )
+    return pagerank(
+        edges, iterations=5, broadcast_ranks=True,
+        assume_distinct=True, symmetric=True,
+    )
+
+
 EXTRA_PROBES = {
     "embedding_near_dup_tuned": _embedding_near_dup_tuned,
     "semantic_dedup_keep_best_tuned": _semantic_dedup_keep_best_tuned,
+    "graph_pagerank_events": _graph_pagerank_events,
 }
 
 # expected-superlinear notes surfaced verbatim in the artifact: an
 # exponent > 1 on these is the operator's contract, not a plan defect
 EXPECTED_NOTES = {
+    "graph_pagerank_events": (
+        "bipartite user\u2194event-type graph from the scaled events tier; "
+        "hub in-degree grows with the tier \u2014 the message SUM is "
+        "map-side combinable, so cost should track |E|"
+    ),
     "similarity_topk": (
         "brute-force baseline: all query×corpus pairs by design — the "
         "at-scale path is similarity_ivf_topk"
@@ -397,6 +436,17 @@ def main() -> None:
     if "--dry" in sys.argv:
         print(json.dumps(out))
         return
+    # subset runs MERGE into the committed artifact (same sf + mults
+    # only — a different tier ladder would make rows incomparable), so
+    # probing new queries never silently drops the existing trend rows
+    prev_path = os.path.join(REPO, "SCALE_TREND.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") == out["sf"] and prev.get("mults") == out["mults"]:
+            merged = dict(prev.get("queries", {}))
+            merged.update(out["queries"])
+            out["queries"] = merged
     with open(os.path.join(REPO, "SCALE_TREND.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     with open(os.path.join(REPO, "SCALE_TREND.md"), "w") as fh:
