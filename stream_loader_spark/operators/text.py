@@ -790,3 +790,169 @@ def inverted_postings(
         )
         .select("token", "df", "tf", "postings")
     )
+
+
+def collocations_pmi(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Collocation mining: top-k bigrams by pointwise mutual
+    information — the vocabulary-curation pass that finds multi-word
+    units ("new york") worth single tokens before tokenizer training.
+
+    PMI = ln(c(a,b)·N / (cl(a)·cr(b))) over the corpus bigram table,
+    with cl/cr the left/right marginals and N the total bigram count —
+    every input derives from ONE corpus aggregate, and the marginals
+    fold in as windows over the vocab-scale bigram table (no second
+    corpus pass). ``min_count`` kills the PMI-loves-rare-pairs
+    pathology before ranking. PMI rounds to 6 decimals; top-k
+    tie-breaks on the gram itself, so the ranking is total and
+    engine-independent. Top-k compiles to TakeOrderedAndProject —
+    never a global sort.
+    """
+    toks = documents.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
+    )
+    bg = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    " slice(toks, 2, size(toks) - 1),"
+                    " (a, b) -> struct(a AS prev, b AS cur))"
+                )
+            ).alias("z")
+        )
+        .select("z.prev", "z.cur")
+    )
+    freq = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
+    marged = freq.select(
+        "prev",
+        "cur",
+        "c",
+        F.sum("c").over(Window.partitionBy("prev")).alias("cl"),
+        F.sum("c").over(Window.partitionBy("cur")).alias("cr"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        marged.where(F.col("c") >= min_count)
+        .select(
+            "prev",
+            "cur",
+            "c",
+            F.round(
+                F.log(
+                    (F.col("c") * F.col("n")).cast("double")
+                    / (F.col("cl") * F.col("cr")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "prev", "cur")
+        .limit(top_k)
+    )
+
+
+def bm25_postings(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    min_df: int = 2,
+    max_df: int = 50,
+    k1_x10: int = 12,
+    b_x100: int = 75,
+) -> DataFrame:
+    """BM25 term weights for the df-banded inverted index — the scoring
+    layer over ``inverted_postings`` that turns it into a usable
+    retrieval artifact. One (doc, term, weight) row per posting.
+
+    The tf normalization is an EXACT integer rational: with
+    k1 = k1_x10/10 and b = b_x100/100,
+
+        tf_norm = tc·(k1+1) / (tc + k1·(1 − b) + k1·b·dl·N/DL)
+
+    multiplies through by 1000·DL to bigint numerator
+    ``100·(k1_x10+10)·tc·DL`` and denominator
+    ``1000·DL·tc + k1_x10·(100−b_x100)·DL + k1_x10·b_x100·dl·N``, so
+    the only float steps are one double division, the idf log (rounded
+    to 6 decimals first — same ln-parity contract as
+    ``unigram_logprob``), their product, and a final 6-decimal round:
+    a composition both engines evaluate on bit-identical inputs.
+    dl = the doc's term count, DL = Σdl, N = docs with ≥1 term; idf =
+    ln(1 + (N − df + ½)/(df + ½)). Bigint-exact while DL·tc < ~9·10^15;
+    past that the same expressions move to DECIMAL(38,0) unchanged.
+
+    Scale shape: exactly ``inverted_postings``'s two phases over one
+    eager-checkpointed per-(doc, term) block, plus a doc-length
+    aggregate derived from the SAME block (no extra corpus pass); the
+    df ceiling bounds every posting group before weights materialize.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = (
+        documents
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
+        .where(F.size("toks") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n} + 1),"
+                    f" i -> array_join(slice(toks, i, {n}), ' '))"
+                )
+            ).alias("token"),
+        )
+    )
+    dtc = (
+        toks.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .localCheckpoint(eager=True)
+    )
+    dl = dtc.groupBy(id_col).agg(F.sum("tc").alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").alias("dl_sum"), F.count(F.lit(1)).alias("n_docs")
+    )
+    keep = (
+        dtc.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "token",
+            "df",
+            "dl_sum",
+            "n_docs",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ),
+                6,
+            ).alias("idf"),
+        )
+    )
+    num = F.expr(f"100L * ({k1_x10} + 10) * tc * dl_sum")
+    den = F.expr(
+        f"1000L * dl_sum * tc"
+        f" + {k1_x10}L * (100 - {b_x100}) * dl_sum"
+        f" + {k1_x10}L * {b_x100} * dl * n_docs"
+    )
+    return (
+        dtc.join(F.broadcast(keep), "token")
+        .join(dl, id_col)
+        .select(
+            id_col,
+            "token",
+            "tc",
+            "df",
+            F.round(
+                F.col("idf") * (num.cast("double") / den.cast("double")), 6
+            ).alias("bm25"),
+        )
+    )

@@ -5476,3 +5476,75 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nearest_ref",
         (F.col("max_cos") >= 0.35).alias("contaminated"),
     )
+
+
+_BIGRAM_FREQ_CTES = """WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+      FROM documents),
+    bx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+           FROM t WHERE len(toks) >= 2),
+    b AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur FROM bx)"""
+
+
+@query(
+    "collocations_pmi",
+    f"""{_BIGRAM_FREQ_CTES},
+    freq AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY prev, cur),
+    m AS (SELECT prev, cur, c,
+                 SUM(c) OVER (PARTITION BY prev) AS cl,
+                 SUM(c) OVER (PARTITION BY cur) AS cr,
+                 SUM(c) OVER () AS n
+          FROM freq)
+    SELECT prev, cur, c,
+           ROUND(ln(CAST(c * n AS DOUBLE) / CAST(cl * cr AS DOUBLE)), 6) AS pmi
+    FROM m WHERE c >= 5
+    ORDER BY pmi DESC, prev, cur LIMIT 100""",
+)
+def collocations_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-100 bigrams by PMI with a min-count floor
+    (operators/text.py::collocations_pmi). One corpus aggregate; the
+    marginals and total fold in as windows over the vocab-scale bigram
+    table — no second corpus pass, top-k never a global sort."""
+    from stream_loader_spark.operators.text import collocations_pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return collocations_pmi(docs, min_count=5, top_k=100)
+
+
+@query(
+    "bm25_scores",
+    """WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+      FROM documents),
+    gx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+           FROM t WHERE len(toks) >= 2),
+    tok AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS token FROM gx),
+    dtc AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tc
+            FROM tok GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, CAST(SUM(tc) AS BIGINT) AS dl FROM dtc GROUP BY doc_id),
+    corpus AS (SELECT CAST(SUM(dl) AS BIGINT) AS dl_sum,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl),
+    keep AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+             FROM dtc GROUP BY token HAVING COUNT(*) BETWEEN 2 AND 50)
+    SELECT d.doc_id, d.token, d.tc, k.df,
+           ROUND(ROUND(ln(1.0 + (c.n_docs - k.df + 0.5) / (k.df + 0.5)), 6)
+                 * (CAST(100 * (12 + 10) * d.tc * c.dl_sum AS DOUBLE)
+                    / CAST(1000 * c.dl_sum * d.tc
+                           + 12 * (100 - 75) * c.dl_sum
+                           + 12 * 75 * dl.dl * c.n_docs AS DOUBLE)),
+                 6) AS bm25
+    FROM dtc d JOIN keep k USING (token) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c""",
+)
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 weights over the df-banded bigram inverted index
+    (operators/text.py::bm25_postings, k1=1.2 b=0.75): tf normalization
+    as an exact bigint rational, idf rounded before the one
+    double-product step — the retrieval scoring layer over
+    inverted_postings."""
+    from stream_loader_spark.operators.text import bm25_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_postings(docs, n=2, min_df=2, max_df=50)

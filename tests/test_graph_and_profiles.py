@@ -339,3 +339,102 @@ class TestMaxCosineToSet:
         refs = corpus.where(F.lit(False))
         row = max_cosine_to_set(corpus, refs).collect()[0]
         assert row.max_cos is None and row.nearest_ref is None
+
+
+class TestCollocationsPmi:
+    def test_hand_computed(self, spark):
+        from stream_loader_spark.operators.text import collocations_pmi
+
+        # "a b" ×6 in doc1, "c d" ×2 in doc2 → with min_count=2 both
+        # qualify; PMI favors the pair whose marginals are tighter
+        docs = [
+            (1, "a b " * 6),
+            (2, "c d c d x"),
+        ]
+        out = {
+            (r.prev, r.cur): r
+            for r in collocations_pmi(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                min_count=2, top_k=10,
+            ).collect()
+        }
+        # totals: doc1 bigrams = 11 (a b ... alternating), doc2 = 4
+        n = 11 + 4
+        # c('c','d') = 2, cl('c') = 2 ('c d','c d'), cr('d') = 2
+        got = out[("c", "d")]
+        assert got.c == 2
+        assert got.pmi == pytest.approx(round(math.log(2 * n / (2 * 2)), 6), abs=1e-9)
+
+    def test_min_count_floor(self, spark):
+        from stream_loader_spark.operators.text import collocations_pmi
+
+        docs = [(1, "p q p q"), (2, "r s")]
+        out = collocations_pmi(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            min_count=2, top_k=10,
+        ).collect()
+        assert ("r", "s") not in {(r.prev, r.cur) for r in out}
+
+
+class TestBm25Postings:
+    DOCS = [
+        (1, "red fox red fox"),
+        (2, "red fox jumps high"),
+        (3, "blue fox jumps high"),
+        (4, "red fox"),
+    ]
+
+    def _reference(self):
+        """Pure-Python twin over bigram terms, df band [2, 3]."""
+        docs = {i: t.split() for i, t in self.DOCS}
+        grams = {
+            i: [" ".join(t[j : j + 2]) for j in range(len(t) - 1)]
+            for i, t in docs.items()
+            if len(t) >= 2
+        }
+        dtc = {}
+        for i, gs in grams.items():
+            for g in gs:
+                dtc[(i, g)] = dtc.get((i, g), 0) + 1
+        dl = {i: len(gs) for i, gs in grams.items()}
+        dl_sum, n_docs = sum(dl.values()), len(dl)
+        df = {}
+        for (i, g) in dtc:
+            df[g] = df.get(g, 0) + 1
+        out = {}
+        for (i, g), tc in dtc.items():
+            if not 2 <= df[g] <= 3:
+                continue
+            idf = round(math.log(1.0 + (n_docs - df[g] + 0.5) / (df[g] + 0.5)), 6)
+            num = 100 * (12 + 10) * tc * dl_sum
+            den = 1000 * dl_sum * tc + 12 * 25 * dl_sum + 12 * 75 * dl[i] * n_docs
+            out[(i, g)] = round(idf * (num / den), 6)
+        return out
+
+    def test_matches_reference(self, spark):
+        from stream_loader_spark.operators.text import bm25_postings
+
+        got = {
+            (r.doc_id, r.token): r.bm25
+            for r in bm25_postings(
+                spark.createDataFrame(self.DOCS, "doc_id long, text string"),
+                n=2, min_df=2, max_df=3,
+            ).collect()
+        }
+        ref = self._reference()
+        assert set(got) == set(ref)
+        for k in ref:
+            assert got[k] == pytest.approx(ref[k], abs=1e-9)
+
+    def test_rare_term_scores_higher(self, spark):
+        from stream_loader_spark.operators.text import bm25_postings
+
+        rows = {
+            (r.doc_id, r.token): r.bm25
+            for r in bm25_postings(
+                spark.createDataFrame(self.DOCS, "doc_id long, text string"),
+                n=2, min_df=2, max_df=4,
+            ).collect()
+        }
+        # 'jumps high' (df=2) must outweigh 'red fox' (df=3) at equal tf
+        assert rows[(2, "jumps high")] > rows[(2, "red fox")]
