@@ -118,6 +118,32 @@ fp = blocked_fuzzy_pairs(names, "id", "name", ["blk"], 1).collect()
 # alpha↔alphq pairs (10×10) + same-name pairs (4 groups of 10 → 45 each)
 assert len(fp) == 100 + 4 * 45, len(fp)
 
+# iterative Pregel loop (pagerank) across executor processes: per-round
+# localCheckpoint blocks live on REAL executors here, and the broadcast
+# path collects |V| rows from them each round — both invisible on
+# local[n] where executor storage shares the driver heap
+from stream_loader_spark.operators.graph import pagerank
+
+edges = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1), (4, 1), (1, 4), (5, 1)]
+edf = spark.createDataFrame(edges, "src long, dst long")
+dist = {r.node: r.rank_scaled for r in pagerank(edf, iterations=3).collect()}
+bcast = {
+    r.node: r.rank_scaled
+    for r in pagerank(edf, iterations=3, broadcast_ranks=True).collect()
+}
+assert dist == bcast and len(dist) == 5, (dist, bcast)
+# pure-python fixed-point reference (same integer arithmetic)
+deg = {}
+for s_, _ in set(edges):
+    deg[s_] = deg.get(s_, 0) + 1
+r = {n: 10**9 for n in {x for e in edges for x in e}}
+for _ in range(3):
+    msg = {}
+    for s_, d_ in set(edges):
+        msg[d_] = msg.get(d_, 0) + r[s_] // deg[s_]
+    r = {n: 15 * 10**9 // 100 + (85 * msg.get(n, 0)) // 100 for n in r}
+assert dist == r, (dist, r)
+
 print("LC-OK")
 spark.stop()
 """
