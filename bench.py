@@ -171,6 +171,17 @@ BENCH_QUERIES = [
     "fuzzy_customer_supplier_links",
     "embedding_covariance_block",
     "multimodal_resize",
+    # second r9 session: graph / layout / retrieval / robust-stats families
+    "graph_pagerank",
+    "shard_packing",
+    "bigram_logprob",
+    "robust_outlier_docs",
+    "join_key_skew_profile",
+    "inverted_postings",
+    "semantic_contamination",
+    "collocations_pmi",
+    "bm25_scores",
+    "tfidf_cosine_pairs",
 ]
 
 

@@ -956,3 +956,110 @@ def bm25_postings(
             ).alias("bm25"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    min_df: int = 2,
+    max_df: int = 50,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Lexical near-duplicate pairs: cosine similarity over df-banded
+    tf-idf vectors — the token-space member of the near-dup family
+    (MinHash approximates Jaccard, SimHash approximates cosine over
+    hashed features; this is the EXACT cosine over interpretable
+    tf-idf weights, for the audit/threshold-calibration role).
+
+    Exactness contract: idf rounds to 6 decimals, weights become
+    integer MICROS (idf6·10^6 is exact, ×tc stays bigint), and every
+    dot product / squared norm is a sum of bigint products carried in
+    DECIMAL(38,0) — so the only float steps are two sqrt calls and one
+    final division+round, identical on any engine or partitioning.
+
+    Scale contract: vectors only contain df-banded terms, so candidate
+    generation through the term self-join is LOSSLESS for pairs with
+    cos > 0 while pair work is bounded by ``max_df``: each term
+    contributes at most C(max_df, 2) candidate rows, never a corpus
+    quadratic (the same co-occurrence bound as ``ngram_jaccard_pairs``;
+    stopword-band terms would each contribute C(N, 2) and are exactly
+    the ones the banding drops). One eager per-(doc, term) checkpoint
+    = single corpus derivation for weights, norms, and the join.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = (
+        documents
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
+        .where(F.size("toks") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n} + 1),"
+                    f" i -> array_join(slice(toks, i, {n}), ' '))"
+                )
+            ).alias("token"),
+        )
+    )
+    dtc = (
+        toks.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = dtc.select(id_col).distinct().count()
+    keep = (
+        dtc.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .select(
+            "token",
+            # decimal staging: round(·,6)·10^6 is exact in DECIMAL but a
+            # double detour would truncate vs the oracle's rounding
+            (
+                F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+                .cast("decimal(18,6)")
+                * 1000000
+            ).cast("bigint").alias("idf_micro"),
+        )
+        # idf == 0 (df == N, corpus-universal) contributes 0 to every
+        # dot product and norm — dropping it is the identity, and it
+        # keeps an all-universal-terms doc from reaching 0/0 under ANSI
+        .where(F.col("idf_micro") > 0)
+    )
+    w = dtc.join(F.broadcast(keep), "token").select(
+        id_col, "token", (F.col("idf_micro") * F.col("tc")).alias("w")
+    )
+    # w fits bigint (idf_micro ≤ ~2·10^7, tc per doc-term bounded by doc
+    # length) but w·w would not for repetitive docs — go decimal FIRST
+    wsq = F.col("w").cast("decimal(19,0)") * F.col("w")
+    norms = w.groupBy(id_col).agg(F.sum(wsq).alias("n2"))
+    a = w.select(F.col(id_col).alias("doc_a"), "token", F.col("w").alias("wa"))
+    b = w.select(F.col(id_col).alias("doc_b"), "token", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa").cast("decimal(19,0)") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("n2").alias("n2b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n2a").cast("double"))
+                    * F.sqrt(F.col("n2b").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

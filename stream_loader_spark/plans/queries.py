@@ -5548,3 +5548,54 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_postings(docs, n=2, min_df=2, max_df=50)
+
+
+@query(
+    "tfidf_cosine_pairs",
+    """WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+      FROM documents),
+    gx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+           FROM t WHERE len(toks) >= 2),
+    tok AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS token FROM gx),
+    dtc AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tc
+            FROM tok GROUP BY doc_id, token),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dtc),
+    keep AS (
+      SELECT token,
+             CAST(CAST(ROUND(ln(CAST(n.n_docs AS DOUBLE) / COUNT(*)), 6)
+                       AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS idf_micro
+      FROM dtc CROSS JOIN nd n
+      GROUP BY token, n.n_docs HAVING COUNT(*) BETWEEN 2 AND 50),
+    keep_pos AS (SELECT * FROM keep WHERE idf_micro > 0),
+    w AS (SELECT doc_id, d.token, k.idf_micro * d.tc AS w
+          FROM dtc d JOIN keep_pos k USING (token)),
+    norms AS (SELECT doc_id, SUM(CAST(w AS DECIMAL(19,0)) * w) AS n2
+              FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(CAST(a.w AS DECIMAL(19,0)) * b.w) AS dot
+      FROM w a JOIN w b USING (token)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    scored AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(dot AS DOUBLE)
+                   / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))),
+                   6) AS cosine
+      FROM dots
+      JOIN norms na ON na.doc_id = doc_a
+      JOIN norms nb ON nb.doc_id = doc_b)
+    SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= 0.5""",
+)
+def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lexical near-dup pairs: cosine >= 0.5 over df-banded
+    bigram tf-idf vectors (operators/text.py::tfidf_cosine_pairs) —
+    integer-micro weights, decimal-exact dots/norms, candidate work
+    bounded by the df ceiling (same co-occurrence bound as
+    ngram_jaccard_pairs; the at-scale approximation is the
+    MinHash/SimHash family)."""
+    from stream_loader_spark.operators.text import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, n=2, min_df=2, max_df=50, threshold=0.5)

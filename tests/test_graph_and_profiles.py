@@ -438,3 +438,58 @@ class TestBm25Postings:
         }
         # 'jumps high' (df=2) must outweigh 'red fox' (df=3) at equal tf
         assert rows[(2, "jumps high")] > rows[(2, "red fox")]
+
+
+class TestTfidfCosinePairs:
+    def test_planted_duplicates_found(self, spark):
+        from stream_loader_spark.operators.text import tfidf_cosine_pairs
+
+        docs = [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),   # near-dup of 1
+            (3, "one two three four five six"),
+            (4, "one two three four five six"),          # exact dup of 3
+            (5, "totally different words here now ok"),
+            (6, "m n o p"),
+            (7, "m n x y"),                              # partial overlap w/ 6
+            (8, "m n o p"),                              # keeps 'n o','o p' in band
+        ]
+        out = {
+            (r.doc_a, r.doc_b): r.cosine
+            for r in tfidf_cosine_pairs(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                n=2, min_df=2, max_df=4, threshold=0.3,
+            ).collect()
+        }
+        assert (3, 4) in out and out[(3, 4)] == 1.0
+        # docs 1/2 differ only in HAPAX bigrams, which fall below
+        # min_df — their banded vectors are identical by design
+        assert (1, 2) in out and out[(1, 2)] == 1.0
+        # doc 7's banded vector is a strict subset of doc 6's: a true
+        # partial-overlap cosine strictly inside (0, 1)
+        assert (6, 7) in out and 0.3 <= out[(6, 7)] < 1.0
+        assert not any(5 in p for p in out)
+
+    def test_universal_terms_drop_without_dividing_by_zero(self, spark):
+        from stream_loader_spark.operators.text import tfidf_cosine_pairs
+
+        # every bigram appears in every doc → idf 0 → all weights would
+        # be 0; the zero-idf drop must yield NO pairs, not an ANSI 0/0
+        docs = [(i, "x y z w") for i in range(3)]
+        out = tfidf_cosine_pairs(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            n=2, min_df=2, max_df=3, threshold=0.0,
+        ).collect()
+        assert out == []
+
+    def test_exact_duplicates_within_band(self, spark):
+        from stream_loader_spark.operators.text import tfidf_cosine_pairs
+
+        # duplicates share all terms, and a fourth doc keeps idf > 0
+        docs = [(0, "x y z w")] * 3 + [(3, "a b c d")]
+        docs = [(i, t) for i, (_, t) in enumerate(docs)]
+        out = tfidf_cosine_pairs(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            n=2, min_df=2, max_df=3, threshold=0.9,
+        ).collect()
+        assert len(out) == 3 and all(r.cosine == 1.0 for r in out)
