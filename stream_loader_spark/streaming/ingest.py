@@ -584,3 +584,146 @@ class IvfIngestSink:
             self.id_col,
             self.vec_col,
         )
+
+
+class IndexIngestSink:
+    """``foreachBatch`` callable: streaming maintenance of the n-gram
+    inverted index — each micro-batch lands as a SEGMENT (its
+    per-(term, doc) counts), compaction merges segments, and term
+    lookups prune to the token's hash bucket. The Lucene shape on
+    Spark primitives: segment-per-batch, merge-on-maintenance,
+    partition-pruned postings reads.
+
+    Layout under ``out_dir``::
+
+        segments/batch=<n>/tbucket=<b>/   (token, doc_id, tc) rows
+
+    Design notes:
+
+    - Segments are pre-aggregated per (token, doc) — the narrowest
+      exact state the index can keep. The df band is applied at READ
+      time: document frequency is corpus-global and keeps changing as
+      batches arrive, so banding at write time would silently freeze
+      each term's verdict at whatever the corpus looked like when it
+      first appeared.
+    - Segments are hash-partitioned by ``tbucket = pmod(xxhash64(token),
+      n_buckets)``: a term lookup filters on tbucket, so the scan
+      reads 1/n_buckets of the index regardless of corpus size — the
+      property that keeps single-term queries interactive at 100 TB.
+    - Replay idempotence and compaction are ``BatchDirState``'s:
+      deterministic ``batch=<n>`` dirs in overwrite mode, fold behind
+      an atomic manifest flip (run ``compact()`` between triggers).
+    """
+
+    def __init__(
+        self,
+        out_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 2,
+        n_buckets: int = 64,
+    ) -> None:
+        if n < 1:
+            raise ValueError(f"n must be >= 1, got {n}")
+        self.out_dir = out_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+        self.n_buckets = n_buckets
+        self._seg_state = BatchDirState(os.path.join(out_dir, "segments"))
+
+    def _segment(self, batch_df: DataFrame) -> DataFrame:
+        from stream_loader_spark.operators.text import tokens_col
+
+        toks = (
+            batch_df.select(
+                F.col(self.id_col), tokens_col(F.col(self.text_col)).alias("toks")
+            )
+            .where(F.size("toks") >= self.n)
+            .select(
+                self.id_col,
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(toks) - {self.n} + 1),"
+                        f" i -> array_join(slice(toks, i, {self.n}), ' '))"
+                    )
+                ).alias("token"),
+            )
+        )
+        return toks.groupBy(self.id_col, "token").agg(
+            F.count(F.lit(1)).alias("tc")
+        ).withColumn(
+            "tbucket", F.pmod(F.xxhash64("token"), F.lit(self.n_buckets))
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._seg_state.write_batch(
+            self._segment(batch_df), batch_id, partition_by="tbucket"
+        )
+
+    def compact(self, spark: SparkSession) -> int:
+        """Merge fully-committed segments into one generation, keeping
+        the tbucket layout (run between triggers, like vacuum)."""
+        return self._seg_state.compact(spark, partition_by="tbucket")
+
+    def _state(self, spark: SparkSession) -> DataFrame | None:
+        return self._seg_state.read(spark)
+
+    def postings(
+        self, spark: SparkSession, min_df: int = 2, max_df: int = 50
+    ) -> DataFrame:
+        """The committed index's df-banded postings — identical output
+        contract to ``operators.text.inverted_postings`` over the
+        ingested corpus (pinned by test). A full-index aggregate: use
+        ``lookup`` for term queries; this is the bulk/export path."""
+        state = self._state(spark)
+        if state is None:
+            raise ValueError(f"no committed segments under {self.out_dir}")
+        keep = (
+            state.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"), F.sum("tc").alias("tf"))
+            .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        )
+        return (
+            state.join(F.broadcast(keep), "token")
+            .groupBy("token", "df", "tf")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.col(self.id_col).cast("bigint"))
+                        ),
+                        lambda d: d.cast("string"),
+                    ),
+                    ",",
+                ).alias("postings")
+            )
+            .select("token", "df", "tf", "postings")
+        )
+
+    def lookup(self, spark: SparkSession, terms: list[str]) -> DataFrame:
+        """Posting rows for specific terms: (token, doc_id, tc). The
+        tbucket filter prunes the scan to the terms' hash buckets —
+        reads 1/n_buckets of the index per distinct bucket, never the
+        corpus."""
+        if not terms:
+            raise ValueError("terms must be non-empty")
+        state = self._state(spark)
+        if state is None:
+            raise ValueError(f"no committed segments under {self.out_dir}")
+        term_lit = F.array(*[F.lit(t) for t in terms])
+        buckets = sorted(
+            {  # driver-side xxhash64 is not available: derive via a tiny job
+                r.b
+                for r in spark.createDataFrame(
+                    [(t,) for t in terms], "token string"
+                )
+                .select(F.pmod(F.xxhash64("token"), F.lit(self.n_buckets)).alias("b"))
+                .collect()
+            }
+        )
+        return (
+            state.where(F.col("tbucket").isin(buckets))
+            .where(F.array_contains(term_lit, F.col("token")))
+            .select("token", self.id_col, "tc")
+        )
