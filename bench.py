@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "collocations_pmi",
     "bm25_scores",
     "tfidf_cosine_pairs",
+    "bm25_more_like_this",
 ]
 
 

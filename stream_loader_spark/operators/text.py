@@ -1063,3 +1063,53 @@ def tfidf_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def bm25_search(
+    documents: DataFrame,
+    query_terms: list[str] | DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    n: int = 2,
+    min_df: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """BM25 top-k document search for a bag of query terms — the
+    retrieval read path over ``bm25_postings`` (lookup terms → sum the
+    matched posting weights per doc → top-k).
+
+    ``query_terms`` is a term list (or a one-column DataFrame) in the
+    same n-gram space as the index. Scores are EXACT: per-posting BM25
+    weights are already 6-decimal-rounded, so they sum as
+    DECIMAL(18,6) — no float-order nondeterminism — and ties break on
+    the doc id. Top-k compiles to TakeOrderedAndProject.
+
+    Scale: the term filter hits the posting table (df-banded, so each
+    query term matches at most ``max_df`` docs); scoring touches only
+    matched postings, never the corpus.
+    """
+    w = bm25_postings(
+        documents, text_col, id_col, n=n, min_df=min_df, max_df=max_df
+    )
+    if isinstance(query_terms, DataFrame):
+        cols = query_terms.columns
+        terms = F.broadcast(query_terms.select(F.col(cols[0]).alias("token")).distinct())
+        matched = w.join(terms, "token")
+    else:
+        if not query_terms:
+            raise ValueError("query_terms must be non-empty")
+        matched = w.where(
+            F.array_contains(F.array(*[F.lit(t) for t in query_terms]), F.col("token"))
+        )
+    return (
+        matched.groupBy(id_col)
+        .agg(
+            F.sum(F.col("bm25").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("score"),
+            F.count(F.lit(1)).alias("matched_terms"),
+        )
+        .orderBy(F.col("score").desc(), id_col)
+        .limit(k)
+    )

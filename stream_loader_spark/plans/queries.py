@@ -5599,3 +5599,67 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_cosine_pairs(docs, n=2, min_df=2, max_df=50, threshold=0.5)
+
+
+@query(
+    "bm25_more_like_this",
+    """WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+      FROM documents),
+    gx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+           FROM t WHERE len(toks) >= 2),
+    tok AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS token FROM gx),
+    dtc AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tc
+            FROM tok GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, CAST(SUM(tc) AS BIGINT) AS dl FROM dtc GROUP BY doc_id),
+    corpus AS (SELECT CAST(SUM(dl) AS BIGINT) AS dl_sum,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl),
+    keep AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+             FROM dtc GROUP BY token HAVING COUNT(*) BETWEEN 2 AND 400),
+    w AS (
+      SELECT d.doc_id, d.token,
+             CAST(ROUND(ROUND(ln(1.0 + (c.n_docs - k.df + 0.5) / (k.df + 0.5)), 6)
+                   * (CAST(100 * (12 + 10) * d.tc * c.dl_sum AS DOUBLE)
+                      / CAST(1000 * c.dl_sum * d.tc
+                             + 12 * (100 - 75) * c.dl_sum
+                             + 12 * 75 * dl.dl * c.n_docs AS DOUBLE)),
+                   6) AS DECIMAL(18,6)) AS bm25
+      FROM dtc d JOIN keep k USING (token) JOIN dl USING (doc_id)
+      CROSS JOIN corpus c),
+    q AS (SELECT DISTINCT token FROM tok WHERE doc_id = 42)
+    SELECT doc_id, CAST(SUM(bm25) AS DOUBLE) AS score,
+           CAST(COUNT(*) AS BIGINT) AS matched_terms
+    FROM w JOIN q USING (token)
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10""",
+)
+def bm25_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval read path end-to-end: BM25 top-10 'more like doc 42'
+    (operators/text.py::bm25_search) — the query bag is doc 42's own
+    banded bigrams, matched postings sum as exact decimals (no
+    float-order nondeterminism), ties break on doc_id, top-k compiles
+    to TakeOrderedAndProject. Each query term touches at most max_df
+    postings — scoring never scans the corpus. The df ceiling is 400
+    (not the index queries' 50): this corpus's bigram dfs grow with SF
+    and a 50-ceiling empties the query bag at sf0.1 — the ceiling is a
+    per-use-case knob, set here to keep the search non-degenerate at
+    every fixture SF."""
+    from stream_loader_spark.operators.text import bm25_search, tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = (
+        docs.where(F.col("doc_id") == 42)
+        .select(tokens_col(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> array_join(slice(toks, i, 2), ' '))"
+                )
+            ).alias("token")
+        )
+        .distinct()
+    )
+    return bm25_search(docs, qterms, k=10, n=2, min_df=2, max_df=400)

@@ -493,3 +493,38 @@ class TestTfidfCosinePairs:
             n=2, min_df=2, max_df=3, threshold=0.9,
         ).collect()
         assert len(out) == 3 and all(r.cosine == 1.0 for r in out)
+
+
+class TestBm25Search:
+    DOCS = [
+        (1, "red fox red fox"),
+        (2, "red fox jumps high"),
+        (3, "blue fox jumps high"),
+        (4, "red fox"),
+    ]
+
+    def test_list_and_dataframe_queries_agree(self, spark):
+        from stream_loader_spark.operators.text import bm25_search
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        a = bm25_search(docs, ["red fox", "jumps high"], k=5, n=2,
+                        min_df=2, max_df=3).collect()
+        qdf = spark.createDataFrame([("red fox",), ("jumps high",)], "token string")
+        b = bm25_search(docs, qdf, k=5, n=2, min_df=2, max_df=3).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        by_id = {r.doc_id: r for r in a}
+        # doc 2 matches both terms — BM25 tf saturation (k1=1.2) makes
+        # two distinct matches beat doc 1's tf=2 single term
+        assert a[0].doc_id == 2 and by_id[2].matched_terms == 2
+        # length normalization beats tf saturation: doc 4 ('red fox',
+        # dl=1, below avgdl) outscores doc 1 (tf=2 but dl=3) on the
+        # SAME term — the b=0.75 contract working as BM25 specifies
+        assert by_id[4].score > by_id[1].score > 0
+        assert by_id[3].matched_terms == 1
+
+    def test_empty_query_rejected(self, spark):
+        from stream_loader_spark.operators.text import bm25_search
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        with pytest.raises(ValueError):
+            bm25_search(docs, [])
