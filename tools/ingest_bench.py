@@ -144,6 +144,60 @@ def bench_upsert_sink(spark, rec, n_batches: int, root: str) -> dict:
     }
 
 
+def bench_index_sink(spark, sf_dir: str, n_batches: int, root: str) -> dict:
+    """IndexIngestSink throughput: documents stream in as micro-batches,
+    each landing a token-bucketed (term, doc, tc) segment; measures
+    segment-commit latency, a postings read over the un-merged segment
+    tail, the compaction (segment merge) cost, and the pruned term
+    lookup before/after the merge."""
+    from stream_loader_spark.streaming.ingest import IndexIngestSink
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    total = docs.count()
+    sink = IndexIngestSink(os.path.join(root, "index_sink"), n=2)
+    slice_col = F.expr(f"CAST(pmod(doc_id, {n_batches}) AS INT)")
+
+    lat_ms: list[float] = []
+    t_start = time.time()
+    for b in range(n_batches):
+        t0 = time.time()
+        sink(docs.where(slice_col == b), b)
+        lat_ms.append((time.time() - t0) * 1000)
+    wall = time.time() - t_start
+
+    t0 = time.time()
+    n_terms = sink.postings(spark, min_df=2, max_df=400).count()
+    postings_ms = (time.time() - t0) * 1000
+    # one mid-frequency probe term, measured pre/post merge
+    term = sink.postings(spark, min_df=2, max_df=400).orderBy("token").first().token
+    t0 = time.time()
+    hits_before = sink.lookup(spark, [term]).count()
+    lookup_before_ms = (time.time() - t0) * 1000
+    t0 = time.time()
+    folded = sink.compact(spark)
+    compact_ms = (time.time() - t0) * 1000
+    t0 = time.time()
+    hits_after = sink.lookup(spark, [term]).count()
+    lookup_after_ms = (time.time() - t0) * 1000
+    assert hits_after == hits_before, "merge changed lookup results"
+
+    lat_sorted = sorted(lat_ms)
+    return {
+        "batches": n_batches,
+        "docs": total,
+        "docs_per_sec": round(total / wall, 1),
+        "wall_sec": round(wall, 2),
+        "segment_commit_p50_ms": round(_pctl(lat_sorted, 0.5), 1),
+        "segment_commit_p95_ms": round(_pctl(lat_sorted, 0.95), 1),
+        "postings_read_ms": round(postings_ms, 1),
+        "banded_terms": n_terms,
+        "lookup_ms_before_merge": round(lookup_before_ms, 1),
+        "rows_merged": folded,
+        "compact_ms": round(compact_ms, 1),
+        "lookup_ms_after_merge": round(lookup_after_ms, 1),
+    }
+
+
 def bench_manifest_scan_synthetic(root: str, counts: list[int]) -> dict:
     """Pure manifest-scan cost vs committed-batch count, isolated from
     Spark write time: dataless manifests (a committed batch whose data
@@ -181,6 +235,9 @@ def main() -> None:
             "manifest_sink": bench_manifest_sink(spark, rec, n_batches, root),
             "upsert_sink": bench_upsert_sink(
                 spark, rec, max(4, n_batches // 2), root
+            ),
+            "index_sink": bench_index_sink(
+                spark, sf_dir, max(4, n_batches // 2), root
             ),
             "manifest_scan_ms_synthetic": bench_manifest_scan_synthetic(
                 root, [100, 1000, 5000]
