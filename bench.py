@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "bm25_scores",
     "tfidf_cosine_pairs",
     "bm25_more_like_this",
+    "graph_seeded_pagerank",
+    "quality_calibration_bins",
 ]
 
 

@@ -35,6 +35,7 @@ def pagerank(
     broadcast_ranks: bool = False,
     assume_distinct: bool = False,
     symmetric: bool = False,
+    seed_nodes: list[int] | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -57,7 +58,14 @@ def pagerank(
     - overflow bound: ``damping_pct · N · scale < 2^63`` ⇒ with the
       default scale=1e9 the node count must stay < ~1e8; lower
       ``scale`` (ranks lose fractional digits, not correctness of the
-      fixed-point contract) for larger graphs.
+      fixed-point contract) for larger graphs;
+    - ``seed_nodes`` switches to PERSONALIZED PageRank (the
+      crawl-frontier / curated-seed relevance variant): the teleport
+      term lands only on the seeds (unnormalized e_S convention —
+      per-seed base is the same constant, total mass shrinks, ranking
+      semantics are standard PPR), initial rank is ``scale`` on seeds
+      and 0 elsewhere, so after k rounds a node's rank is exactly the
+      damped seed-reachability mass within k hops.
 
     Scale shape (the part that must survive 100 TB): the degree-joined
     edge table is localCheckpoint-ed ONCE. Two join strategies:
@@ -120,7 +128,17 @@ def pagerank(
         )
     nodes = nodes.localCheckpoint(eager=False)
     base = (100 - damping_pct) * scale // 100
-    ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
+    if seed_nodes is not None:
+        if not seed_nodes:
+            raise ValueError("seed_nodes must be non-empty when given")
+        seed_arr = F.array(*[F.lit(int(x)).cast("bigint") for x in seed_nodes])
+        is_seed = F.array_contains(seed_arr, F.col("node"))
+        base_col = F.when(is_seed, F.lit(base)).otherwise(F.lit(0)).cast("bigint")
+        init_col = F.when(is_seed, F.lit(scale)).otherwise(F.lit(0)).cast("bigint")
+    else:
+        base_col = F.lit(base).cast("bigint")
+        init_col = F.lit(scale).cast("bigint")
+    ranks = nodes.select("node", init_col.alias("rank"))
     hint = F.broadcast if broadcast_ranks else (lambda df: df)
     for _ in range(iterations):
         contrib = (
@@ -133,7 +151,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base_col
                     + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
                 ).cast("bigint").alias("rank"),
             )
@@ -147,6 +165,7 @@ def pagerank_oracle_sql(
     iterations: int = 5,
     damping_pct: int = 85,
     scale: int = DEFAULT_SCALE,
+    seed_nodes: list[int] | None = None,
 ) -> str:
     """Unrolled-SQL twin of :func:`pagerank` for the DuckDB oracle.
 
@@ -157,12 +176,19 @@ def pagerank_oracle_sql(
     fixed-point, not a transliteration of the DataFrame loop.
     """
     base = (100 - damping_pct) * scale // 100
+    if seed_nodes is not None:
+        seeds = ", ".join(str(int(x)) for x in seed_nodes)
+        base_sql = f"CASE WHEN n.node IN ({seeds}) THEN {base} ELSE 0 END"
+        init_sql = f"CASE WHEN node IN ({seeds}) THEN {scale} ELSE 0 END"
+    else:
+        base_sql = str(base)
+        init_sql = str(scale)
     parts = [
         f"WITH {edges_cte},",
         "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),",
         "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges"
         " UNION SELECT dst FROM edges)),",
-        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes),",
+        f"r0 AS (SELECT node, CAST({init_sql} AS BIGINT) AS rank FROM nodes),",
     ]
     for i in range(1, iterations + 1):
         parts.append(
@@ -171,7 +197,7 @@ def pagerank_oracle_sql(
             f" JOIN deg d ON d.src = e.src GROUP BY e.dst),"
         )
         parts.append(
-            f"r{i} AS (SELECT n.node, CAST({base} + ({damping_pct} *"
+            f"r{i} AS (SELECT n.node, CAST({base_sql} + ({damping_pct} *"
             f" COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank"
             f" FROM nodes n LEFT JOIN c{i} c USING (node)),"
         )

@@ -5663,3 +5663,102 @@ def bm25_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return bm25_search(docs, qterms, k=10, n=2, min_df=2, max_df=400)
+
+
+@query(
+    "graph_seeded_pagerank",
+    pagerank_oracle_sql(
+        _PAGERANK_EDGES_CTE, iterations=5, seed_nodes=[2, 4, 6]
+    ),
+)
+def graph_seeded_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from curated seeds (customers 1–3 → node
+    ids 2/4/6): the teleport term lands only on the seeds, so rank is
+    damped seed-reachability mass — the crawl-frontier / curated-seed
+    relevance weighting. Same exact integer fixed-point and unrolled
+    SQL oracle as graph_pagerank; nodes the seeds cannot reach within
+    5 hops hold rank 0 exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(
+        edges,
+        iterations=5,
+        broadcast_ranks=True,
+        assume_distinct=True,
+        symmetric=True,
+        seed_nodes=[2, 4, 6],
+    )
+
+
+@query(
+    "quality_calibration_bins",
+    """WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS token
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) AS bucket
+      FROM tok),
+    g AS (
+      SELECT doc_id,
+             CAST(SUM((bucket * 2654435761) % 1001 - 500) AS BIGINT) AS logit_milli
+      FROM b GROUP BY doc_id),
+    flags AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+               BETWEEN 5 AND 2000 AS wc_ok
+      FROM documents),
+    deciles AS (
+      SELECT g.doc_id, g.logit_milli, f.wc_ok,
+             NTILE(10) OVER (ORDER BY g.logit_milli, g.doc_id) AS bin
+      FROM g JOIN flags f USING (doc_id))
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(logit_milli) AS BIGINT) AS lo,
+           CAST(MAX(logit_milli) AS BIGINT) AS hi,
+           CAST(SUM(CASE WHEN wc_ok THEN 1 ELSE 0 END) AS BIGINT) AS rule_pass
+    FROM deciles GROUP BY bin""",
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration view: documents binned into score deciles
+    of the hashed-linear quality logit, each bin reporting how many
+    pass an independent Gopher-style word-count rule — the
+    agreement-between-signals diagnostic run before trusting either
+    filter at scale. Deciles are exact NTILE over (logit, doc_id) — a
+    total order, so binning is engine-independent; all-integer output.
+    The ntile is the one global-sort stage (fine for a 10-bin report;
+    at corpus scale swap in the windowed-count quantile pattern used by
+    perplexity_buckets)."""
+    from stream_loader_spark.operators.text import hashed_linear_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = hashed_linear_quality(docs).select("doc_id", "logit_milli")
+    flags = docs.select(
+        "doc_id",
+        F.size(F.expr("filter(split(text, '\\\\s+'), x -> x != '')"))
+        .between(5, 2000)
+        .alias("wc_ok"),
+    )
+    binned = scored.join(flags, "doc_id").withColumn(
+        "bin",
+        F.ntile(10).over(
+            Window.orderBy(F.col("logit_milli").asc(), F.col("doc_id").asc())
+        ),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("logit_milli").alias("lo"),
+        F.max("logit_milli").alias("hi"),
+        F.sum(F.when(F.col("wc_ok"), 1).otherwise(0)).alias("rule_pass"),
+    )

@@ -528,3 +528,47 @@ class TestBm25Search:
         docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
         with pytest.raises(ValueError):
             bm25_search(docs, [])
+
+
+class TestSeededPagerank:
+    EDGES = [(1, 2), (2, 1), (2, 3), (3, 2), (4, 5), (5, 4)]  # two components
+
+    def test_unreachable_component_is_zero(self, spark):
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {
+            r.node: r.rank_scaled
+            for r in pagerank(df, iterations=4, seed_nodes=[1]).collect()
+        }
+        assert got[4] == 0 and got[5] == 0
+        assert got[1] > 0 and got[2] > 0 and got[3] > 0
+
+    def test_matches_python_reference(self, spark):
+        def ref(edges, seeds, iterations, scale=10**9, d=85):
+            e = sorted(set(edges))
+            deg = {}
+            for s_, _ in e:
+                deg[s_] = deg.get(s_, 0) + 1
+            nodes = sorted({n for p in e for n in p})
+            base = (100 - d) * scale // 100
+            r = {n: (scale if n in seeds else 0) for n in nodes}
+            for _ in range(iterations):
+                msg = {}
+                for s_, d_ in e:
+                    msg[d_] = msg.get(d_, 0) + r[s_] // deg[s_]
+                r = {
+                    n: (base if n in seeds else 0) + (85 * msg.get(n, 0)) // 100
+                    for n in nodes
+                }
+            return r
+
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {
+            r.node: r.rank_scaled
+            for r in pagerank(df, iterations=3, seed_nodes=[1, 4]).collect()
+        }
+        assert got == ref(self.EDGES, {1, 4}, 3)
+
+    def test_empty_seed_list_rejected(self, spark):
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        with pytest.raises(ValueError):
+            pagerank(df, seed_nodes=[])
