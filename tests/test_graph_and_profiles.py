@@ -1,6 +1,8 @@
-"""Tests for the round-9 additions: PageRank, shard bin-packing,
-robust median/MAD outliers, key-skew profiling, n-gram inverted
-postings, and the bigram LM score.
+"""Tests for the second-session round-9 additions: PageRank (plain,
+broadcast, and seeded/personalized), shard bin-packing, robust
+median/MAD outliers, key-skew profiling, n-gram inverted postings,
+the bigram LM score, PMI collocations, BM25 scoring + search,
+tf-idf cosine near-dup pairs, and semantic decontamination.
 
 Each operator's exact-integer / exact-decimal contract is verified
 against a hand-computed or pure-Python reference, plus the
