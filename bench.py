@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "bm25_more_like_this",
     "graph_seeded_pagerank",
     "quality_calibration_bins",
+    "ngram_containment_pairs",
 ]
 
 

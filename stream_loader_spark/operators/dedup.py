@@ -1150,3 +1150,118 @@ def simhash_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def ngram_containment_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    block_col: str | None = None,
+    shingle_size: int = SHINGLE_SIZE,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Exact ASYMMETRIC shingle containment pairs: C(A→B) = |A∩B|/|A| —
+    the partial-copy / quotation detector. Jaccard misses a short doc
+    embedded verbatim in a long one (the union is dominated by the long
+    doc); containment of the short side is 1.0 there BY DESIGN, which
+    is exactly why this operator has NO size prefilter — the
+    ``ngram_jaccard_pairs`` min/max-ratio prune would delete the only
+    pairs this exists to find.
+
+    Same count-aggregated shared-shingle shape as the Jaccard operator
+    (candidates blocked on a shared shingle — lossless for containment
+    > 0; group-then-expand with the identical ``max_bucket`` streamed
+    self-join guard for frequent shingles). Emits each qualifying pair
+    once with both directions: (doc_a, doc_b, containment_a_in_b,
+    containment_b_in_a) where doc_a < doc_b and the LARGER direction
+    clears ``threshold``; containments round to 6 decimals. The
+    at-scale approximate path for symmetric near-dup remains
+    MinHash-LSH; exact containment's work tracks shared-shingle
+    co-occurrence, same as exact Jaccard.
+    """
+    if threshold <= 0:
+        raise ValueError(
+            f"ngram_containment_pairs requires threshold > 0, got {threshold}"
+        )
+    block = [block_col] if block_col else []
+    ex = (
+        with_hash_shingles(documents, text_col, id_col, tuple(block), shingle_size)
+        .selectExpr(
+            id_col,
+            *block,
+            """explode(
+                  zip_with(shingles, array_repeat(size(shingles), size(shingles)),
+                           (s, n) -> struct(s AS shingle, n AS nsh))
+                ) AS z""",
+        )
+        .select(id_col, *block, "z.shingle", "z.nsh")
+    )
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    grouped = (
+        ex.repartition(par, *[F.col(c) for c in block], F.col("shingle"))
+        .groupBy(*block, "shingle")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col("nsh").alias("nsh"))
+                )
+            ).alias("docs")
+        )
+        .where(F.size("docs") >= 2)
+    )
+    small_pairs = (
+        grouped.where(F.size("docs") <= max_bucket)
+        .selectExpr(
+            """explode(
+                 flatten(
+                   transform(sequence(1, size(docs) - 1),
+                     i -> transform(sequence(0, i - 1),
+                       j -> struct(docs[j].id AS doc_a, docs[i].id AS doc_b,
+                                   docs[j].nsh AS na, docs[i].nsh AS nb))))
+               ) AS p"""
+        )
+        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        .toDF("doc_a", "doc_b", "na", "nb")
+    )
+    big = grouped.where(F.size("docs") > max_bucket).selectExpr(
+        *block, "shingle", "inline(docs)"
+    )
+    a = big.observe(
+        _obs_name("ngram_containment"), F.count(F.lit(1)).alias("bucket_rows")
+    ).alias("a")
+    b = big.alias("b")
+    big_pairs = a.join(
+        b,
+        [F.col(f"a.{c}") == F.col(f"b.{c}") for c in [*block, "shingle"]]
+        + [F.col("a.id") < F.col("b.id")],
+    ).select(
+        F.col("a.id").alias("doc_a"),
+        F.col("b.id").alias("doc_b"),
+        F.col("a.nsh").alias("na"),
+        F.col("b.nsh").alias("nb"),
+    )
+    pairs = small_pairs.unionByName(big_pairs)
+    inter = (
+        pairs.repartition(par, F.col("doc_a"), F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("ninter"),
+            F.any_value(F.col("na")).alias("na"),
+            F.any_value(F.col("nb")).alias("nb"),
+        )
+    )
+    out = inter.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("ninter").cast("double") / F.col("na"), 6).alias(
+            "containment_a_in_b"
+        ),
+        F.round(F.col("ninter").cast("double") / F.col("nb"), 6).alias(
+            "containment_b_in_a"
+        ),
+    )
+    return out.where(
+        F.greatest(F.col("containment_a_in_b"), F.col("containment_b_in_a"))
+        >= threshold
+    )

@@ -5762,3 +5762,46 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("logit_milli").alias("hi"),
         F.sum(F.when(F.col("wc_ok"), 1).otherwise(0)).alias("rule_pass"),
     )
+
+
+@query(
+    "ngram_containment_pairs",
+    """WITH t AS (
+      SELECT doc_id, lang, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+      FROM documents),
+    d AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+             ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM t),
+    ex AS MATERIALIZED (
+      SELECT doc_id, lang, unnest(shingles) AS shingle, len(shingles) AS nsh FROM d),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter,
+             ANY_VALUE(a.nsh) AS na, ANY_VALUE(b.nsh) AS nb
+      FROM ex a JOIN ex b
+        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(ninter AS DOUBLE) / na, 6) AS containment_a_in_b,
+           ROUND(CAST(ninter AS DOUBLE) / nb, 6) AS containment_b_in_a
+    FROM inter
+    WHERE GREATEST(ROUND(CAST(ninter AS DOUBLE) / na, 6),
+                   ROUND(CAST(ninter AS DOUBLE) / nb, 6)) >= 0.8""",
+)
+def ngram_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric word-3-gram containment pairs ≥ 0.8 blocked by
+    language (operators/dedup.py::ngram_containment_pairs) — the
+    partial-copy/quotation detector Jaccard structurally misses: a
+    short doc verbatim inside a long one has tiny Jaccard but
+    containment 1.0. Deliberately NO size prune (the asymmetry is the
+    point); candidate work still tracks shared-shingle co-occurrence
+    with the frequent-shingle bucket guard."""
+    from stream_loader_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, threshold=0.8, block_col="lang", shingle_size=3
+    )

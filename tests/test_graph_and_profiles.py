@@ -574,3 +574,60 @@ class TestSeededPagerank:
         df = spark.createDataFrame(self.EDGES, "src long, dst long")
         with pytest.raises(ValueError):
             pagerank(df, seed_nodes=[])
+
+
+class TestNgramContainment:
+    def test_short_doc_inside_long_found(self, spark):
+        from stream_loader_spark.operators.dedup import ngram_containment_pairs
+
+        long_text = " ".join(f"w{i}" for i in range(40))
+        short_text = " ".join(f"w{i}" for i in range(10, 18))  # verbatim slice
+        docs = [
+            (1, long_text),
+            (2, short_text),
+            (3, "completely different words entirely here now"),
+        ]
+        out = {
+            (r.doc_a, r.doc_b): r
+            for r in ngram_containment_pairs(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                threshold=0.9, shingle_size=3,
+            ).collect()
+        }
+        # every shingle of doc 2 appears in doc 1 → containment 1.0,
+        # while Jaccard is tiny (6/38) — the pair Jaccard misses
+        assert (1, 2) in out
+        assert out[(1, 2)].containment_b_in_a == 1.0
+        assert out[(1, 2)].containment_a_in_b < 0.2
+        assert not any(3 in p for p in out)
+
+    def test_matches_brute_force(self, spark):
+        from stream_loader_spark.operators.dedup import ngram_containment_pairs
+
+        docs = [
+            (i, " ".join(f"t{(i * 3 + j) % 11}" for j in range(9))) for i in range(12)
+        ]
+        got = {
+            (r.doc_a, r.doc_b): (r.containment_a_in_b, r.containment_b_in_a)
+            for r in ngram_containment_pairs(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                threshold=0.5, shingle_size=3,
+            ).collect()
+        }
+
+        def sh(t):
+            toks = t.split()
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+        ref = {}
+        for i, ti in docs:
+            for j, tj in docs:
+                if i >= j:
+                    continue
+                inter = len(sh(ti) & sh(tj))
+                if not inter:
+                    continue
+                ca, cb = round(inter / len(sh(ti)), 6), round(inter / len(sh(tj)), 6)
+                if max(ca, cb) >= 0.5:
+                    ref[(i, j)] = (ca, cb)
+        assert got == ref

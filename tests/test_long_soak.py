@@ -205,3 +205,77 @@ class TestNearDupIngestLongSoak:
             r["doc_id"] for r in sink.committed_corpus(spark).collect()
         )
         assert kept == expected_ids
+
+
+class TestIndexIngestLongSoak:
+    """Long randomized stream through IndexIngestSink with kills before
+    the segment write, replays of committed batches, and interleaved
+    segment merges — the committed index must equal the batch-mode
+    inverted index over the crash-free corpus at every checkpoint."""
+
+    N_BATCHES = 48
+    DOCS_PER_BATCH = 3
+    COMPACT_EVERY = 12
+
+    def _stream(self, rng):
+        vocab = [f"v{i}" for i in range(9)]
+        batches, corpus = [], []
+        did = 0
+        for _b in range(self.N_BATCHES):
+            docs = []
+            for _ in range(self.DOCS_PER_BATCH):
+                did += 1
+                text = " ".join(rng.choice(vocab) for _ in range(7))
+                docs.append((did, text))
+            batches.append(docs)
+            corpus.extend(docs)
+        return batches, corpus
+
+    def test_long_stream_with_kills_and_merges(self, spark, tmp_path):
+        from stream_loader_spark.operators.text import inverted_postings
+        from stream_loader_spark.streaming.ingest import IndexIngestSink
+
+        rng = random.Random(0x1D5)
+        sink = IndexIngestSink(str(tmp_path / "idx"), n=2, n_buckets=8)
+        batches, corpus = self._stream(rng)
+
+        def kill_segment_write(s):
+            real = s._seg_state.write_batch
+
+            def boom(df, batch_id, partition_by=None):
+                raise RuntimeError("killed before segment write")
+
+            s._seg_state.write_batch = boom
+            return lambda: setattr(s._seg_state, "write_batch", real)
+
+        def check(upto):
+            streamed = sorted(
+                tuple(r) for r in sink.postings(spark, 1, 10**6).collect()
+            )
+            seen = [d for b in batches[: upto + 1] for d in b]
+            batch_form = sorted(
+                tuple(r)
+                for r in inverted_postings(
+                    spark.createDataFrame(seen, DOC_SCHEMA),
+                    n=2, min_df=1, max_df=10**6,
+                ).collect()
+            )
+            assert streamed == batch_form
+
+        kills = 0
+        for b, docs in enumerate(batches):
+            batch = spark.createDataFrame(docs, DOC_SCHEMA)
+            if rng.random() < 0.2:
+                restore = kill_segment_write(sink)
+                with pytest.raises(RuntimeError, match="killed"):
+                    sink(batch, b)
+                restore()
+                kills += 1
+            sink(batch, b)
+            if rng.random() < 0.1:
+                sink(batch, b)  # replay of a committed batch
+            if (b + 1) % self.COMPACT_EVERY == 0:
+                sink.compact(spark)
+                check(b)
+        assert kills >= 5
+        check(self.N_BATCHES - 1)
