@@ -106,6 +106,7 @@ PROBE_QUERIES = [
     "collocations_pmi",
     "semantic_contamination",
     "semantic_contamination_fixedref",
+    "ngram_containment_pairs",
 ]
 
 
@@ -221,6 +222,11 @@ EXPECTED_NOTES = {
         "same operator with the reference set held at the base "
         "replica's bench bucket \u2014 the real decontamination "
         "scenario (fixed |R|)"
+    ),
+    "ngram_containment_pairs": (
+        "exact asymmetric-containment baseline: pair work tracks "
+        "shared-shingle co-occurrence (same bound as "
+        "ngram_jaccard_pairs) and there is deliberately no size prune"
     ),
     "tfidf_cosine_pairs": (
         "exact lexical cosine baseline: pair work tracks df-banded term "
