@@ -413,15 +413,69 @@ def lsh_plane_coeffs(dim: int, total_planes: int) -> list[list[float]]:
     ]
 
 
+def auto_lsh_params(
+    n: int,
+    threshold: float,
+    target_bucket: int = 64,
+    recall: float = 0.9,
+    min_planes: int = 8,
+    max_bands: int = 16,
+) -> tuple[int, int]:
+    """Size the banded sign-LSH for a corpus of ``n`` vectors.
+
+    ``num_planes = max(min_planes, ceil(log2(n / target_bucket)))`` —
+    a sign band has 2^planes buckets, so this holds the EXPECTED bucket
+    population of unrelated vectors at ``target_bucket`` regardless of
+    corpus size, which is exactly the knob that keeps the candidate
+    floor ``num_bands · n² / 2^(planes+1)`` linear in n (the r9 scale
+    probe measured exponent 1.83 with planes pinned at 8 vs 0.80 with
+    planes grown by this rule).
+
+    ``num_bands`` then re-grows to hold recall: a pair at exactly
+    ``threshold`` agrees on one sign with probability
+    p = 1 − acos(threshold)/π, on a whole band with q = p^planes, and
+    on ≥1 of b bands with 1 − (1−q)^b, so
+    ``b = ceil(log(1−recall) / log(1−q))``. Bands are a LINEAR cost
+    multiplier (one more corpus-sized bucketing each), so they are
+    capped at ``max_bands``: low thresholds drive q → 0 and the exact
+    recall target would demand thousands of bands — past the cap the
+    function trades recall, which is the right trade for a NEAR-dup
+    primitive (threshold ≈ 1) asked to do broad-similarity work
+    (threshold ≪ 1, where the IVF/brute-force family is the documented
+    tool).
+    """
+    import math
+
+    planes = max(min_planes, math.ceil(math.log2(max(n, 1) / max(target_bucket, 1))))
+    return planes, _bands_for(planes, threshold, recall, max_bands)
+
+
+def _bands_for(planes: int, threshold: float, recall: float, max_bands: int) -> int:
+    """Bands needed for ``recall`` at ``threshold`` given ``planes``
+    sign bits per band (capped — see ``auto_lsh_params``)."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    q = p**planes
+    if q >= 1.0:  # threshold == 1: every band matches
+        return 1
+    if q <= 0.0:
+        return max_bands
+    bands = math.ceil(math.log(max(1.0 - recall, 1e-12)) / math.log(1.0 - q))
+    return max(1, min(max_bands, bands))
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    num_planes: int = 8,
-    num_bands: int = 4,
+    num_planes: int | None = None,
+    num_bands: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
     max_bucket: int = 500,
+    target_bucket: int = 64,
+    recall: float = 0.9,
 ) -> DataFrame:
     """Embedding near-dup pairs via banded sign-LSH + exact verify.
 
@@ -436,15 +490,19 @@ def cosine_near_dup_pairs(
     **Sizing num_planes (the scale knob the r9 probe measured):** a
     sign band has 2^num_planes buckets, so even fully UNRELATED
     vectors collide at rate 2^-num_planes per band and candidate
-    volume has a floor of num_bands · N² / 2^(num_planes+1). With the
-    default 8 planes that floor turned measured superlinear at ~64 k
-    vectors (SCALE_TREND.md: exponent ~1.7). At scale, pick
-    ``num_planes ≈ log2(N / target_bucket_size)`` and re-grow
-    ``num_bands`` to hold recall at the chosen threshold (per-band
-    match probability is p^num_planes, p = 1 − θ/π) — the probe's
-    tuned row shows the same corpus going back to ~linear. The
-    defaults stay (8, 4) because the declared queries' DuckDB oracles
-    replicate exactly that banding in SQL.
+    volume has a floor of num_bands · N² / 2^(num_planes+1). With
+    planes pinned at 8 that floor turned measured superlinear at
+    ~64 k vectors (SCALE_TREND.md: exponent ~1.7–1.83). The DEFAULT
+    (``num_planes=None``) therefore AUTO-SIZES from one cheap corpus
+    count: ``num_planes = max(8, ceil(log2(N / target_bucket)))``
+    holds expected bucket population constant, and ``num_bands=None``
+    re-grows bands to hold ``recall`` at the chosen threshold
+    (per-band match probability is p^num_planes, p = 1 − θ/π; see
+    ``auto_lsh_params``) — the r9 probe measured the same corpus going
+    from exponent 1.83 back to 0.80 under exactly this rule. Pass both
+    explicitly to pin a banding (the declared queries pin (8, 4)
+    because their DuckDB oracles replicate that banding in SQL, and
+    pinning also skips the count job).
 
     **Bucket cap (the boilerplate guard, same discipline as
     ``minhash_lsh_pairs``):** a degenerate bucket — embeddings of
@@ -500,6 +558,19 @@ def cosine_near_dup_pairs(
             dim = LSH_DEFAULT_DIM
         else:
             dim = probe["d"]
+    if num_planes is None or num_bands is None:
+        # one cheap count aggregate sizes the banding to the corpus —
+        # the default path must never be quadratic (r9 probe: exponent
+        # 1.83 with planes pinned at 8 vs 0.80 grown by this rule)
+        n = embeddings.where(F.size(F.col(vec_col)) == dim).count()
+        if num_planes is None:
+            num_planes, auto_bands = auto_lsh_params(
+                n, threshold, target_bucket, recall
+            )
+        else:
+            auto_bands = _bands_for(num_planes, threshold, recall, max_bands=16)
+        if num_bands is None:
+            num_bands = auto_bands
     total_planes = num_bands * num_planes
     coeffs = lsh_plane_coeffs(dim, total_planes)
     nonempty = scatter(embeddings.where(F.size(F.col(vec_col)) == dim))

@@ -5461,7 +5461,15 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 'bench' salt), flagged at >= 0.35 — the embedding-space
     complement of the n-gram benchmark_contamination check
     (operators/similarity.py::max_cosine_to_set: broadcast reference
-    pack + in-row max, zero corpus shuffles)."""
+    pack + in-row max, zero corpus shuffles).
+
+    The NULL filter pins the empty-reference edge to the oracle: with
+    an EMPTY bench bucket max_cosine_to_set emits every corpus row
+    with NULL max_cos (documented operator contract), while the
+    oracle's CROSS JOIN emits zero rows — dropping the NULLs makes
+    both engines agree (zero rows) instead of leaving a latent
+    row-count mismatch should a fixture SF ever produce an empty
+    bucket. With a non-empty bench it filters nothing."""
     from stream_loader_spark.operators.similarity import max_cosine_to_set
     from stream_loader_spark.operators.sampling import sample_bucket
 
@@ -5469,7 +5477,7 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bkt = sample_bucket(F.col("vec_id"), salt="bench")
     bench = emb.where(bkt < 16)
     corpus = emb.where(bkt >= 16)
-    out = max_cosine_to_set(corpus, bench)
+    out = max_cosine_to_set(corpus, bench).where(F.col("max_cos").isNotNull())
     return out.select(
         "vec_id",
         "max_cos",

@@ -14,6 +14,7 @@ from stream_loader_spark.operators.dedup import (
     simhash_pairs,
 )
 from stream_loader_spark.operators.similarity import (
+    auto_lsh_params,
     brute_force_topk,
     ivf_topk,
     cosine_near_dup_pairs,
@@ -181,6 +182,52 @@ class TestSimilarity:
             p for p in found if p[0] >= 90000 and p[1] >= 90000
         }
         assert len(clone_pairs) == 0
+
+    def test_auto_lsh_sizing_rule(self):
+        """The default-argument path must never be quadratic: planes
+        grow as log2(N / target_bucket) so the candidate floor
+        num_bands·N²/2^(planes+1) stays ~linear in N, and bands re-grow
+        (capped) to hold recall at the threshold. Pins the rule the r9
+        scale probe measured (exponent 1.83 pinned vs 0.80 grown)."""
+        import math
+
+        # small corpora keep the minimum 8 planes
+        assert auto_lsh_params(2_000, 0.95)[0] == 8
+        # planes track log2(N / target_bucket): 2M / 64 -> 15 planes
+        planes, bands = auto_lsh_params(2_000_000, 0.95, target_bucket=64)
+        assert planes == 15
+        # expected bucket population is held at ~target_bucket: the
+        # candidate floor bands·N²/2^(planes+1) is then O(bands·N·tb)
+        assert 2_000_000 / 2**planes <= 64
+        # bands hold the recall target at the threshold
+        p = 1.0 - math.acos(0.95) / math.pi
+        q = p**planes
+        assert 1.0 - (1.0 - q) ** bands >= 0.9
+        # low thresholds would demand thousands of bands: capped
+        assert auto_lsh_params(2_000_000, 0.35)[1] <= 16
+        # threshold 1.0 needs exactly one band
+        assert auto_lsh_params(10_000, 1.0)[1] == 1
+        # monotone: 128x the corpus, at least +7 planes
+        assert auto_lsh_params(256_000_000, 0.95)[0] >= planes + 7
+
+    def test_auto_defaults_match_explicit_params(self, spark, sf_small):
+        """cosine_near_dup_pairs under DEFAULT arguments must produce
+        exactly the pairs of the explicitly-passed derived parameters —
+        the auto path is a sizing convenience, not a new algorithm."""
+        emb = load_table(spark, sf_small, "embeddings")
+        n = emb.where(F.size("embedding") == 64).count()
+        planes, bands = auto_lsh_params(n, 0.99)
+        auto = {
+            (r["vec_a"], r["vec_b"])
+            for r in cosine_near_dup_pairs(emb, threshold=0.99).collect()
+        }
+        explicit = {
+            (r["vec_a"], r["vec_b"])
+            for r in cosine_near_dup_pairs(
+                emb, threshold=0.99, num_planes=planes, num_bands=bands, dim=64
+            ).collect()
+        }
+        assert auto == explicit
 
 
 class TestMultimodal:

@@ -87,8 +87,7 @@ PROBE_QUERIES = [
     "similarity_topk",
     "similarity_ivf_topk",
     "embedding_near_dup",
-    "embedding_near_dup_tuned",
-    "semantic_dedup_keep_best_tuned",
+    "embedding_near_dup_pinned",
     "embedding_covariance_block",
     "tfidf_top_terms",
     "dedup_exact",
@@ -110,27 +109,32 @@ PROBE_QUERIES = [
 ]
 
 
-def _embedding_near_dup_tuned(spark, sf_dir):
-    """The registered embedding_near_dup plan with num_planes grown for
-    the probed corpus size (log2(N/target_bucket) ≈ 14 at the 64 k-row
-    tier) and num_bands re-grown for recall — the tuning the operator
-    docstring prescribes at scale. Same operator, same plan shape; the
-    parameter change is the whole point being measured."""
+def _embedding_near_dup_defaults(spark, sf_dir):
+    """cosine_near_dup_pairs under DEFAULT sizing arguments — since r10
+    num_planes/num_bands auto-size from a corpus count
+    (auto_lsh_params), so this row measures what a caller who reads no
+    docstring gets. The registered query keeps the oracle's pinned
+    (8,4) banding; that parameter floor is the _pinned row."""
     from stream_loader_spark.operators.similarity import cosine_near_dup_pairs
     from stream_loader_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(
-        emb, threshold=0.35, num_planes=14, num_bands=8, dim=64
-    )
+    return cosine_near_dup_pairs(emb, threshold=0.35, dim=64)
 
 
-def _semantic_dedup_keep_best_tuned(spark, sf_dir):
-    """semantic_dedup_keep_best with its pair stage's sign-LSH sized to
-    the probed corpus (num_planes=14, bands re-grown) — the same tuning
-    lever the embedding_near_dup_tuned row measures, applied to the
-    full keep-best pipeline whose registered form pins the oracle's
-    fixed (8,4) banding."""
+def _embedding_near_dup_pinned(spark, sf_dir):
+    """The registered embedding_near_dup plan: (8,4) banding pinned so
+    the DuckDB oracle can replicate it — the parameter floor the auto
+    default exists to remove."""
+    from stream_loader_spark.plans.queries import QUERIES
+
+    return QUERIES["embedding_near_dup"](spark, sf_dir)
+
+
+def _semantic_dedup_keep_best_defaults(spark, sf_dir):
+    """semantic_dedup_keep_best with its pair stage under DEFAULT
+    (auto-sized) sign-LSH arguments — the registered form pins the
+    oracle's (8,4) banding."""
     from stream_loader_spark.operators.dedup import dedup_keep_best_in_cluster
     from stream_loader_spark.operators.similarity import cosine_near_dup_pairs
     from stream_loader_spark.operators.text import with_text_stats
@@ -138,9 +142,9 @@ def _semantic_dedup_keep_best_tuned(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_near_dup_pairs(
-        emb, threshold=0.35, num_planes=14, num_bands=8, dim=64
-    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    pairs = cosine_near_dup_pairs(emb, threshold=0.35, dim=64).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
     scored = (
         with_text_stats(docs)
         .select("doc_id", "lang", "quality_score")
@@ -203,8 +207,12 @@ def _graph_pagerank_events(spark, sf_dir):
 
 
 EXTRA_PROBES = {
-    "embedding_near_dup_tuned": _embedding_near_dup_tuned,
-    "semantic_dedup_keep_best_tuned": _semantic_dedup_keep_best_tuned,
+    # overrides of registered names: the probe measures the OPERATOR
+    # under default (auto-sized) arguments; the oracle-pinned banding
+    # the registered queries carry is kept honest by the _pinned row
+    "embedding_near_dup": _embedding_near_dup_defaults,
+    "embedding_near_dup_pinned": _embedding_near_dup_pinned,
+    "semantic_dedup_keep_best": _semantic_dedup_keep_best_defaults,
     "graph_pagerank_events": _graph_pagerank_events,
     "semantic_contamination_fixedref": _semantic_contamination_fixedref,
 }
@@ -247,22 +255,22 @@ EXPECTED_NOTES = {
         "co-occurrence — the at-scale path is minhash_lsh_pairs"
     ),
     "embedding_near_dup": (
-        "fixed (8,4) sign-LSH as the oracle pins it: candidate floor "
-        "num_bands·N²/2^(planes+1) — superlinear here BY PARAMETER, "
-        "see the _tuned row for the same operator sized to the corpus"
+        "DEFAULT arguments: num_planes/num_bands auto-size from a "
+        "corpus count (auto_lsh_params) — the r10 fix that removed the "
+        "fixed-(8,4) candidate floor; the floor itself is the _pinned "
+        "row"
     ),
-    "embedding_near_dup_tuned": (
-        "same operator, num_planes grown to log2(N/bucket) per the "
-        "docstring's scale rule — the knob that restores ~linear"
+    "embedding_near_dup_pinned": (
+        "the registered query's (8,4) banding, pinned so the DuckDB "
+        "oracle can replicate it in SQL: candidate floor "
+        "num_bands·N²/2^(planes+1) — superlinear BY PARAMETER, not by "
+        "plan; the default (auto-sized) row is the operator's real "
+        "scaling"
     ),
     "semantic_dedup_keep_best": (
-        "pair stage is embedding_near_dup's fixed (8,4) banding (oracle"
-        "-pinned) — same parameter floor, same tuning lever at scale; "
-        "see the _tuned row for the pipeline sized to the corpus"
-    ),
-    "semantic_dedup_keep_best_tuned": (
-        "same pipeline with the pair stage's num_planes grown to "
-        "log2(N/bucket) — the knob that restores ~linear end to end"
+        "pair stage under DEFAULT (auto-sized) sign-LSH arguments — "
+        "the registered form pins the oracle's (8,4) banding, whose "
+        "floor the embedding_near_dup_pinned row measures"
     ),
     "embedding_covariance_block": (
         "one-pass integer moment fold (dim² state per partition) + "
