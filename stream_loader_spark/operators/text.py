@@ -664,10 +664,12 @@ def bigram_logprob(
     raced this block's two consumers into double materialization —
     measured ~4× this plan's cost), so the corpus is scanned and
     tokenized exactly once; the model derives from those blocks with
-    one vocab-scale aggregate, its cf totals and the
-    continuation-vocabulary scalar folding in as two windows over the
-    |bigram types|-row table (no second corpus pass, no extra
-    aggregate job). Scoring is then a broadcast hash join over the
+    one vocab-scale aggregate, cf folding in as a prev-keyed window
+    over the |bigram types|-row table and the continuation-vocabulary
+    V as a broadcast SCALAR aggregate over the checkpointed blocks —
+    never an unpartitioned window, whose collect_set would drag the
+    whole type table to one partition (no second corpus pass either
+    way). Scoring is then a broadcast hash join over the
     same blocks plus ONE map-side-combinable per-doc shuffle. The
     per-doc-bigram block is the same corpus-sized state note as
     ``unigram_logprob``'s dtc; ``broadcast_vocab=False`` is the
@@ -696,13 +698,23 @@ def bigram_logprob(
         .localCheckpoint(eager=True)
     )
     freq = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
+    # continuation vocabulary |distinct cur| as a broadcast SCALAR
+    # aggregate — NOT a collect_set over an unpartitioned window, which
+    # would move the whole bigram-type table to one partition and hold
+    # the full distinct-cur set in one task's memory (the
+    # single-partition bottleneck at corpus scale). freq is deliberately
+    # NOT checkpointed even though two consumers derive from it: both
+    # recompute it from bg's PINNED blocks with a map-side-combinable
+    # groupBy (vocab-scale shuffle bytes), which measured cheaper than
+    # a checkpoint write+read of the type table — and at scale an extra
+    # combiner shuffle beats serializing the vocabulary through one task
+    vocab = freq.agg(F.count_distinct("cur").alias("v"))
     model = freq.select(
         "prev",
         "cur",
         "c",
         F.sum("c").over(Window.partitionBy("prev")).alias("cf"),
-        F.size(F.collect_set("cur").over(Window.partitionBy())).alias("v"),
-    )
+    ).crossJoin(F.broadcast(vocab))
     if broadcast_vocab:
         model = F.broadcast(model)
     scored = bg.join(model, ["prev", "cur"]).select(
@@ -805,9 +817,11 @@ def collocations_pmi(
 
     PMI = ln(c(a,b)·N / (cl(a)·cr(b))) over the corpus bigram table,
     with cl/cr the left/right marginals and N the total bigram count —
-    every input derives from ONE corpus aggregate, and the marginals
-    fold in as windows over the vocab-scale bigram table (no second
-    corpus pass). ``min_count`` kills the PMI-loves-rare-pairs
+    every input derives from ONE corpus aggregate (eager-checkpointed,
+    two consumers), the marginals fold in as KEYED windows over the
+    vocab-scale bigram table and N as a broadcast scalar aggregate (no
+    second corpus pass, no unpartitioned window). ``min_count`` kills
+    the PMI-loves-rare-pairs
     pathology before ranking. PMI rounds to 6 decimals; top-k
     tie-breaks on the gram itself, so the ranking is total and
     engine-independent. Top-k compiles to TakeOrderedAndProject —
@@ -829,25 +843,44 @@ def collocations_pmi(
         )
         .select("z.prev", "z.cur")
     )
-    freq = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
+    # two consumers of the bigram-type table (scalar N, keyed
+    # marginals): LAZY-checkpoint it so the corpus tokenize+aggregate
+    # runs once — safe here because exactly ONE consumer is a broadcast
+    # (the N build materializes the blocks, the window stage then reads
+    # them); the documented double-materialization race needs two
+    # CONCURRENT broadcast builds (see bigram_logprob's eager bg)
+    freq = (
+        bg.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    # N as a broadcast SCALAR aggregate, not SUM OVER () — the
+    # unpartitioned window serializes the whole bigram-type table
+    # through one partition (same fix as bigram_logprob's V)
+    tot = freq.agg(F.sum("c").alias("n"))
     marged = freq.select(
         "prev",
         "cur",
         "c",
         F.sum("c").over(Window.partitionBy("prev")).alias("cl"),
         F.sum("c").over(Window.partitionBy("cur")).alias("cr"),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
-    )
+    ).crossJoin(F.broadcast(tot))
     return (
         marged.where(F.col("c") >= min_count)
         .select(
             "prev",
             "cur",
             "c",
+            # cast each factor to double BEFORE multiplying: c·n and
+            # cl·cr as bigint products silently wrap past 2^63 with
+            # ANSI off (stopword-bigram marginals get there long before
+            # 100 TB), corrupting PMI with no error; double·double
+            # saturates gracefully and the oracle mirrors the same cast
+            # order so fixture-scale values stay bit-identical
             F.round(
                 F.log(
-                    (F.col("c") * F.col("n")).cast("double")
-                    / (F.col("cl") * F.col("cr")).cast("double")
+                    (F.col("c").cast("double") * F.col("n").cast("double"))
+                    / (F.col("cl").cast("double") * F.col("cr").cast("double"))
                 ),
                 6,
             ).alias("pmi"),

@@ -5505,15 +5505,17 @@ _BIGRAM_FREQ_CTES = """WITH t AS (
                  SUM(c) OVER () AS n
           FROM freq)
     SELECT prev, cur, c,
-           ROUND(ln(CAST(c * n AS DOUBLE) / CAST(cl * cr AS DOUBLE)), 6) AS pmi
+           ROUND(ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+                    / (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE))), 6) AS pmi
     FROM m WHERE c >= 5
     ORDER BY pmi DESC, prev, cur LIMIT 100""",
 )
 def collocations_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: top-100 bigrams by PMI with a min-count floor
     (operators/text.py::collocations_pmi). One corpus aggregate; the
-    marginals and total fold in as windows over the vocab-scale bigram
-    table — no second corpus pass, top-k never a global sort."""
+    marginals fold in as keyed windows over the vocab-scale bigram
+    table and N as a broadcast scalar — no second corpus pass, no
+    unpartitioned window, top-k never a global sort."""
     from stream_loader_spark.operators.text import collocations_pmi
 
     docs = load_table(spark, sf_dir, "documents")
