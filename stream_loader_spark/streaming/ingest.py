@@ -99,6 +99,29 @@ class BatchDirState:
     def _meta(self) -> dict:
         return _read_json(self._meta_path) or {"upto": 0, "gen": None}
 
+    @staticmethod
+    def _gens_of(meta: dict) -> list[int]:
+        """Referenced generation ids, oldest first. Reads both the
+        multi-generation format ({"gens": [...]}) and the pre-tiered
+        single-generation one ({"gen": g})."""
+        if "gens" in meta:
+            return list(meta["gens"])
+        return [meta["gen"]] if meta.get("gen") is not None else []
+
+    def _gen_dir(self, gen: int) -> str:
+        return os.path.join(self.root, "compact", f"g={gen}")
+
+    @staticmethod
+    def _dir_bytes(d: str) -> int:
+        total = 0
+        for dirpath, _dirnames, filenames in os.walk(d):
+            for f in filenames:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        return total
+
     def batch_ids(self) -> list[int]:
         return sorted(
             int(d.split("=", 1)[1])
@@ -114,9 +137,7 @@ class BatchDirState:
 
     def dirs(self, exclude_batch: int | None = None) -> list[str]:
         meta = self._meta()
-        out = []
-        if meta["gen"] is not None:
-            out.append(os.path.join(self.root, "compact", f"g={meta['gen']}"))
+        out = [self._gen_dir(g) for g in self._gens_of(meta)]
         out += [
             os.path.join(self.root, f"batch={b}")
             for b in self.batch_ids()
@@ -157,13 +178,49 @@ class BatchDirState:
     def read(self, spark: SparkSession, exclude_batch: int | None = None) -> DataFrame | None:
         return self._read_dirs(spark, self.dirs(exclude_batch))
 
-    def compact(self, spark: SparkSession, partition_by: str | None = None) -> int:
-        """Fold every batch below the highest id present (plus the prior
-        generation) into a new generation. Returns the number of rows
-        consolidated (0 = nothing to do)."""
+    def _next_gen(self, meta: dict) -> int:
+        gens = self._gens_of(meta)
+        return int(meta.get("next_gen", (max(gens) + 1 if gens else 1)))
+
+    def _write_gen(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        gen: int,
+        partition_by: str | None,
+        fold=None,
+    ) -> int:
+        """Write one generation dir (not yet referenced — a crash here
+        leaves an orphan, never a wrong read) and return its row count.
+        ``fold`` optionally re-aggregates the unioned rows first (e.g.
+        merging duplicate (token, doc) rows across segments)."""
+        if fold is not None:
+            df = fold(df)
+        dest = self._gen_dir(gen)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(dest)
+        return spark.read.parquet(dest).count()
+
+    def _flip(self, upto: int, gens: list[int], next_gen: int) -> None:
+        _write_json_atomic(
+            self._meta_path,
+            {"upto": upto, "gens": gens, "next_gen": next_gen},
+        )
+
+    def compact(
+        self, spark: SparkSession, partition_by: str | None = None, fold=None
+    ) -> int:
+        """Fold every batch below the highest id present (plus ALL prior
+        generations) into ONE new generation. Returns the number of rows
+        consolidated (0 = nothing to do). This is the full refold — cost
+        is O(total state) per call; for bounded maintenance at high
+        batch counts use :meth:`compact_tiered`."""
         import shutil
 
         meta = self._meta()
+        gens = self._gens_of(meta)
         ids = self.batch_ids()
         if not ids:
             return 0
@@ -178,40 +235,105 @@ class BatchDirState:
         ]
         if not new_fold:
             return 0
-        fold = list(new_fold)
-        if meta["gen"] is not None:
-            fold.insert(0, os.path.join(self.root, "compact", f"g={meta['gen']}"))
-        gen = (meta["gen"] or 0) + 1
-        df = self._read_dirs(spark, fold)
+        fold_dirs = [self._gen_dir(g) for g in gens] + new_fold
+        gen = self._next_gen(meta)
+        df = self._read_dirs(spark, fold_dirs)
         if df is None:
             # every foldable dir is empty (an all-duplicate stream
             # writes one empty dir per trigger): still advance upto and
             # drop them, or the directory growth this class exists to
-            # bound continues unbounded — the generation is unchanged
-            _write_json_atomic(self._meta_path, {"upto": upto, "gen": meta["gen"]})
+            # bound continues unbounded — the generations are unchanged
+            self._flip(upto, gens, gen)
             for b in ids:
                 if b < upto:
                     shutil.rmtree(
                         os.path.join(self.root, f"batch={b}"), ignore_errors=True
                     )
             return 0
-        dest = os.path.join(self.root, "compact", f"g={gen}")
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(partition_by)
-        w.parquet(dest)
-        n = spark.read.parquet(dest).count()
-        _write_json_atomic(self._meta_path, {"upto": upto, "gen": gen})
+        n = self._write_gen(spark, df, gen, partition_by, fold)
+        self._flip(upto, [gen], gen + 1)
         # post-commit cleanup; orphans from a crash here are re-collected
         for b in ids:
             if b < upto:
                 shutil.rmtree(os.path.join(self.root, f"batch={b}"), ignore_errors=True)
-        if meta["gen"] is not None:
-            shutil.rmtree(
-                os.path.join(self.root, "compact", f"g={meta['gen']}"),
-                ignore_errors=True,
-            )
+        for g in gens:
+            shutil.rmtree(self._gen_dir(g), ignore_errors=True)
         return n
+
+    def compact_tiered(
+        self,
+        spark: SparkSession,
+        partition_by: str | None = None,
+        fold=None,
+        fanout: int = 8,
+    ) -> int:
+        """Generational (Lucene-style tiered) compaction: fold the new
+        fully-committed batches into ONE new generation — never
+        re-reading prior generations — then, while more than ``fanout``
+        generations exist, merge the ``fanout`` SMALLEST (by bytes)
+        into one. Each byte is rewritten O(log_fanout(total/batch))
+        times over the index's lifetime instead of once per compaction,
+        so per-call cost tracks the tail of new data, not O(index).
+
+        Same crash discipline as :meth:`compact`: a new generation dir
+        is unreferenced until the atomic meta flip; superseded dirs are
+        deleted post-commit, and orphans from a crash mid-cleanup are
+        swept on the next call. Returns the row count folded from batch
+        dirs this call (0 = no new batches; tier merges may still run).
+        """
+        import shutil
+
+        fanout = max(2, fanout)  # merging k dirs into 1 must shrink the list
+        meta = self._meta()
+        gens = self._gens_of(meta)
+        next_gen = self._next_gen(meta)
+        upto = int(meta["upto"])
+        ids = self.batch_ids()
+
+        # sweep generation orphans (crash between a gen write and its
+        # meta flip, or mid-cleanup): on-disk g dirs not referenced
+        comp_root = os.path.join(self.root, "compact")
+        if os.path.isdir(comp_root):
+            for e in os.listdir(comp_root):
+                if e.startswith("g=") and int(e.split("=", 1)[1]) not in gens:
+                    shutil.rmtree(os.path.join(comp_root, e), ignore_errors=True)
+
+        rows = 0
+        if ids:
+            new_upto = ids[-1]
+            new_fold = [
+                os.path.join(self.root, f"batch={b}")
+                for b in ids
+                if upto <= b < new_upto
+            ]
+            if new_fold:
+                df = self._read_dirs(spark, new_fold)
+                if df is not None:
+                    rows = self._write_gen(spark, df, next_gen, partition_by, fold)
+                    gens = gens + [next_gen]
+                    next_gen += 1
+                upto = new_upto
+                self._flip(upto, gens, next_gen)
+                for b in ids:
+                    if b < upto:
+                        shutil.rmtree(
+                            os.path.join(self.root, f"batch={b}"), ignore_errors=True
+                        )
+
+        while len(gens) > fanout:
+            by_size = sorted(gens, key=lambda g: self._dir_bytes(self._gen_dir(g)))
+            victims = by_size[:fanout]
+            df = self._read_dirs(spark, [self._gen_dir(g) for g in victims])
+            survivors = [g for g in gens if g not in victims]
+            if df is not None:
+                self._write_gen(spark, df, next_gen, partition_by, fold)
+                survivors = survivors + [next_gen]
+            merged_next = next_gen + 1
+            self._flip(upto, survivors, merged_next)
+            for g in victims:
+                shutil.rmtree(self._gen_dir(g), ignore_errors=True)
+            gens, next_gen = survivors, merged_next
+        return rows
 
 
 class DedupIngestSink:
@@ -661,21 +783,47 @@ class IndexIngestSink:
             self._segment(batch_df), batch_id, partition_by="tbucket"
         )
 
-    def compact(self, spark: SparkSession) -> int:
-        """Merge fully-committed segments into one generation, keeping
-        the tbucket layout (run between triggers, like vacuum)."""
-        return self._seg_state.compact(spark, partition_by="tbucket")
+    def _merge_segments(self, df: DataFrame) -> DataFrame:
+        """Re-aggregate segment rows by (token, doc): a doc whose text
+        arrives in more than one micro-batch lands one (token, doc, tc)
+        row PER SEGMENT, and without this fold df counts it twice, tf
+        double-groups, and the postings list emits the doc twice —
+        silently breaking the inverted_postings output contract. Sum is
+        associative, so applying this per compaction generation AND at
+        read time composes correctly."""
+        return df.groupBy("token", self.id_col, "tbucket").agg(
+            F.sum("tc").alias("tc")
+        )
+
+    def compact(self, spark: SparkSession, tiered: bool = False) -> int:
+        """Merge fully-committed segments, keeping the tbucket layout
+        (run between triggers, like vacuum). ``tiered=False`` folds the
+        whole index into one generation — O(index) per call;
+        ``tiered=True`` uses generational merging
+        (:meth:`BatchDirState.compact_tiered`) so per-call cost tracks
+        newly-arrived segments, the shape that stays bounded at
+        100k-micro-batch lifetimes. Duplicate (token, doc) rows across
+        the folded segments are summed either way."""
+        if tiered:
+            return self._seg_state.compact_tiered(
+                spark, partition_by="tbucket", fold=self._merge_segments
+            )
+        return self._seg_state.compact(
+            spark, partition_by="tbucket", fold=self._merge_segments
+        )
 
     def _state(self, spark: SparkSession) -> DataFrame | None:
-        return self._seg_state.read(spark)
+        state = self._seg_state.read(spark)
+        return None if state is None else self._merge_segments(state)
 
     def postings(
         self, spark: SparkSession, min_df: int = 2, max_df: int = 50
     ) -> DataFrame:
         """The committed index's df-banded postings — identical output
         contract to ``operators.text.inverted_postings`` over the
-        ingested corpus (pinned by test). A full-index aggregate: use
-        ``lookup`` for term queries; this is the bulk/export path."""
+        ingested corpus (pinned by test, including docs split across
+        micro-batches). A full-index aggregate: use ``lookup`` for term
+        queries; this is the bulk/export path."""
         state = self._state(spark)
         if state is None:
             raise ValueError(f"no committed segments under {self.out_dir}")

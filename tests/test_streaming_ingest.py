@@ -593,3 +593,97 @@ class TestIndexIngest:
             sink.lookup(spark, [])
         with pytest.raises(ValueError):
             sink.lookup(spark, ["red"])
+
+    def test_doc_split_across_batches_merges(self, spark, tmp_path):
+        """A doc_id whose rows land in MORE THAN ONE micro-batch (an
+        update/re-send, or a source that chunks large docs) must merge
+        into one (token, doc) posting with summed tc — not inflate df
+        or emit the doc twice in the postings list. Pinned against
+        inverted_postings over the concatenated corpus, before AND
+        after each compaction flavor."""
+        from stream_loader_spark.operators.text import inverted_postings
+        from stream_loader_spark.streaming.ingest import IndexIngestSink
+
+        sink = IndexIngestSink(str(tmp_path / "idx"), n=1, n_buckets=8)
+        # doc 1 arrives in batches 0 and 1; doc 2 only in batch 0
+        sink(spark.createDataFrame([(1, "red fox"), (2, "red")], self.DOC_SCHEMA), 0)
+        sink(spark.createDataFrame([(1, "red high")], self.DOC_SCHEMA), 1)
+        sink(spark.createDataFrame([(3, "fox high")], self.DOC_SCHEMA), 2)
+
+        full = spark.createDataFrame(
+            [(1, "red fox red high"), (2, "red"), (3, "fox high")],
+            self.DOC_SCHEMA,
+        )
+        expected = sorted(
+            tuple(r) for r in inverted_postings(full, n=1, min_df=1, max_df=10).collect()
+        )
+
+        def got():
+            return sorted(
+                tuple(r) for r in sink.postings(spark, min_df=1, max_df=10).collect()
+            )
+
+        assert got() == expected
+        # lookup merges too: doc 1 said 'red' twice across two segments
+        red = {r["doc_id"]: r["tc"] for r in sink.lookup(spark, ["red"]).collect()}
+        assert red == {1: 2, 2: 1}
+        sink.compact(spark, tiered=True)
+        assert got() == expected
+        sink.compact(spark)  # full refold over the tiered layout
+        assert got() == expected
+
+    def test_tiered_compaction_bounds_generations(self, spark, tmp_path):
+        """compact_tiered must (a) never re-read prior generations when
+        folding new batches, (b) cap the live generation count at the
+        fanout, and (c) preserve reads exactly — while the full refold
+        touches O(index) every call."""
+        import glob
+        import json
+
+        from stream_loader_spark.streaming.ingest import IndexIngestSink
+
+        sink = IndexIngestSink(str(tmp_path / "idx"), n=1, n_buckets=4)
+        fanout = 3
+        for b in range(14):
+            sink(
+                spark.createDataFrame(
+                    self._docs(b * 10, b * 10 + 10), self.DOC_SCHEMA
+                ),
+                b,
+            )
+            if b % 2 == 1:  # maintenance cadence: every 2 batches
+                sink.compact(spark, tiered=True)
+        # after interleaved tiered compactions the generation list is
+        # bounded and reads equal the never-compacted truth
+        meta = json.loads(
+            (tmp_path / "idx" / "segments" / "compaction.json").read_text()
+        )
+        assert len(meta["gens"]) <= max(2, 8)  # default fanout is 8
+        got = sorted(tuple(r) for r in sink.postings(spark, 1, 1000).collect())
+
+        truth_sink = IndexIngestSink(str(tmp_path / "idx2"), n=1, n_buckets=4)
+        for b in range(14):
+            truth_sink(
+                spark.createDataFrame(
+                    self._docs(b * 10, b * 10 + 10), self.DOC_SCHEMA
+                ),
+                b,
+            )
+        want = sorted(tuple(r) for r in truth_sink.postings(spark, 1, 1000).collect())
+        assert got == want and len(got) > 0
+
+        # explicit small fanout: repeated tier merges keep gens <= fanout
+        state = sink._seg_state
+        state.compact_tiered(spark, partition_by="tbucket",
+                             fold=sink._merge_segments, fanout=fanout)
+        meta = json.loads(
+            (tmp_path / "idx" / "segments" / "compaction.json").read_text()
+        )
+        assert len(meta["gens"]) <= fanout
+        assert sorted(
+            tuple(r) for r in sink.postings(spark, 1, 1000).collect()
+        ) == want
+        # the tbucket layout survives tier merges (pruned lookups)
+        assert glob.glob(
+            str(tmp_path / "idx" / "segments" / "compact" / "g=*" / "tbucket=*")
+        )

@@ -198,6 +198,133 @@ def bench_index_sink(spark, sf_dir: str, n_batches: int, root: str) -> dict:
     }
 
 
+def bench_index_tiered(spark, sf_dir: str, n_segments: int, root: str) -> dict:
+    """Generational-merge proof at 200+ segments: stream the documents
+    fixture in as ``n_segments`` micro-batches with TIERED compaction
+    every 10, recording each maintenance call's cost and the pruned
+    term-lookup latency along the way. The claim under test: per-call
+    compaction cost tracks the newly-arrived tail (bounded series),
+    NOT the accumulated index — the full-refold shape is timed once at
+    the end for contrast."""
+    import glob
+
+    from stream_loader_spark.streaming.ingest import IndexIngestSink
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sink = IndexIngestSink(os.path.join(root, "index_tiered"), n=2)
+    slice_col = F.expr(f"CAST(pmod(doc_id, {n_segments}) AS INT)")
+
+    term = None
+    compact_ms: list[float] = []
+    lookup_ms: list[float] = []
+    t_start = time.time()
+    for b in range(n_segments):
+        sink(docs.where(slice_col == b), b)
+        if (b + 1) % 10 == 0:
+            t0 = time.time()
+            sink.compact(spark, tiered=True)
+            compact_ms.append((time.time() - t0) * 1000)
+            if term is None:
+                term = (
+                    sink.postings(spark, min_df=2, max_df=400)
+                    .orderBy("token")
+                    .first()
+                    .token
+                )
+            t0 = time.time()
+            sink.lookup(spark, [term]).count()
+            lookup_ms.append((time.time() - t0) * 1000)
+    wall = time.time() - t_start
+
+    gens = len(
+        glob.glob(os.path.join(root, "index_tiered", "segments", "compact", "g=*"))
+    )
+    hits_before = sink.lookup(spark, [term]).count()
+    t0 = time.time()
+    sink.compact(spark)  # the O(index) full refold, for contrast
+    full_refold_ms = (time.time() - t0) * 1000
+    assert sink.lookup(spark, [term]).count() == hits_before
+
+    cs = sorted(compact_ms)
+    half = len(compact_ms) // 2
+    return {
+        "segments": n_segments,
+        "wall_sec": round(wall, 2),
+        "tiered_compactions": len(compact_ms),
+        "tiered_compact_p50_ms": round(_pctl(cs, 0.5), 1),
+        "tiered_compact_p95_ms": round(_pctl(cs, 0.95), 1),
+        # bounded-cost evidence: the late half vs the early half — a
+        # full-refold shape would roughly double as the index does
+        "tiered_compact_mean_first_half_ms": round(
+            sum(compact_ms[:half]) / max(1, half), 1
+        ),
+        "tiered_compact_mean_second_half_ms": round(
+            sum(compact_ms[half:]) / max(1, len(compact_ms) - half), 1
+        ),
+        "lookup_ms_first": round(lookup_ms[0], 1),
+        "lookup_ms_last": round(lookup_ms[-1], 1),
+        "lookup_p95_ms": round(_pctl(sorted(lookup_ms), 0.95), 1),
+        "live_generations": gens,
+        "full_refold_ms_at_end": round(full_refold_ms, 1),
+    }
+
+
+def bench_manifest_sustained(spark, rec, n_batches: int, root: str) -> dict:
+    """Sustained-load manifest sink run: ``n_batches`` micro-batches
+    with compaction + vacuum every 50 INSIDE the run (not after it),
+    asserting recovery time and commit latency stay bounded mid-flight
+    — the 100k-batch lifetime argument measured, not extrapolated."""
+    from stream_loader_spark.sinks.manifest import ManifestFileSink
+
+    sink = ManifestFileSink(os.path.join(root, "manifest_sustained"))
+    hi = int(rec.agg(F.max("offset")).first()[0]) + 1
+    slice_col = F.expr(f"CAST((offset * {n_batches}) DIV {hi} AS INT)")
+
+    lat_ms: list[float] = []
+    recovery_ms: list[float] = []
+    compact_ms: list[float] = []
+    t_start = time.time()
+    pos_prev = None
+    for b in range(n_batches):
+        t0 = time.time()
+        sink.write_batch(rec.where(slice_col == b), b)
+        lat_ms.append((time.time() - t0) * 1000)
+        if (b + 1) % 50 == 0:
+            t0 = time.time()
+            sink.compact_data(spark)
+            sink.vacuum()
+            compact_ms.append((time.time() - t0) * 1000)
+            t0 = time.time()
+            pos = sink.committed_positions()
+            recovery_ms.append((time.time() - t0) * 1000)
+            assert pos, "mid-flight recovery returned no positions"
+            if pos_prev is not None:
+                assert all(
+                    pos[k] >= pos_prev[k] for k in pos_prev
+                ), "positions regressed mid-flight"
+            pos_prev = pos
+    wall = time.time() - t_start
+
+    lat_sorted = sorted(lat_ms)
+    half = len(recovery_ms) // 2
+    return {
+        "batches": n_batches,
+        "wall_sec": round(wall, 2),
+        "commit_p50_ms": round(_pctl(lat_sorted, 0.5), 1),
+        "commit_p95_ms": round(_pctl(lat_sorted, 0.95), 1),
+        # bounded mid-flight: late-half recovery/compaction vs early
+        "recovery_mean_first_half_ms": round(
+            sum(recovery_ms[:half]) / max(1, half), 1
+        ),
+        "recovery_mean_second_half_ms": round(
+            sum(recovery_ms[half:]) / max(1, len(recovery_ms) - half), 1
+        ),
+        "recovery_max_ms": round(max(recovery_ms), 1),
+        "compact_vacuum_p95_ms": round(_pctl(sorted(compact_ms), 0.95), 1),
+        "maintenance_cycles": len(compact_ms),
+    }
+
+
 def bench_manifest_scan_synthetic(root: str, counts: list[int]) -> dict:
     """Pure manifest-scan cost vs committed-batch count, isolated from
     Spark write time: dataless manifests (a committed batch whose data
@@ -238,6 +365,18 @@ def main() -> None:
             ),
             "index_sink": bench_index_sink(
                 spark, sf_dir, max(4, n_batches // 2), root
+            ),
+            "index_sink_tiered": bench_index_tiered(
+                spark,
+                sf_dir,
+                int(os.environ.get("INGEST_TIERED_SEGMENTS", "200")),
+                root,
+            ),
+            "manifest_sink_sustained": bench_manifest_sustained(
+                spark,
+                rec,
+                int(os.environ.get("INGEST_SUSTAINED_BATCHES", "500")),
+                root,
             ),
             "manifest_scan_ms_synthetic": bench_manifest_scan_synthetic(
                 root, [100, 1000, 5000]
