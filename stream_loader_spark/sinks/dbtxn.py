@@ -46,6 +46,19 @@ class DbTransactionalSink:
     ``data_table`` gets the batch's columns plus ``_batch_id``;
     ``offsets_table`` gets one row per (topic, partition) range — the
     K9 shape, with ``_batch_id`` as the reference's file-id FK.
+
+    **Throughput ceiling — this is the generic FALLBACK, not the volume
+    path.** The single-transaction DB-API contract forces every row
+    through ONE driver-side connection (``toLocalIterator``), exactly
+    as the reference funnels each batch through one JDBC ``COPY``
+    stream: memory-bounded, but capped at driver NIC bandwidth no
+    matter how many executors exist. Volume targets should use the
+    executor-parallel shape (``sinks/clickhouse.py``'s HTTP storage:
+    per-partition uploads + a dedup-token commit) and keep this sink
+    for modest batches into transactional stores. ``max_rows_guard``
+    makes the ceiling LOUD: batches larger than the guard raise
+    instead of silently serializing an executor-scale workload through
+    the driver.
     """
 
     def __init__(
@@ -61,6 +74,7 @@ class DbTransactionalSink:
         ts_col: str = "ts",
         param_token: str = "?",
         data_col_types: dict[str, str] | None = None,
+        max_rows_guard: int | None = None,
     ) -> None:
         self.connect = connect
         self.data_table = data_table
@@ -70,6 +84,7 @@ class DbTransactionalSink:
         self.meta = (topic_col, partition_col, offset_col, ts_col)
         self.param_token = param_token
         self.data_col_types = data_col_types or {}
+        self.max_rows_guard = max_rows_guard
 
     def _open(self):
         """Connect with autocommit forced OFF — the one-transaction
@@ -144,6 +159,16 @@ class DbTransactionalSink:
             ranges = stream_ranges(batch_df, t, p, o, ts).collect()
             if self.is_batch_committed(ranges):
                 return
+            if self.max_rows_guard is not None:
+                n = batch_df.count()  # persisted above: counts cached blocks
+                if n > self.max_rows_guard:
+                    raise ValueError(
+                        f"batch of {n} rows exceeds max_rows_guard="
+                        f"{self.max_rows_guard}: DbTransactionalSink funnels "
+                        "every row through one driver-side connection — use "
+                        "the executor-parallel ClickHouse HTTP storage shape "
+                        "for volume targets, or raise the guard deliberately"
+                    )
             tok = self.param_token
             placeholders = ", ".join(tok for _ in self.data_cols)
             con = self._open()

@@ -869,6 +869,29 @@ class TestDbTransactionalSink:
             con.close()
         assert joined == 50
 
+    def test_max_rows_guard_fails_loud_and_leaves_nothing(self, spark, tmp_path):
+        """The driver-NIC ceiling is fenced: a batch past max_rows_guard
+        raises (pointing at the executor-parallel shape) BEFORE any row
+        streams through the driver connection, and commits nothing —
+        while a guarded sink still accepts batches under the limit."""
+        from stream_loader_spark.sinks.dbtxn import DbTransactionalSink, sqlite_connect
+
+        sink = DbTransactionalSink(
+            sqlite_connect(str(tmp_path / "db.sqlite")),
+            data_table="events",
+            offsets_table="_offsets",
+            consumer_group="cg1",
+            data_cols=["topic", "partition", "offset", "value"],
+            max_rows_guard=10,
+        )
+        sink.ensure_tables()
+        with pytest.raises(ValueError, match="max_rows_guard"):
+            sink(self._batch(spark, n=25), 0)
+        assert self._counts(sink) == (0, 0)
+        assert sink.committed_positions() == {}
+        sink(self._batch(spark, n=10), 0)  # under the guard: commits
+        assert self._counts(sink)[0] == 10
+
 
 class TestDbTxnPortability:
     """The DB-API seam is portable by PARAMETER, not by assumption:
