@@ -416,7 +416,7 @@ def lsh_plane_coeffs(dim: int, total_planes: int) -> list[list[float]]:
 def auto_lsh_params(
     n: int,
     threshold: float,
-    target_bucket: int = 64,
+    target_bucket: int = 4,
     recall: float = 0.9,
     min_planes: int = 8,
     max_bands: int = 16,
@@ -429,7 +429,12 @@ def auto_lsh_params(
     corpus size, which is exactly the knob that keeps the candidate
     floor ``num_bands · n² / 2^(planes+1)`` linear in n (the r9 scale
     probe measured exponent 1.83 with planes pinned at 8 vs 0.80 with
-    planes grown by this rule).
+    planes grown by this rule). The default is deliberately SMALL: the
+    per-vector verify overhead is ``max_bands · target_bucket / 2``
+    exact cosines, so 4 costs ~32 stray verifies per vector while 64
+    would re-create the quadratic-feeling floor the auto-sizing exists
+    to remove; collision probability for true near-dups barely moves
+    (they agree on almost every sign).
 
     ``num_bands`` then re-grows to hold recall: a pair at exactly
     ``threshold`` agrees on one sign with probability
@@ -474,7 +479,7 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     dim: int | None = None,
     max_bucket: int = 500,
-    target_bucket: int = 64,
+    target_bucket: int = 4,
     recall: float = 0.9,
 ) -> DataFrame:
     """Embedding near-dup pairs via banded sign-LSH + exact verify.

@@ -192,23 +192,30 @@ class TestSimilarity:
         import math
 
         # small corpora keep the minimum 8 planes
-        assert auto_lsh_params(2_000, 0.95)[0] == 8
-        # planes track log2(N / target_bucket): 2M / 64 -> 15 planes
-        planes, bands = auto_lsh_params(2_000_000, 0.95, target_bucket=64)
-        assert planes == 15
+        assert auto_lsh_params(200, 0.95)[0] == 8
+        # planes track log2(N / target_bucket): 2M / 4 -> 19 planes
+        planes, bands = auto_lsh_params(2_000_000, 0.95)
+        assert planes == 19
         # expected bucket population is held at ~target_bucket: the
         # candidate floor bands·N²/2^(planes+1) is then O(bands·N·tb)
-        assert 2_000_000 / 2**planes <= 64
-        # bands hold the recall target at the threshold
+        assert 2_000_000 / 2**planes <= 4
+        # bands hold the recall target at the threshold, up to the cap
         p = 1.0 - math.acos(0.95) / math.pi
         q = p**planes
-        assert 1.0 - (1.0 - q) ** bands >= 0.9
+        assert 1.0 - (1.0 - q) ** bands >= 0.9 or bands == 16
+        # TRUE near-dups (cosine ~0.995) keep high recall even at the cap
+        p_dup = 1.0 - math.acos(0.995) / math.pi
+        assert 1.0 - (1.0 - p_dup**planes) ** bands >= 0.95
         # low thresholds would demand thousands of bands: capped
         assert auto_lsh_params(2_000_000, 0.35)[1] <= 16
         # threshold 1.0 needs exactly one band
         assert auto_lsh_params(10_000, 1.0)[1] == 1
-        # monotone: 128x the corpus, at least +7 planes
-        assert auto_lsh_params(256_000_000, 0.95)[0] >= planes + 7
+        # monotone: 128x the corpus, exactly +7 planes
+        assert auto_lsh_params(256_000_000, 0.95)[0] == planes + 7
+        # the per-vector stray-verify budget is bounded by the rule
+        for n in (10_000, 1_000_000, 100_000_000):
+            pl, b = auto_lsh_params(n, 0.95)
+            assert b * n / 2 ** (pl + 1) * 2 <= b * 4  # floor/N <= bands*tb
 
     def test_auto_defaults_match_explicit_params(self, spark, sf_small):
         """cosine_near_dup_pairs under DEFAULT arguments must produce

@@ -500,8 +500,12 @@ def main() -> None:
         return
     # subset runs MERGE into the committed artifact (same sf + mults
     # only — a different tier ladder would make rows incomparable), so
-    # probing new queries never silently drops the existing trend rows
-    prev_path = os.path.join(REPO, "SCALE_TREND.json")
+    # probing new queries never silently drops the existing trend rows.
+    # SCALE_PROBE_OUT names the artifact basename: a longer ladder
+    # (e.g. 1,8,32,128) writes its own file instead of clobbering the
+    # standard one
+    base = os.environ.get("SCALE_PROBE_OUT", "SCALE_TREND")
+    prev_path = os.path.join(REPO, f"{base}.json")
     if os.path.exists(prev_path):
         with open(prev_path) as fh:
             prev = json.load(fh)
@@ -509,9 +513,9 @@ def main() -> None:
             merged = dict(prev.get("queries", {}))
             merged.update(out["queries"])
             out["queries"] = merged
-    with open(os.path.join(REPO, "SCALE_TREND.json"), "w") as fh:
+    with open(os.path.join(REPO, f"{base}.json"), "w") as fh:
         json.dump(out, fh, indent=1)
-    with open(os.path.join(REPO, "SCALE_TREND.md"), "w") as fh:
+    with open(os.path.join(REPO, f"{base}.md"), "w") as fh:
         fh.write(render_md(out))
     print(json.dumps({"metric": "scale_probe", "queries": len(out["queries"]), "mults": out["mults"]}))
 
