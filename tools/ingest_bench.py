@@ -299,8 +299,9 @@ def bench_manifest_sustained(spark, rec, n_batches: int, root: str) -> dict:
             recovery_ms.append((time.time() - t0) * 1000)
             assert pos, "mid-flight recovery returned no positions"
             if pos_prev is not None:
-                assert all(
-                    pos[k] >= pos_prev[k] for k in pos_prev
+                # StreamPosition defines __lt__ only (offset ordering)
+                assert not any(
+                    pos[k] < pos_prev[k] for k in pos_prev
                 ), "positions regressed mid-flight"
             pos_prev = pos
     wall = time.time() - t_start

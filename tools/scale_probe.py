@@ -400,19 +400,60 @@ def run_probe(
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             rdd.unpersist(True)
 
+    def _stage_totals() -> dict | None:
+        """Cumulative shuffle/spill bytes across all completed stages,
+        via the UI REST API (fail-soft: None if the UI is disabled).
+        Deltas around a query give its shuffle volume and whether it
+        spilled — the 128 GiB-fit evidence for the big tiers."""
+        try:
+            import urllib.request
+
+            ui = spark.sparkContext.uiWebUrl
+            if not ui:
+                return None
+            app = spark.sparkContext.applicationId
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages?status=complete", timeout=5
+            ) as r:
+                stages = json.load(r)
+            return {
+                "shuffle_write": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+                "shuffle_read": sum(s.get("shuffleReadBytes", 0) for s in stages),
+                "mem_spill": sum(s.get("memoryBytesSpilled", 0) for s in stages),
+                "disk_spill": sum(s.get("diskBytesSpilled", 0) for s in stages),
+            }
+        except Exception:
+            return None
+
     results: dict[str, dict] = {}
+    shuffles: dict[str, dict] = {}
     heap: dict[int, float] = {}
     for m in sorted(mults):
         tier = tiers[m]
         for name in query_names:
             best = None
+            before = _stage_totals()
             for _ in range(passes):
                 t0 = time.time()
                 _fn(name)(spark, tier).write.format("noop").mode("overwrite").save()
                 took = time.time() - t0
                 best = took if best is None else min(best, took)
+            after = _stage_totals()
             results.setdefault(name, {})[m] = round(best, 3)
-            print(f"x{m} {name}: {best:.3f}s", flush=True)
+            if before is not None and after is not None:
+                per_pass = {
+                    k: round((after[k] - before[k]) / passes / (1 << 20), 1)
+                    for k in after
+                }
+                shuffles.setdefault(name, {})[m] = per_pass
+                print(
+                    f"x{m} {name}: {best:.3f}s  "
+                    f"shuffleW={per_pass['shuffle_write']}MB "
+                    f"spill={per_pass['mem_spill'] + per_pass['disk_spill']}MB",
+                    flush=True,
+                )
+            else:
+                print(f"x{m} {name}: {best:.3f}s", flush=True)
             _drop_persisted()
         spark.sparkContext._jvm.java.lang.System.gc()
         heap[m] = _heap_used_mb(spark)
@@ -432,6 +473,10 @@ def run_probe(
             "exponent_tail": round(exp, 3) if exp is not None else None,
             "note": EXPECTED_NOTES.get(name, ""),
         }
+        if name in shuffles:
+            out["queries"][name]["shuffle_mb_per_pass"] = {
+                str(m): shuffles[name][m] for m in ms if m in shuffles[name]
+            }
     return out
 
 
@@ -492,6 +537,9 @@ def main() -> None:
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
             "spark.sql.files.maxPartitionBytes": str(4 << 20),
             "spark.sql.files.openCostInBytes": str(1 << 20),
+            # the probe reads per-stage shuffle/spill bytes back through
+            # the UI REST API (bench/test sessions keep the UI off)
+            "spark.ui.enabled": "true",
         },
     )
     out = run_probe(spark, src_sf, mults, qnames, scratch)
