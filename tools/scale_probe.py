@@ -257,8 +257,15 @@ EXPECTED_NOTES = {
     "embedding_near_dup": (
         "DEFAULT arguments: num_planes/num_bands auto-size from a "
         "corpus count (auto_lsh_params) — the r10 fix that removed the "
-        "fixed-(8,4) candidate floor; the floor itself is the _pinned "
-        "row"
+        "fixed-(8,4) candidate floor (the floor itself is the _pinned "
+        "row, exponent ~2.0). The rule is O(N·logN) BY CONSTRUCTION, "
+        "not O(N): planes grow with log2(N), so every tier computes "
+        "more sign dots per vector AND quarters its mean bucket size "
+        "(more group keys per row in the bucket aggregate) — a tail "
+        "exponent slightly above 1 at the biggest tiers is that log "
+        "factor plus constant-factor growth, not a resurfacing N² term "
+        "(candidate floor is pinned at bands·target_bucket/2 verifies "
+        "per vector at every tier)"
     ),
     "embedding_near_dup_pinned": (
         "the registered query's (8,4) banding, pinned so the DuckDB "
