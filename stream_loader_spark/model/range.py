@@ -119,6 +119,49 @@ def merge_ranges(ranges: Iterable[StreamRange]) -> list[StreamRange]:
     return out
 
 
+def summarize_ranges(
+    ranges: Iterable[StreamRange], keep_exact: int = 8
+) -> list[StreamRange]:
+    """Bound a (merged) range list for LONG-LIVED records: per
+    (topic, partition), keep the newest ``keep_exact`` ranges exact and
+    collapse everything older into ONE envelope [oldest start .. that
+    run's end] — even across gaps.
+
+    Why this exists: a compaction record that carries every range ever
+    committed grows one range per (batch × partition) when offsets are
+    SPARSE per partition (e.g. a globally-increasing event id used as
+    the offset — gaps belong to other partitions, so
+    ``merge_ranges``'s consecutive-only merge can legitimately never
+    collapse them). Measured: 200 batches × 29 partitions = 5,763
+    ranges / 760 KB in one record, recovery time growing linearly with
+    stream lifetime — at the 100k-batch lifetimes the sink targets,
+    the record the compaction exists to keep SMALL becomes the thing
+    that grows without bound.
+
+    Safety: recovery positions read only each partition's MAX end —
+    unchanged by the envelope. The replay guard is by batch id, not by
+    range coverage, so widening a historic range over same-partition
+    gap offsets (offsets that were never and will never be delivered
+    for that partition under a deterministic source) changes no
+    decision. The newest ranges stay exact because they are the only
+    ones a restart can still race with.
+    """
+    by_tp: dict[tuple[str, int], list[StreamRange]] = {}
+    for r in ranges:
+        by_tp.setdefault((r.topic, r.partition), []).append(r)
+    out: list[StreamRange] = []
+    for tp in sorted(by_tp):
+        rs = sorted(by_tp[tp], key=lambda x: x.start.offset)
+        if len(rs) > keep_exact and keep_exact >= 1:
+            old, recent = rs[: len(rs) - (keep_exact - 1)], rs[len(rs) - (keep_exact - 1):]
+            envelope = StreamRange(old[0].topic, old[0].partition, old[0].start, old[-1].end)
+            out.append(envelope)
+            out.extend(recent)
+        else:
+            out.extend(rs)
+    return out
+
+
 def ranges_signature(ranges: Sequence[StreamRange]) -> str:
     """Canonical multi-range serialization: sorted, ';'-joined.
 

@@ -113,12 +113,14 @@ class ManifestFileSink:
         partition_by: str | None = None,
         meta_cols: tuple[str, str, str, str] | None = ("topic", "partition", "offset", "ts"),
         writer_options: dict[str, str] | None = None,
+        compaction_keep_ranges: int = 8,
     ) -> None:
         self.out_dir = out_dir
         self.file_format = file_format
         self.partition_by = partition_by
         self.meta_cols = meta_cols
         self.writer_options = writer_options or {}
+        self.compaction_keep_ranges = compaction_keep_ranges
         self.commit_metrics = CommitMetrics()
         os.makedirs(self._manifest_dir, exist_ok=True)
 
@@ -137,9 +139,12 @@ class ManifestFileSink:
     def is_batch_committed(self, batch_id: int) -> bool:
         if os.path.exists(self._manifest_path(batch_id)):
             return True
-        # a vacuumed-away original is still committed: its compaction
-        # record remembers it, so replays after vacuum stay no-ops
-        return batch_id in self._replaced_ids()
+        # a vacuumed-away original is still committed: the compaction
+        # record's supersession watermark covers it (batch ids are
+        # monotone — every id at or below the watermark had committed
+        # when the compaction folded it), so replays after vacuum stay
+        # no-ops
+        return batch_id <= self._replaces_upto()
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         self.write_batch(batch_df, batch_id)
@@ -238,31 +243,50 @@ class ManifestFileSink:
             for r in rec["ranges"]
         ]
 
-    def _replaced_ids(self) -> set[int]:
-        """Only compaction records carry ``replaces`` — reading just them
-        keeps the per-batch committed check O(#compactions), not O(#batches)."""
-        replaced: set[int] = set()
+    @staticmethod
+    def _is_compaction(rec: dict) -> bool:
+        return "replaces_upto" in rec or bool(rec.get("replaces"))
+
+    # "no compaction yet" sentinel: far below any real batch id,
+    # INCLUDING the reserved negative pre-stream backfill ids (-1)
+    _NO_UPTO = -(1 << 62)
+
+    @classmethod
+    def _rec_upto(cls, rec: dict) -> int:
+        """Highest batch id a compaction record supersedes. New records
+        carry it as ``replaces_upto`` (bounded — batch ids are monotone,
+        so one watermark proves every earlier batch committed); legacy
+        records enumerated ``replaces`` explicitly."""
+        if "replaces_upto" in rec:
+            return int(rec["replaces_upto"])
+        return max(rec.get("replaces", []), default=cls._NO_UPTO)
+
+    def _replaces_upto(self) -> int:
+        """Only compaction records carry the supersession watermark —
+        reading just them keeps the per-batch committed check
+        O(#compactions), not O(#batches)."""
+        upto = self._NO_UPTO
         for name in os.listdir(self._manifest_dir):
             if not (name.startswith("compaction-") and name.endswith(".json")):
                 continue
             with open(os.path.join(self._manifest_dir, name)) as f:
-                replaced.update(json.load(f).get("replaces", []))
-        return replaced
+                upto = max(upto, self._rec_upto(json.load(f)))
+        return upto
 
     def committed_batches(self) -> list[CommittedBatch]:
         """Live batches after compaction resolution.
 
         Every compaction replaces ALL batches live at its time, so the
         live set is: the newest compaction record (if any) + original
-        records not listed in any ``replaces`` (appended after it).
+        records above the supersession watermark (appended after it).
         Replaced records/data may or may not be vacuumed yet.
         """
         records = self._read_records()
-        compactions = [r for r in records if r.get("replaces")]
-        originals = [r for r in records if not r.get("replaces")]
-        replaced = {b for rec in compactions for b in rec["replaces"]}
+        compactions = [r for r in records if self._is_compaction(r)]
+        originals = [r for r in records if not self._is_compaction(r)]
+        upto = max((self._rec_upto(r) for r in compactions), default=self._NO_UPTO)
         live = [max(compactions, key=lambda r: r["batch_id"])] if compactions else []
-        live.extend(r for r in originals if r["batch_id"] not in replaced)
+        live.extend(r for r in originals if r["batch_id"] > upto)
         return [
             CommittedBatch(
                 rec["batch_id"], self._ranges_of(rec), rec["token"], rec["data_dir"]
@@ -337,11 +361,21 @@ class ManifestFileSink:
 
         Crash-safe by the same rules as writes: the consolidated dir is
         deterministic (`compact=<max live id>`, overwrite mode) and the
-        single compaction manifest record — which lists the batch ids it
-        `replaces` and their merged ranges — is the atomic commit point.
-        Die before the record: originals stay live, rerun overwrites.
-        Die after: readers resolve to the compacted dir; ``vacuum()``
-        later removes superseded dirs/records at leisure.
+        single compaction manifest record — which carries the
+        supersession watermark ``replaces_upto`` and the folded ranges —
+        is the atomic commit point. Die before the record: originals
+        stay live, rerun overwrites. Die after: readers resolve to the
+        compacted dir; ``vacuum()`` later removes superseded
+        dirs/records at leisure.
+
+        The record is BOUNDED for 100k-batch lifetimes, by construction:
+        ``replaces_upto`` is one integer (monotone batch ids make a
+        watermark equivalent to the old transitive id list, which grew
+        one id per batch forever), and the folded ranges pass through
+        ``summarize_ranges`` (``keep_ranges`` exact tails per partition
+        + one historic envelope — sparse per-partition offsets make the
+        consecutive-only merge legitimately unable to collapse them,
+        measured growing 29 ranges/batch on the events fixture).
         """
         live = self.committed_batches()
         if len(live) < min_batches:
@@ -356,17 +390,17 @@ class ManifestFileSink:
         )
         self._build_writer(df).save(target)
 
-        from stream_loader_spark.model.range import merge_ranges
+        from stream_loader_spark.model.range import merge_ranges, summarize_ranges
 
-        merged = merge_ranges([r for b in live for r in b.ranges])
-        # transitive closure: carry forward every id ever replaced so the
-        # newest record alone proves old batches committed after vacuum
-        all_replaced = self._replaced_ids() | {b.batch_id for b in live}
+        merged = summarize_ranges(
+            merge_ranges([r for b in live for r in b.ranges]),
+            keep_exact=self.compaction_keep_ranges,
+        )
         record = {
             "batch_id": max_id,
             "token": dedup_token(merged),
             "data_dir": target,
-            "replaces": sorted(all_replaced),
+            "replaces_upto": max(max_id, self._replaces_upto()),
             "ranges": self._range_dicts(merged),
         }
         self._atomic_write_json(record, f"compaction-{max_id:020d}.json")
@@ -384,21 +418,21 @@ class ManifestFileSink:
 
         removed = []
         records = self._read_records()
-        compactions = [r for r in records if r.get("replaces")]
+        compactions = [r for r in records if self._is_compaction(r)]
         if not compactions:
             return removed
         newest = max(r["batch_id"] for r in compactions)
-        replaced = {b for r in compactions for b in r["replaces"]}
+        upto = max(self._rec_upto(r) for r in compactions)
         for name in sorted(os.listdir(self._manifest_dir)):
             if not name.endswith(".json"):
                 continue
             path = os.path.join(self._manifest_dir, name)
             with open(path) as f:
                 rec = json.load(f)
-            is_compaction = bool(rec.get("replaces"))
+            is_compaction = self._is_compaction(rec)
             superseded = (
                 (is_compaction and rec["batch_id"] < newest)
-                or (not is_compaction and rec["batch_id"] in replaced)
+                or (not is_compaction and rec["batch_id"] <= upto)
             )
             if not superseded:
                 continue

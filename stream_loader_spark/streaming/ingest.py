@@ -233,7 +233,10 @@ class BatchDirState:
             for b in ids
             if meta["upto"] <= b < upto
         ]
-        if not new_fold:
+        # no new batches AND at most one generation: nothing to do —
+        # but a multi-generation (tiered) layout still consolidates,
+        # so a full refold after compact_tiered() is never a silent no-op
+        if not new_fold and len(gens) <= 1:
             return 0
         fold_dirs = [self._gen_dir(g) for g in gens] + new_fold
         gen = self._next_gen(meta)

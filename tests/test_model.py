@@ -70,6 +70,37 @@ class TestRanges:
         assert len(out) == 2
         assert out[0].start.offset == start
 
+    @given(st.integers(1, 5), st.integers(1, 40), st.integers(1, 8))
+    def test_summarize_ranges_bounds_per_partition(self, parts, n, keep):
+        """Gap-separated ranges (sparse per-partition offsets) summarize
+        to at most keep_exact ranges per partition, preserving each
+        partition's min start and MAX end (the recovery position) and
+        keeping the newest keep_exact-1 ranges exact."""
+        from stream_loader_spark.model.range import summarize_ranges
+
+        ranges = []
+        for p in range(parts):
+            pos = p  # stagger so partitions differ
+            for _ in range(n):
+                ranges.append(mk_range("t", p, pos, 3))
+                pos += 10  # gap of 6 -> never consecutive
+        out = summarize_ranges(ranges, keep_exact=keep)
+        by_p = {}
+        for r in out:
+            by_p.setdefault(r.partition, []).append(r)
+        for p in range(parts):
+            rs = sorted(by_p[p], key=lambda r: r.start.offset)
+            assert len(rs) <= keep
+            assert rs[0].start.offset == p
+            assert rs[-1].end.offset == p + (n - 1) * 10 + 3
+            # the newest tail stays exact when anything was collapsed
+            if n > keep:
+                tail = rs[-(keep - 1):] if keep > 1 else []
+                for i, r in enumerate(tail):
+                    j = n - (keep - 1) + i
+                    assert r.start.offset == p + j * 10
+                    assert r.end.offset == p + j * 10 + 3
+
     @given(st.integers(1, 5), st.integers(1, 20))
     def test_merge_ranges_collapses_runs_per_partition(self, parts, n):
         ranges = []

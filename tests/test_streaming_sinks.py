@@ -225,6 +225,91 @@ class TestCompaction:
         assert sink.committed_data(spark).count() == 4 * n
         assert len(sink.committed_batches()) == 1
 
+    def test_compaction_record_stays_bounded_with_sparse_offsets(self, spark, tmp_path):
+        """With SPARSE per-partition offsets (offset = a global event id,
+        so consecutive-only merging can never collapse across batches),
+        the compaction record must still stay bounded: summarized
+        ranges (keep_ranges per partition) + one replaces_upto
+        watermark instead of a transitive id list — while recovery
+        positions, replay guards, and committed data stay exact."""
+        import glob
+        import json as _json
+        from datetime import datetime, timezone
+
+        ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        schema = "topic string, partition int, offset bigint, ts timestamp"
+        sink = ManifestFileSink(str(tmp_path / "out"), compaction_keep_ranges=3)
+        n_batches, per = 12, 4
+        for b in range(n_batches):
+            rows = [
+                # partition p owns every other global offset in its span:
+                # gaps inside (t, p) between AND within batches
+                ("t", p, (b * 2 * per + 2 * j) * 2 + p, ts)
+                for p in (0, 1)
+                for j in range(per)
+            ]
+            sink.write_batch(spark.createDataFrame(rows, schema), b)
+            if (b + 1) % 4 == 0:
+                assert sink.compact_data(spark) is not None
+                sink.vacuum()
+
+        recs = sorted(glob.glob(str(tmp_path / "out" / "_manifest" / "compaction-*.json")))
+        assert len(recs) == 1  # vacuum reclaimed superseded compactions
+        rec = _json.loads(open(recs[-1]).read())
+        assert "replaces_upto" in rec and "replaces" not in rec
+        assert rec["replaces_upto"] == n_batches - 1
+        assert len(rec["ranges"]) <= 3 * 2  # keep_ranges per partition
+        # every folded batch still proves committed (replay no-ops)
+        for b in range(n_batches):
+            assert sink.is_batch_committed(b), b
+        # recovery positions = exact max end per partition
+        pos = sink.committed_positions()
+        top = ((n_batches - 1) * 2 * per + 2 * (per - 1)) * 2
+        assert pos[("t", 0)].offset == top + 1
+        assert pos[("t", 1)].offset == top + 2
+        assert sink.committed_data(spark).count() == n_batches * 2 * per
+
+    def test_legacy_replaces_list_records_still_read(self, spark, tmp_path):
+        """Pre-watermark compaction records (explicit ``replaces`` id
+        lists) must keep working: committed checks, live-set
+        resolution, vacuum, and a NEW compaction subsuming them."""
+        from datetime import datetime, timezone
+
+        ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        schema = "topic string, partition int, offset bigint, ts timestamp"
+        sink = ManifestFileSink(str(tmp_path / "out"))
+        for b in range(3):
+            rows = [("t", 0, b * 10 + j, ts) for j in range(5)]
+            sink.write_batch(spark.createDataFrame(rows, schema), b)
+        sink.compact_data(spark)
+        # rewrite the record in the LEGACY format
+        import glob
+        import json as _json
+
+        rec_path = glob.glob(str(tmp_path / "out" / "_manifest" / "compaction-*.json"))[0]
+        rec = _json.loads(open(rec_path).read())
+        rec["replaces"] = [0, 1, 2]
+        del rec["replaces_upto"]
+        open(rec_path, "w").write(_json.dumps(rec))
+
+        assert sink.is_batch_committed(1)
+        assert len(sink.committed_batches()) == 1
+        sink.vacuum()
+        assert sink.is_batch_committed(2)
+        # a new batch + compaction subsumes the legacy record
+        sink.write_batch(
+            spark.createDataFrame([("t", 0, 99, ts)], schema), 7
+        )
+        assert sink.compact_data(spark) is not None
+        sink.vacuum()
+        rec2 = _json.loads(
+            open(glob.glob(str(tmp_path / "out" / "_manifest" / "compaction-*.json"))[0]).read()
+        )
+        assert rec2.get("replaces_upto") == 7
+        for b in (0, 1, 2, 7):
+            assert sink.is_batch_committed(b), b
+        assert sink.committed_data(spark).count() == 16
+
     def test_crash_before_compaction_record_is_safe(self, spark, stream_env, monkeypatch):
         sink = ManifestFileSink(stream_env["out"])
         batch = as_stream_records(load_table(spark, "/root/testdata/sf0.001", "events"))
