@@ -123,9 +123,10 @@ def summarize_ranges(
     ranges: Iterable[StreamRange], keep_exact: int = 8
 ) -> list[StreamRange]:
     """Bound a (merged) range list for LONG-LIVED records: per
-    (topic, partition), keep the newest ``keep_exact`` ranges exact and
-    collapse everything older into ONE envelope [oldest start .. that
-    run's end] — even across gaps.
+    (topic, partition), keep at most ``keep_exact`` ranges TOTAL — the
+    newest ``keep_exact - 1`` stay exact and everything older collapses
+    into ONE envelope [oldest start .. that run's end], even across
+    gaps (so the envelope occupies the remaining slot).
 
     Why this exists: a compaction record that carries every range ever
     committed grows one range per (batch × partition) when offsets are

@@ -139,6 +139,14 @@ class ManifestFileSink:
     def is_batch_committed(self, batch_id: int) -> bool:
         if os.path.exists(self._manifest_path(batch_id)):
             return True
+        if batch_id < 0:
+            # reserved pre-stream backfill ids sit BELOW the monotone
+            # stream id space, so the watermark proves nothing about
+            # them: a backfill written AFTER a compaction exists must
+            # not be swallowed as "already committed". Only an explicit
+            # per-id fold record marks a vacuumed backfill committed.
+            upto, neg = self._compaction_state()
+            return batch_id in neg
         # a vacuumed-away original is still committed: the compaction
         # record's supersession watermark covers it (batch ids are
         # monotone — every id at or below the watermark had committed
@@ -253,25 +261,46 @@ class ManifestFileSink:
 
     @classmethod
     def _rec_upto(cls, rec: dict) -> int:
-        """Highest batch id a compaction record supersedes. New records
-        carry it as ``replaces_upto`` (bounded — batch ids are monotone,
-        so one watermark proves every earlier batch committed); legacy
-        records enumerated ``replaces`` explicitly."""
+        """Highest NON-NEGATIVE batch id a compaction record supersedes.
+        New records carry it as ``replaces_upto`` (bounded — stream
+        batch ids are monotone, so one watermark proves every earlier
+        batch committed); legacy records enumerated ``replaces``
+        explicitly. Reserved negative backfill ids are OUTSIDE the
+        monotone space and never raise the watermark — see
+        ``_rec_neg``."""
         if "replaces_upto" in rec:
             return int(rec["replaces_upto"])
-        return max(rec.get("replaces", []), default=cls._NO_UPTO)
+        return max(
+            (i for i in rec.get("replaces", []) if i >= 0), default=cls._NO_UPTO
+        )
 
-    def _replaces_upto(self) -> int:
-        """Only compaction records carry the supersession watermark —
-        reading just them keeps the per-batch committed check
-        O(#compactions), not O(#batches)."""
+    @staticmethod
+    def _rec_neg(rec: dict) -> set[int]:
+        """Folded reserved (negative) backfill ids, enumerated exactly.
+        Bounded by construction: backfills are rare one-shot loads, not
+        per-micro-batch events, so the list never grows with stream
+        lifetime the way the old transitive ``replaces`` list did."""
+        if "replaces_neg" in rec:
+            return set(rec["replaces_neg"])
+        return {i for i in rec.get("replaces", []) if i < 0}
+
+    def _compaction_state(self) -> tuple[int, set[int]]:
+        """(watermark over non-negative ids, folded negative-id set) —
+        reading only compaction records keeps the per-batch committed
+        check O(#compactions), not O(#batches)."""
         upto = self._NO_UPTO
+        neg: set[int] = set()
         for name in os.listdir(self._manifest_dir):
             if not (name.startswith("compaction-") and name.endswith(".json")):
                 continue
             with open(os.path.join(self._manifest_dir, name)) as f:
-                upto = max(upto, self._rec_upto(json.load(f)))
-        return upto
+                rec = json.load(f)
+            upto = max(upto, self._rec_upto(rec))
+            neg |= self._rec_neg(rec)
+        return upto, neg
+
+    def _replaces_upto(self) -> int:
+        return self._compaction_state()[0]
 
     def committed_batches(self) -> list[CommittedBatch]:
         """Live batches after compaction resolution.
@@ -285,8 +314,17 @@ class ManifestFileSink:
         compactions = [r for r in records if self._is_compaction(r)]
         originals = [r for r in records if not self._is_compaction(r)]
         upto = max((self._rec_upto(r) for r in compactions), default=self._NO_UPTO)
+        neg: set[int] = set()
+        for r in compactions:
+            neg |= self._rec_neg(r)
         live = [max(compactions, key=lambda r: r["batch_id"])] if compactions else []
-        live.extend(r for r in originals if r["batch_id"] > upto)
+        # negative (backfill) ids are live unless explicitly folded —
+        # the watermark only covers the monotone non-negative space
+        live.extend(
+            r
+            for r in originals
+            if (r["batch_id"] > upto if r["batch_id"] >= 0 else r["batch_id"] not in neg)
+        )
         return [
             CommittedBatch(
                 rec["batch_id"], self._ranges_of(rec), rec["token"], rec["data_dir"]
@@ -380,7 +418,18 @@ class ManifestFileSink:
         live = self.committed_batches()
         if len(live) < min_batches:
             return None
-        max_id = max(b.batch_id for b in live)
+        # existing compaction record ids: the new record's id must be
+        # strictly above them — when the only NEW live batch is a
+        # backfill, max(live id) equals the live compaction's own id
+        # and reusing it would make the consolidated write OVERWRITE
+        # the very dir it is reading (and collide manifest names)
+        prior_comp_ids = {
+            r["batch_id"] for r in self._read_records() if self._is_compaction(r)
+        }
+        max_id = max(
+            max(b.batch_id for b in live),
+            *(i + 1 for i in prior_comp_ids or [self._NO_UPTO]),
+        )
         target = os.path.join(self.out_dir, "data", f"compact={max_id}")
         # same reader as committed_data: without mergeSchema, compacting
         # batches with evolved schemas would silently drop later-added
@@ -396,11 +445,30 @@ class ManifestFileSink:
             merge_ranges([r for b in live for r in b.ranges]),
             keep_exact=self.compaction_keep_ranges,
         )
+        prior_upto, prior_neg = self._compaction_state()
+        # watermark over ORIGINAL stream ids only: a compaction id may
+        # sit above the real stream epoch (see max_id above), and
+        # letting it raise the watermark would silently swallow a
+        # future original batch that lands on the same id
+        live_nonneg = [
+            b.batch_id
+            for b in live
+            if b.batch_id >= 0 and b.batch_id not in prior_comp_ids
+        ]
         record = {
             "batch_id": max_id,
             "token": dedup_token(merged),
             "data_dir": target,
-            "replaces_upto": max(max_id, self._replaces_upto()),
+            # watermark over the monotone non-negative id space only;
+            # folded reserved backfill ids (negative) are enumerated so
+            # a backfill written AFTER this compaction is never
+            # mistaken for an already-folded one (and vice versa after
+            # vacuum). Carried forward from prior compactions because
+            # vacuum deletes superseded compaction records.
+            "replaces_upto": max([prior_upto, *live_nonneg]),
+            "replaces_neg": sorted(
+                prior_neg | {b.batch_id for b in live if b.batch_id < 0}
+            ),
             "ranges": self._range_dicts(merged),
         }
         self._atomic_write_json(record, f"compaction-{max_id:020d}.json")
@@ -423,6 +491,9 @@ class ManifestFileSink:
             return removed
         newest = max(r["batch_id"] for r in compactions)
         upto = max(self._rec_upto(r) for r in compactions)
+        neg: set[int] = set()
+        for r in compactions:
+            neg |= self._rec_neg(r)
         for name in sorted(os.listdir(self._manifest_dir)):
             if not name.endswith(".json"):
                 continue
@@ -430,9 +501,19 @@ class ManifestFileSink:
             with open(path) as f:
                 rec = json.load(f)
             is_compaction = self._is_compaction(rec)
+            # a still-live negative-id backfill (written after the
+            # compaction, so never folded) must survive vacuum — the
+            # watermark rule would wrongly cover every negative id
             superseded = (
                 (is_compaction and rec["batch_id"] < newest)
-                or (not is_compaction and rec["batch_id"] <= upto)
+                or (
+                    not is_compaction
+                    and (
+                        rec["batch_id"] <= upto
+                        if rec["batch_id"] >= 0
+                        else rec["batch_id"] in neg
+                    )
+                )
             )
             if not superseded:
                 continue

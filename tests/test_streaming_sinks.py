@@ -359,6 +359,72 @@ class TestBackfillThenStream:
         assert all(p.offset > 0 for p in pos.values())
 
 
+class TestBackfillAfterCompaction:
+    def test_late_backfill_survives_watermark_and_vacuum(self, spark, stream_env):
+        """A reserved NEGATIVE backfill id written AFTER a compaction
+        exists must commit (not be swallowed by the non-negative
+        supersession watermark), stay live across vacuum, and fold into
+        the NEXT compaction like any other batch."""
+        sink = ManifestFileSink(stream_env["out"])
+        batch = as_stream_records(load_table(spark, "/root/testdata/sf0.001", "events"))
+        n = batch.count()
+        for i in range(3):
+            sink.write_batch(
+                batch.withColumn("offset", F.col("offset") + F.lit(i * 10_000)), i
+            )
+        assert sink.compact_data(spark) is not None
+        sink.vacuum()
+        assert sink.committed_data(spark).count() == 3 * n
+
+        # late historical backfill under the reserved pre-stream id
+        history = batch.withColumn("offset", F.col("offset") - F.lit(500_000))
+        assert not sink.is_batch_committed(-1)  # watermark must NOT cover it
+        sink.write_batch(history, -1)
+        assert sink.is_batch_committed(-1)
+        assert sink.committed_data(spark).count() == 4 * n
+
+        # vacuum must not reclaim the still-live (never-folded) backfill
+        assert sink.vacuum() == []
+        assert sink.committed_data(spark).count() == 4 * n
+
+        # the next compaction folds it; only THEN do replays become
+        # no-ops and vacuum reclaim it
+        assert sink.compact_data(spark) is not None
+        sink.vacuum()
+        assert sink.committed_data(spark).count() == 4 * n
+        assert sink.is_batch_committed(-1)  # remembered via replaces_neg
+        sink.write_batch(history, -1)  # replay after vacuum: no-op
+        assert sink.committed_data(spark).count() == 4 * n
+
+    def test_legacy_replaces_list_with_negative_ids(self, spark, stream_env):
+        """A legacy compaction record enumerating ``replaces`` with a
+        negative id keeps its exact semantics: the enumerated backfill
+        is committed/vacuumable, a NEW (never-enumerated) negative id
+        is not covered."""
+        import json as _json
+
+        sink = ManifestFileSink(stream_env["out"])
+        batch = as_stream_records(load_table(spark, "/root/testdata/sf0.001", "events"))
+        sink.write_batch(batch, -1)
+        sink.write_batch(batch.withColumn("offset", F.col("offset") + F.lit(10_000)), 0)
+        assert sink.compact_data(spark) is not None
+        # rewrite the compaction record in the LEGACY enumerated form
+        mdir = os.path.join(stream_env["out"], "_manifest")
+        (comp,) = [f for f in os.listdir(mdir) if f.startswith("compaction-")]
+        with open(os.path.join(mdir, comp)) as f:
+            rec = _json.load(f)
+        rec["replaces"] = [-1, 0]
+        del rec["replaces_upto"], rec["replaces_neg"]
+        with open(os.path.join(mdir, comp), "w") as f:
+            _json.dump(rec, f)
+
+        sink.vacuum()
+        assert sink.is_batch_committed(-1) and sink.is_batch_committed(0)
+        assert not sink.is_batch_committed(-2)  # a DIFFERENT reserved id
+        n = batch.count()
+        assert sink.committed_data(spark).count() == 2 * n
+
+
 class TestPartialWriteInvisibility:
     def test_inrow_recovery_ignores_partial_batch_dir(self, spark, stream_env):
         sink = InRowOffsetsSink(stream_env["out"])
