@@ -283,6 +283,44 @@ def main() -> None:
     spark.range(64).repartition(64).mapInPandas(lambda it: it, "id long").write.format(
         "noop"
     ).mode("overwrite").save()
+    # Plan-shape warm-up: the scans above JIT nothing beyond the
+    # columnar reader, so the first queries to exercise window exec,
+    # hash aggregation, sort-merge/broadcast joins, and interpreted
+    # higher-order functions were absorbing their C2 compilation —
+    # two rounds running, the driver's sample manufactured boundary
+    # weak-set entries (>1s firsts that re-profile at 0.4-0.7s warm)
+    # out of exactly this. One unmeasured composite pass through those
+    # operator classes, then one unmeasured pass of the first slot,
+    # retires the noise class for ~3s of unmeasured wall clock.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _warm = spark.range(100_000).select(
+        "id",
+        (_F.col("id") % 97).alias("k"),
+        _F.array(*[(_F.col("id") % (i + 7)).cast("double") for i in range(8)]).alias(
+            "v"
+        ),
+    )
+    _warm.select(
+        "id",
+        "k",
+        _F.expr(
+            "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"
+        ).alias("dot"),
+    ).groupBy("k").agg(
+        _F.sum("dot").alias("s"), _F.count(_F.lit(1)).alias("c")
+    ).join(_F.broadcast(spark.range(97).withColumnRenamed("id", "k")), "k").select(
+        "k",
+        "s",
+        _F.row_number().over(_W.partitionBy("k").orderBy(_F.desc("s"))).alias("rn"),
+    ).write.format("noop").mode("overwrite").save()
+    try:
+        QUERIES[BENCH_QUERIES[0]](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:  # noqa: BLE001 — the measured loop records it
+        pass
 
     # three CONSECUTIVE passes per query, report the min: one-shot
     # numbers on a busy local machine are noise-dominated; the min is

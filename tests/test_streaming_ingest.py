@@ -169,6 +169,97 @@ class TestNearDupIngest:
         assert kept == [1, 5, 9]
 
 
+class TestIndexGrowthGuard:
+    """Persisted LSH indexes freeze their banding at build time while
+    the auto-sizers size with the live corpus — growth past the factor
+    must turn LOUD (warning + status) and reband() must re-baseline."""
+
+    def test_growth_past_factor_warns_and_reband_recovers(self, spark, tmp_path):
+        from stream_loader_spark.streaming.ingest import NearDupIngestSink
+
+        sink = NearDupIngestSink(str(tmp_path / "out"), growth_factor=4.0)
+        sink(spark.createDataFrame([(1, NEAR_A), (5, OTHER)], DOC_SCHEMA), 0)
+        st = sink.growth.status()
+        assert st["built_n"] == 2 and not st["needs_rebuild"]
+
+        # grow the corpus past 4x: the batch AFTER the crossing probes
+        # an index whose geometry was sized for a quarter of the corpus
+        novel = [
+            (10 + i, f"n{i}a n{i}b n{i}c n{i}d n{i}e n{i}f") for i in range(8)
+        ]
+        with pytest.warns(RuntimeWarning, match="grown"):
+            sink(spark.createDataFrame(novel, DOC_SCHEMA), 1)
+            sink(
+                spark.createDataFrame([(30, "x1 x2 x3 x4 x5 x6")], DOC_SCHEMA), 2
+            )
+        assert sink.growth.status()["needs_rebuild"]
+
+        # reband under a new banding: rebuilt from the docs state,
+        # guard re-baselined, history still blocks near-dups
+        assert sink.reband(spark, num_bands=8) > 0
+        assert not sink.growth.status()["needs_rebuild"]
+        assert sink.num_bands == 8
+        sink(spark.createDataFrame([(40, NEAR_A)], DOC_SCHEMA), 3)
+        kept = sorted(r["doc_id"] for r in sink.committed_corpus(spark).collect())
+        assert 40 not in kept and 1 in kept
+
+    def test_replay_does_not_double_count_growth(self, spark, tmp_path):
+        from stream_loader_spark.streaming.ingest import NearDupIngestSink
+
+        sink = NearDupIngestSink(str(tmp_path / "out"))
+        b = spark.createDataFrame([(1, NEAR_A), (5, OTHER)], DOC_SCHEMA)
+        sink(b, 0)
+        sink(b, 0)  # replay
+        assert sink.growth.status()["live_n"] == 2
+
+    def test_interrupted_reband_fails_closed_then_completes(self, spark, tmp_path):
+        import json
+
+        from stream_loader_spark.streaming.ingest import NearDupIngestSink
+
+        out = str(tmp_path / "out")
+        sink = NearDupIngestSink(out, num_bands=8)
+        sink(spark.createDataFrame([(1, NEAR_A), (5, OTHER)], DOC_SCHEMA), 0)
+        # simulate a crash between the band rewrite and the re-stamp
+        with open(os.path.join(out, "scheme.json")) as fh:
+            scheme = json.load(fh)["scheme"]
+        with open(os.path.join(out, "scheme.json"), "w") as fh:
+            json.dump({"scheme": scheme, "rebanding": True}, fh)
+
+        # a different banding must not adopt the half-rebanded index
+        with pytest.raises(ValueError, match="interrupted"):
+            NearDupIngestSink(out)  # default bands != 8
+        # the matching banding reopens but probing fails closed ...
+        again = NearDupIngestSink(out, num_bands=8)
+        with pytest.raises(ValueError, match="rerun reband"):
+            again(spark.createDataFrame([(9, NEAR_A2)], DOC_SCHEMA), 1)
+        # ... until reband() finishes the rebuild
+        assert again.reband(spark) > 0
+        again(spark.createDataFrame([(9, NEAR_A2)], DOC_SCHEMA), 1)
+        kept = sorted(r["doc_id"] for r in again.committed_corpus(spark).collect())
+        assert kept == [1, 5]  # 9 near-dups history's 1 across the reband
+
+    def test_ivf_sink_warns_on_growth(self, spark, tmp_path):
+        from stream_loader_spark.streaming.ingest import IvfIngestSink
+
+        sink = IvfIngestSink(
+            str(tmp_path / "ivf"), num_centroids=4, kmeans_iterations=0
+        )
+        sink.growth.growth_factor = 2.0
+        vecs = TestIvfIngest()._vecs(spark, 0, 8)
+        sink(vecs, 0)  # trains + baselines at 8
+        with pytest.warns(RuntimeWarning, match="grown"):
+            sink(TestIvfIngest()._vecs(spark, 8, 40), 1)  # 5x growth
+        with pytest.warns(RuntimeWarning, match="grown"):
+            sink.topk(
+                spark,
+                spark.createDataFrame(
+                    [(0, [0.1] * 8)], "query_id long, query_vec array<float>"
+                ),
+                k=1,
+            ).collect()
+
+
 class TestIvfIngest:
     """streaming/ingest.py::IvfIngestSink — streamed ANN index."""
 
@@ -593,6 +684,42 @@ class TestIndexIngest:
             sink.lookup(spark, [])
         with pytest.raises(ValueError):
             sink.lookup(spark, ["red"])
+
+    def test_lookup_is_one_scan_across_tiered_generations(self, spark, tmp_path):
+        """The read-side pre-prune: however many tiered generations are
+        live, a term lookup's physical plan carries ONE parquet scan
+        over the pruned tbucket leaf dirs — not one scan per
+        generation (the fan-out that made lookup latency drift with
+        generation count). Results stay equal to the bulk path's."""
+        from stream_loader_spark.streaming.ingest import IndexIngestSink
+
+        sink = IndexIngestSink(str(tmp_path / "idx"), n=1, n_buckets=8)
+        for i in range(4):
+            sink(
+                spark.createDataFrame(
+                    self._docs(i * 10, i * 10 + 10), self.DOC_SCHEMA
+                ),
+                i,
+            )
+            sink.compact(spark, tiered=True)
+        # tiered maintenance left multiple live generations
+        import glob
+
+        gens = glob.glob(str(tmp_path / "idx" / "segments" / "compact" / "g=*"))
+        assert len(gens) >= 2
+
+        hits = sink.lookup(spark, ["red"])
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1
+        rows = sorted(tuple(r) for r in hits.collect())
+        direct = sorted(
+            (("red", i, t.split().count("red")))
+            for i, t in self._docs(0, 40)
+            if "red" in t.split()
+        )
+        assert rows == direct
+        # a term absent from every probed bucket returns empty, not error
+        assert sink.lookup(spark, ["zzznotaterm"]).count() == 0
 
     def test_doc_split_across_batches_merges(self, spark, tmp_path):
         """A doc_id whose rows land in MORE THAN ONE micro-batch (an
