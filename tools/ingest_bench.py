@@ -120,13 +120,25 @@ def bench_upsert_sink(spark, rec, n_batches: int, root: str) -> dict:
         lat_ms.append((time.time() - t0) * 1000)
     wall = time.time() - t_start
 
-    t0 = time.time()
-    n_state = sink.current_state(spark).count()
-    recovery_ms = (time.time() - t0) * 1000
+    # min-of-3 on BOTH recovery reads: current_state resolves the SAME
+    # live bucket-version dirs before and after vacuum (vacuum removes
+    # only unreachable versions), so any before/after delta is
+    # measurement, not plan — the r10 artifact's single-sample reads
+    # recorded recovery_after_vacuum (846ms) > recovery (661ms), which
+    # was GC/listing noise right after the write loop and the rmtree
+    # sweep, not a real regression.
+    def _state_count_ms() -> tuple[int, float]:
+        best, n = None, 0
+        for _ in range(3):
+            t0 = time.time()
+            n = sink.current_state(spark).count()
+            took = (time.time() - t0) * 1000
+            best = took if best is None else min(best, took)
+        return n, best
+
+    n_state, recovery_ms = _state_count_ms()
     removed = sink.vacuum(keep_last=1)
-    t0 = time.time()
-    n_state2 = sink.current_state(spark).count()
-    recovery_after_ms = (time.time() - t0) * 1000
+    n_state2, recovery_after_ms = _state_count_ms()
     assert n_state == n_state2, "vacuum changed current state"
 
     lat_sorted = sorted(lat_ms)
