@@ -242,6 +242,58 @@ def duckdb_timings(con, oracles, names: list[str]) -> dict[str, float]:
     return out
 
 
+def warm_session(spark, sf_dir: str, first_query: str | None = None) -> None:
+    """Unmeasured session warm-up shared by bench.py and
+    tools/profile_query.py.
+
+    The table counts warm file listing and the columnar reader; the
+    mapInPandas noop warms the Python worker pool. The composite query
+    then exercises the physical-operator classes the counts never
+    touch — window exec, hash aggregation, broadcast join, interpreted
+    higher-order functions — whose C2 compilation was otherwise
+    absorbed by the first measured query to use them: two rounds
+    running, the driver's sample manufactured boundary weak-set
+    entries (>1s firsts that re-profile at 0.4-0.7s warm) out of
+    exactly this. One unmeasured pass of the first measured slot
+    (``first_query``) finishes the job for ~3s of unmeasured wall
+    clock."""
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    spark.range(64).repartition(64).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    _warm = spark.range(100_000).select(
+        "id",
+        (_F.col("id") % 97).alias("k"),
+        _F.array(*[(_F.col("id") % (i + 7)).cast("double") for i in range(8)]).alias(
+            "v"
+        ),
+    )
+    _warm.select(
+        "id",
+        "k",
+        _F.expr(
+            "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"
+        ).alias("dot"),
+    ).groupBy("k").agg(
+        _F.sum("dot").alias("s"), _F.count(_F.lit(1)).alias("c")
+    ).join(_F.broadcast(spark.range(97).withColumnRenamed("id", "k")), "k").select(
+        "k",
+        "s",
+        _F.row_number().over(_W.partitionBy("k").orderBy(_F.desc("s"))).alias("rn"),
+    ).write.format("noop").mode("overwrite").save()
+    if first_query is not None:
+        try:
+            QUERIES[first_query](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:  # noqa: BLE001 — the measured loop records it
+            pass
+
+
 def split_bytes_for(sf_dir: str) -> int:
     """Size file splits to the benchmarked SF: the largest table should
     fan out across the cores instead of scanning as one task (the
@@ -276,51 +328,7 @@ def main() -> None:
         },
     )
 
-    # Warm the session (JVM/codegen/file-listing) and the Python worker
-    # pool so the first timed query doesn't absorb one-time startup cost.
-    for t in ("lineitem", "events", "documents", "embeddings"):
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
-    spark.range(64).repartition(64).mapInPandas(lambda it: it, "id long").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    # Plan-shape warm-up: the scans above JIT nothing beyond the
-    # columnar reader, so the first queries to exercise window exec,
-    # hash aggregation, sort-merge/broadcast joins, and interpreted
-    # higher-order functions were absorbing their C2 compilation —
-    # two rounds running, the driver's sample manufactured boundary
-    # weak-set entries (>1s firsts that re-profile at 0.4-0.7s warm)
-    # out of exactly this. One unmeasured composite pass through those
-    # operator classes, then one unmeasured pass of the first slot,
-    # retires the noise class for ~3s of unmeasured wall clock.
-    from pyspark.sql import Window as _W
-    from pyspark.sql import functions as _F
-
-    _warm = spark.range(100_000).select(
-        "id",
-        (_F.col("id") % 97).alias("k"),
-        _F.array(*[(_F.col("id") % (i + 7)).cast("double") for i in range(8)]).alias(
-            "v"
-        ),
-    )
-    _warm.select(
-        "id",
-        "k",
-        _F.expr(
-            "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"
-        ).alias("dot"),
-    ).groupBy("k").agg(
-        _F.sum("dot").alias("s"), _F.count(_F.lit(1)).alias("c")
-    ).join(_F.broadcast(spark.range(97).withColumnRenamed("id", "k")), "k").select(
-        "k",
-        "s",
-        _F.row_number().over(_W.partitionBy("k").orderBy(_F.desc("s"))).alias("rn"),
-    ).write.format("noop").mode("overwrite").save()
-    try:
-        QUERIES[BENCH_QUERIES[0]](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-    except Exception:  # noqa: BLE001 — the measured loop records it
-        pass
+    warm_session(spark, sf_dir, first_query=BENCH_QUERIES[0])
 
     # three CONSECUTIVE passes per query, report the min: one-shot
     # numbers on a busy local machine are noise-dominated; the min is

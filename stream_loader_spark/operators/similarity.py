@@ -321,24 +321,20 @@ def ivf_topk(
         return ivf_probe(assigned, centroids, queries, k, nprobe, id_col, vec_col)
 
     # Seed-quantizer fast path: the composed seed→assign→probe plan
-    # re-scans the corpus parquet FOUR times (seed centroids twice —
-    # once per broadcast consumer — plus assignment and the query
-    # lookup) across five exchanges; measured 1.0–1.2 s at sf0.1 where
-    # most of it was per-stage floor plus DataFrame CONSTRUCTION —
-    # each Python-lambda higher-order function costs ~40 ms of py4j
-    # round-trips and the composed plan builds ~9 dot products that
-    # way, putting the query in the bench weak set two rounds running.
-    # Here (a) the tiny rows (seeds + queries) come off ONE
-    # pushdown-filtered scan pinned with an EAGER localCheckpoint (the
-    # lazy form double-materializes under two broadcast builds),
-    # (b) the per-query probe lists are packed into a single broadcast
-    # row, (c) one corpus pass fuses assignment + probe membership +
-    # scoring — the only corpus exchange left is the top-k window —
-    # and (d) every higher-order expression is built as ONE SQL
-    # ``expr()`` string parsed JVM-side (same Catalyst expressions,
-    # ~zero construction cost). Results are bit-identical to the
-    # composed path (same rounded cosine expressions, same
-    # tie-breaks; test-pinned equality).
+    # re-scanned the corpus parquet FOUR times across five exchanges
+    # and, worse, paid ~0.8 s of CONSTRUCTION: every DataFrame step
+    # eagerly re-ANALYZES its whole plan JVM-side, and each
+    # Python-lambda higher-order function adds ~40 ms of py4j
+    # round-trips — measured 1.0–1.2 s at sf0.1, in the bench weak set
+    # two rounds running. The fast path is therefore ONE spark.sql()
+    # statement over a temp view: a single analysis of the final plan,
+    # ~3 py4j calls total. Shape: (a) the tiny rows (seeds + queries)
+    # come off one pushdown-filtered scan folded into a SINGLE one-row
+    # broadcast carrying centroids, per-query probe lists, and hoisted
+    # norms; (b) one corpus pass fuses assignment + probe membership +
+    # scoring, leaving the top-k window as the only corpus exchange.
+    # Results are bit-identical to the composed path (same rounded
+    # cosine expressions, same tie-breaks; test-pinned equality).
     def sql_dot(a: str, b: str) -> str:
         return (
             f"aggregate(zip_with({a}, {b}, (x, y) -> double(x) * double(y)), "
@@ -351,85 +347,56 @@ def ivf_topk(
             f"sqrt({sql_dot(b, b)})), {COSINE_SCALE})"
         )
 
-    small = (
-        embeddings.where(
-            (F.col(id_col) < num_centroids) | F.col(id_col).isin(query_ids)
-        )
-        .select(id_col, vec_col)
-        .localCheckpoint(eager=True)
-    )
-    cents_row = small.where(F.col(id_col) < num_centroids).coalesce(1).agg(
-        F.expr(
-            f"array_sort(collect_list(named_struct("
-            f"'centroid_id', {id_col}, 'centroid_vec', {vec_col}, "
-            f"'cnorm', sqrt({sql_dot(vec_col, vec_col)}))))"
-        ).alias("_cents")
-    )
+    spark = embeddings.sparkSession
+    view = "__ivf_topk_src"
+    # scatter() first: the view pins the (possibly fanned-out) plan, so
+    # interpreted HOF work parallelizes on single-split local fixtures
+    scatter(embeddings).createOrReplaceTempView(view)
+    qid_lits = "array(" + ", ".join(str(int(q)) for q in query_ids) + ")"
     probe_clusters = (
         "transform(slice(reverse(array_sort(transform(_cents, c -> named_struct("
-        f"'cos', {sql_cosine(vec_col, 'c.centroid_vec')}, "
+        f"'cos', {sql_cosine('q.' + vec_col, 'c.centroid_vec')}, "
         f"'neg_id', -c.centroid_id)))), 1, {int(nprobe)}), p -> -p.neg_id)"
     )
-    qpack = (
-        small.where(F.col(id_col).isin(query_ids))
-        .crossJoin(F.broadcast(cents_row))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("query_vec"),
-            # query norm hoisted once per QUERY — the scored cosine
-            # below then skips two of its three dot products per
-            # corpus match (sqrt is deterministic: same doubles as
-            # computing it inline, so oracle equality is unaffected)
-            F.expr(f"sqrt({sql_dot(vec_col, vec_col)})").alias("qnorm"),
-            F.expr(probe_clusters).alias("probe_clusters"),
-            F.col("_cents"),
-        )
-        .coalesce(1)
-        .agg(
-            F.first("_cents").alias("_cents"),
-            F.expr(
-                "array_sort(collect_list(named_struct("
-                "'query_id', query_id, 'query_vec', query_vec, "
-                "'qnorm', qnorm, 'probe_clusters', probe_clusters)))"
-            ).alias("_qs"),
-        )
-    )
-    assignment = (
-        "-array_max(transform(_cents, c -> named_struct("
-        f"'cos', round({sql_dot(vec_col, 'c.centroid_vec')} / "
-        f"(_anorm * c.cnorm), {COSINE_SCALE}), "
-        "'neg_id', -c.centroid_id))).neg_id"
-    )
-    scored = (
-        scatter(embeddings)
-        .crossJoin(F.broadcast(qpack))
-        .withColumn("_anorm", F.expr(f"sqrt({sql_dot(vec_col, vec_col)})"))
-        .withColumn("cluster_id", F.expr(assignment))
-        .select(
-            id_col,
-            vec_col,
-            "_anorm",
-            F.expr(
-                "explode(filter(_qs, q -> "
-                "array_contains(q.probe_clusters, cluster_id)))"
-            ).alias("_q"),
-        )
-        .where(F.col(id_col) != F.col("_q.query_id"))
-        .select(
-            F.col("_q.query_id").alias("query_id"),
-            F.col(id_col).alias("match_id"),
-            F.expr(
-                f"round({sql_dot('_q.query_vec', vec_col)} / "
-                f"(_q.qnorm * _anorm), {COSINE_SCALE})"
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "match_id", "cosine", "rank")
-    )
+    sql = f"""
+    WITH rows1 AS (
+      SELECT collect_list(named_struct('{id_col}', {id_col}, '{vec_col}', {vec_col})) AS _rows
+      FROM (SELECT /*+ COALESCE(1) */ {id_col}, {vec_col} FROM {view}
+            WHERE {id_col} < {int(num_centroids)} OR array_contains({qid_lits}, {id_col}))),
+    cents AS (
+      SELECT array_sort(transform(filter(_rows, r -> r.{id_col} < {int(num_centroids)}),
+               r -> named_struct('centroid_id', r.{id_col}, 'centroid_vec', r.{vec_col},
+                                 'cnorm', sqrt({sql_dot('r.' + vec_col, 'r.' + vec_col)})))) AS _cents,
+             _rows
+      FROM rows1),
+    qs AS (
+      SELECT _cents,
+             array_sort(transform(filter(_rows, r -> array_contains({qid_lits}, r.{id_col})),
+               q -> named_struct('query_id', q.{id_col}, 'query_vec', q.{vec_col},
+                                 'qnorm', sqrt({sql_dot('q.' + vec_col, 'q.' + vec_col)}),
+                                 'probe_clusters', {probe_clusters}))) AS _qs
+      FROM cents),
+    assigned AS (
+      SELECT /*+ BROADCAST(qs) */ e.{id_col}, e.{vec_col}, _qs, _anorm,
+             -array_max(transform(_cents, c -> named_struct(
+                'cos', round({sql_dot('e.' + vec_col, 'c.centroid_vec')} / (_anorm * c.cnorm), {COSINE_SCALE}),
+                'neg_id', -c.centroid_id))).neg_id AS cluster_id
+      FROM (SELECT *, sqrt({sql_dot(vec_col, vec_col)}) AS _anorm FROM {view}) e
+           CROSS JOIN qs),
+    scored AS (
+      SELECT _q.query_id AS query_id, {id_col} AS match_id,
+             round({sql_dot('_q.query_vec', vec_col)} / (_q.qnorm * _anorm), {COSINE_SCALE}) AS cosine
+      FROM (SELECT {id_col}, {vec_col}, _anorm,
+                   explode(filter(_qs, q -> array_contains(q.probe_clusters, cluster_id))) AS _q
+            FROM assigned)
+      WHERE {id_col} <> _q.query_id),
+    ranked AS (
+      SELECT query_id, match_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, match_id, cosine, rank FROM ranked WHERE rank <= {int(k)}
+    """
+    return spark.sql(sql)
 
 
 def ivf_probe(

@@ -47,11 +47,11 @@ def main() -> None:
             "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
         },
     )
-    for t in ("lineitem", "events", "documents", "embeddings"):
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
-    spark.range(64).repartition(64).mapInPandas(lambda it: it, "id long").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    from bench import warm_session
+
+    # same unmeasured warm-up as bench.py (window/join/HOF JIT classes
+    # included) so solo profiles don't read first-slot inflation
+    warm_session(spark, sf_dir, first_query=names[0] if names else None)
 
     breakdown = "--breakdown" in sys.argv
     for name in names:
