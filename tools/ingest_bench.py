@@ -156,6 +156,88 @@ def bench_upsert_sink(spark, rec, n_batches: int, root: str) -> dict:
     }
 
 
+def bench_neardup_growth(spark, sf_dir: str, root: str) -> dict:
+    """Growth-guard evidence for the persisted LSH index (r10 verdict:
+    a long-lived index built at N silently re-enters the candidate
+    floor as the corpus grows). Builds a NearDupIngestSink at a small
+    baseline, grows the corpus ~10x in micro-batches past the guard
+    factor, and records per-stage: live/built counts, the guard's
+    needs_rebuild flag, batch latency, and the probed index size (band
+    rows — the candidate-generation input, which must stay linear in
+    docs). Then rebands and shows the guard re-baselined with history
+    still blocking near-dups."""
+    import warnings
+
+    from stream_loader_spark.streaming.ingest import NearDupIngestSink
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+    )
+    total = docs.count()
+    sink = NearDupIngestSink(os.path.join(root, "neardup_growth"), growth_factor=4.0)
+    # batch 0 = the build-time baseline (~1/16 of the corpus), then 9
+    # batches growing the corpus past 4x the baseline
+    slice_col = F.expr("CAST(pmod(doc_id, 16) AS INT)")
+    stages = []
+    warned_batches = 0
+    for b in range(10):
+        batch = docs.where(slice_col == b) if b < 9 else docs.where(slice_col >= 9)
+        t0 = time.time()
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            sink(batch, b)
+        ms = (time.time() - t0) * 1000
+        if any("grown" in str(w.message) for w in caught):
+            warned_batches += 1
+        st = sink.growth.status()
+        from stream_loader_spark.streaming.ingest import _has_data_files
+
+        band_rows = spark.read.parquet(
+            *[d for d in sink._band_state.dirs() if _has_data_files(d)]
+        ).count()
+        stages.append(
+            {
+                "batch": b,
+                "batch_ms": round(ms, 1),
+                "live_n": st["live_n"],
+                "growth": st["growth"],
+                "needs_rebuild": st["needs_rebuild"],
+                "band_rows": band_rows,
+            }
+        )
+    st_before = sink.growth.status()
+    t0 = time.time()
+    reband_rows = sink.reband(spark)
+    reband_ms = (time.time() - t0) * 1000
+    st_after = sink.growth.status()
+    # post-reband probe: a duplicate of an already-ingested doc must
+    # still be dropped (history wins across the rebuild)
+    first = docs.orderBy("doc_id").limit(1).collect()[0]
+    sink(
+        spark.createDataFrame(
+            [(int(1 << 40), first["text"])], "doc_id long, text string"
+        ),
+        10,
+    )
+    post_probe_dropped = (
+        sink.committed_corpus(spark).where(F.col("doc_id") == (1 << 40)).count() == 0
+    )
+    return {
+        "docs_total": total,
+        "built_n": st_before["built_n"],
+        "final_growth": st_before["growth"],
+        "warned_batches": warned_batches,
+        "stages": stages,
+        "reband_rows": reband_rows,
+        "reband_ms": round(reband_ms, 1),
+        "growth_after_reband": st_after["growth"],
+        "needs_rebuild_after_reband": st_after["needs_rebuild"],
+        "post_reband_duplicate_dropped": post_probe_dropped,
+    }
+
+
 def bench_index_sink(spark, sf_dir: str, n_batches: int, root: str) -> dict:
     """IndexIngestSink throughput: documents stream in as micro-batches,
     each landing a token-bucketed (term, doc, tc) segment; measures
@@ -368,6 +450,26 @@ def main() -> None:
     spark = get_spark("ingest_bench")
     rec = as_stream_records(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
     root = tempfile.mkdtemp(prefix="ingest_bench_", dir=os.path.join(REPO, "spark-warehouse"))
+    only = os.environ.get("INGEST_BENCH_ONLY")
+    if only:
+        # run one section and MERGE it into the committed artifact —
+        # re-running the full 20-minute suite to add a row is wasteful
+        sections = {
+            "neardup_growth": lambda: bench_neardup_growth(spark, sf_dir, root),
+        }
+        try:
+            row = sections[only]()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        path = os.path.join(REPO, "INGEST_BENCH.json")
+        with open(path) as fh:
+            result = json.load(fh)
+        result[only] = row
+        if "--dry" not in sys.argv:
+            with open(path, "w") as fh:
+                json.dump(result, fh, indent=1)
+        print(json.dumps({only: row}))
+        return
     try:
         result = {
             "metric": "ingest_bench",
@@ -379,6 +481,7 @@ def main() -> None:
             "index_sink": bench_index_sink(
                 spark, sf_dir, max(4, n_batches // 2), root
             ),
+            "neardup_growth": bench_neardup_growth(spark, sf_dir, root),
             "index_sink_tiered": bench_index_tiered(
                 spark,
                 sf_dir,
