@@ -403,9 +403,15 @@ def main() -> None:
     # lands anywhere in 1.6-2.3s depending on when C2 kicks in. Two
     # more passes minutes later reach steady state; DuckDB is re-timed
     # identically so the window cannot bias the ratio.
+    # The 10s absolute cap keeps the window cheap: every genuinely
+    # multi-second query in the set runs at <5x DuckDB (pageranks,
+    # pair verifies), so a >5x entry above 2.5s is, empirically,
+    # always a polluted sample — the prior 2.5s cap excluded exactly
+    # the entries that then surfaced as fabricated weak-set rows
+    # (multimodal_frames 2.77s benched vs 0.64s solo).
     resampled: list[str] = []
     for name, d in sorted(duck.items()):
-        if d > 0 and timings[name] / d > 5 and timings[name] < 2.5:
+        if d > 0 and timings[name] / d > 5 and timings[name] < 10.0:
             resampled.append(name)
             fn = QUERIES[name]
             for _ in range(2):
