@@ -911,6 +911,84 @@ class IvfIngestSink:
             self.vec_col,
         )
 
+    def retrain(
+        self, spark: SparkSession, num_centroids: int | None = None
+    ) -> int:
+        """Retrain the coarse quantizer on the CURRENT corpus and
+        reassign every vector — the IVF twin of
+        ``NearDupIngestSink.reband``, and the maintenance op
+        :class:`IndexGrowthGuard` points at when the corpus outgrows
+        its training-time N (cells fatten linearly; C should grow
+        ~sqrt(N)). Deliberately manual, never automatic: a quantizer
+        that drifted per batch would strand earlier assignments in
+        stale cells, which is exactly what the full reassign here
+        avoids.
+
+        Cost is O(corpus) — Lloyd refinement plus one full
+        reassignment pass — the honest price of changing quantizer
+        geometry; the guard's growth factor spaces retrains
+        logarithmically over the stream's lifetime. MUST run on a
+        quiesced stream whose last batch fully committed
+        (``replace_all``'s contract). Crash discipline: the new
+        centroids land via write-aside + directory rename BEFORE the
+        assignment swap — a crash between the two leaves new centroids
+        with old assignments, which ``retrain()`` rerun repairs and
+        which probes meanwhile treat consistently (every assignment is
+        still a valid cell id; recall degrades, correctness of the
+        probe contract does not). Returns the number of vectors
+        reassigned.
+        """
+        import shutil
+
+        from stream_loader_spark.operators.similarity import (
+            assign_clusters,
+            kmeans_centroids,
+        )
+
+        if num_centroids is not None:
+            self.num_centroids = int(num_centroids)
+        corpus = self.assignments(spark).select(self.id_col, self.vec_col)
+        corpus = corpus.persist()
+        try:
+            seeds = (
+                corpus.orderBy(F.col(self.id_col))
+                .limit(self.num_centroids)
+                .select(self.vec_col)
+                .collect()
+            )
+            if not seeds:
+                raise ValueError(f"no vectors to retrain on under {self.out_dir}")
+            initial = spark.createDataFrame(
+                [(i, [float(x) for x in r[0]]) for i, r in enumerate(seeds)],
+                "centroid_id int, centroid_vec array<double>",
+            )
+            cents = kmeans_centroids(
+                corpus,
+                min(self.num_centroids, len(seeds)),
+                max(self.kmeans_iterations, 1),
+                self.id_col,
+                self.vec_col,
+                initial=initial,
+            )
+            tmp = self._centroids_dir + ".tmp"
+            cents.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(self._centroids_dir, ignore_errors=True)
+            os.rename(tmp, self._centroids_dir)
+            assigned = assign_clusters(
+                corpus,
+                self.num_centroids,
+                self.id_col,
+                self.vec_col,
+                centroids=self.centroids(spark),
+            )
+            n = self._assign_state.replace_all(
+                spark, assigned, partition_by="cluster_id"
+            )
+        finally:
+            corpus.unpersist()
+        self.growth.reset()
+        return n
+
 
 class IndexIngestSink:
     """``foreachBatch`` callable: streaming maintenance of the n-gram

@@ -239,6 +239,36 @@ class TestIndexGrowthGuard:
         kept = sorted(r["doc_id"] for r in again.committed_corpus(spark).collect())
         assert kept == [1, 5]  # 9 near-dups history's 1 across the reband
 
+    def test_ivf_retrain_reassigns_and_rebaselines(self, spark, tmp_path):
+        """retrain(): new quantizer from the grown corpus, every vector
+        reassigned, guard re-baselined — and the exhaustive probe
+        (nprobe >= C, exact by construction) returns identical results
+        across the retrain."""
+        from stream_loader_spark.streaming.ingest import IvfIngestSink
+
+        sink = IvfIngestSink(
+            str(tmp_path / "ivf"), num_centroids=4, kmeans_iterations=0
+        )
+        helper = TestIvfIngest()
+        sink(helper._vecs(spark, 0, 16), 0)
+        sink(helper._vecs(spark, 16, 64), 1)
+        q = spark.createDataFrame(
+            [(100, [0.3] * 8), (101, [-0.2] * 8)],
+            "query_id long, query_vec array<float>",
+        )
+        before = sorted(tuple(r) for r in sink.topk(spark, q, k=3, nprobe=8).collect())
+
+        n = sink.retrain(spark, num_centroids=8)
+        assert n == 64  # every vector reassigned
+        assert sink.centroids(spark).count() == 8
+        st = sink.growth.status()
+        assert st["built_n"] == st["live_n"] == 64 and not st["needs_rebuild"]
+        after = sorted(tuple(r) for r in sink.topk(spark, q, k=3, nprobe=8).collect())
+        assert before == after
+        # the index keeps ingesting and probing after the swap
+        sink(helper._vecs(spark, 64, 72), 2)
+        assert sink.assignments(spark).count() == 72
+
     def test_ivf_sink_warns_on_growth(self, spark, tmp_path):
         from stream_loader_spark.streaming.ingest import IvfIngestSink
 
