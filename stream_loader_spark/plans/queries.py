@@ -3182,6 +3182,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
     offers = (
         li.join(eur.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
+        # ONE exchange for both downstream distributions: hash(l_partkey)
+        # satisfies the (l_partkey, l_suppkey) aggregate's clustering AND
+        # the window's, so neither re-shuffles — without this hint the
+        # agg exchanges on the pair key and the window exchanges again
+        # on l_partkey (measured 0.91s → 0.77s, same results)
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("l_extendedprice").cast("double").alias("offer"))
     )
