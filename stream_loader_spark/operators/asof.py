@@ -50,13 +50,15 @@ def asof_join(
     # ASOF semantics (and the DuckDB oracle, where NULL <= t is never
     # true) say such rows can match nothing — drop them up front
     right = right.where(F.col(right_time).isNotNull())
-    if tie_break is not None:
-        w_dedup = Window.partitionBy(key, right_time).orderBy(F.desc(tie_break))
-        right = (
-            right.withColumn("_rn", F.row_number().over(w_dedup))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+    # The tie-break is folded into the CARRY sort rather than a separate
+    # per-(key, time) dedup window: with the union ordered by
+    # (_t, _is_left, _tb), the max-tie_break right row is the LAST one
+    # carried at any equal time — the same row the row_number dedup
+    # picked — for one fewer exchange and sort (the dedup window
+    # clustered on (key, time) and could not share the carry window's
+    # hash(key) exchange; measured as a whole extra stage). NULL
+    # tie_breaks sort first ascending, exactly mirroring the old
+    # desc-nulls-last pick.
 
     left_cols = left.columns
     # the payload is carried as ONE struct: per-column carries would mix
@@ -66,12 +68,14 @@ def asof_join(
     null_struct = F.lit(None).cast(
         "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload_cols) + ">"
     )
+    tb_type = right.schema[tie_break].dataType if tie_break is not None else None
     tagged_left = left.select(
         F.col(key).alias("_key"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in left_cols],
         null_struct.alias("_r"),
+        *([F.lit(None).cast(tb_type).alias("_tb")] if tie_break is not None else []),
     )
     tagged_right = right.select(
         F.col(key).alias("_key"),
@@ -79,14 +83,18 @@ def asof_join(
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
         payload_struct.alias("_r"),
+        *([F.col(tie_break).alias("_tb")] if tie_break is not None else []),
     )
     unioned = tagged_left.unionByName(tagged_right)
 
     # right rows (_is_left=0) sort before left rows at equal _t, so an
-    # exactly-simultaneous right row is eligible for the left row
+    # exactly-simultaneous right row is eligible for the left row; at
+    # equal (key, time) among right rows the max tie_break sorts last
+    # and wins the carry
+    order_cols = ["_t", "_is_left"] + (["_tb"] if tie_break is not None else [])
     w = (
         Window.partitionBy("_key")
-        .orderBy("_t", "_is_left")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select("*", F.last("_r", ignorenulls=True).over(w).alias("_asof"))
