@@ -348,10 +348,20 @@ def ivf_topk(
         )
 
     spark = embeddings.sparkSession
-    view = "__ivf_topk_src"
-    # scatter() first: the view pins the (possibly fanned-out) plan, so
-    # interpreted HOF work parallelizes on single-split local fixtures
-    scatter(embeddings).createOrReplaceTempView(view)
+    if not query_ids:
+        # array() below would be an untyped-literal analysis error; the
+        # composed path's contract for no queries is an empty result
+        idt = embeddings.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id {idt}, match_id {idt}, cosine double, rank int"
+        )
+    # the source DataFrame is bound via spark.sql's formatter kwarg: a
+    # per-call uuid temp view, dropped after analysis — a FIXED view
+    # name raced concurrent ivf_topk calls on one session and leaked
+    # into the catalog. scatter() first: the bound view pins the
+    # (possibly fanned-out) plan, so interpreted HOF work parallelizes
+    # on single-split local fixtures
+    view = "{src}"
     qid_lits = "array(" + ", ".join(str(int(q)) for q in query_ids) + ")"
     probe_clusters = (
         "transform(slice(reverse(array_sort(transform(_cents, c -> named_struct("
@@ -396,7 +406,7 @@ def ivf_topk(
       FROM scored)
     SELECT query_id, match_id, cosine, rank FROM ranked WHERE rank <= {int(k)}
     """
-    return spark.sql(sql)
+    return spark.sql(sql, src=scatter(embeddings))
 
 
 def ivf_probe(

@@ -2307,9 +2307,9 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q18_large_orders",
     """WITH big AS (
-      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS total_qty
+      SELECT l_orderkey, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS total_qty
       FROM lineitem GROUP BY l_orderkey
-      HAVING SUM(CAST(l_quantity AS BIGINT)) > 120)
+      HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 120)
     SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, b.total_qty
     FROM big b
     JOIN orders o ON o.o_orderkey = b.l_orderkey
@@ -2327,13 +2327,18 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, while the decimal aggregate — boxed per-row, outside
     whole-stage codegen's primitive path — measured 1.06s vs 0.46s for
     the primitive sum over the same 600k rows and made this query a
-    bench boundary entry."""
+    bench boundary entry. ROUND precedes the cast on BOTH engines:
+    a bare double→bigint cast truncates in Spark but rounds in
+    DuckDB, so the two would diverge silently (wrong HAVING
+    membership) if a fixture ever carried a non-integral quantity —
+    rounding first keeps the exactness claim robust instead of
+    fixture-dependent."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty_int"))
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("qty_int"))
         .where(F.col("qty_int") > 120)
         .select("l_orderkey", F.col("qty_int").cast("double").alias("total_qty"))
     )

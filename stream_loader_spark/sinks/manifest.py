@@ -423,8 +423,9 @@ class ManifestFileSink:
         # backfill, max(live id) equals the live compaction's own id
         # and reusing it would make the consolidated write OVERWRITE
         # the very dir it is reading (and collide manifest names)
+        records = self._read_records()
         prior_comp_ids = {
-            r["batch_id"] for r in self._read_records() if self._is_compaction(r)
+            r["batch_id"] for r in records if self._is_compaction(r)
         }
         max_id = max(
             max(b.batch_id for b in live),
@@ -446,14 +447,24 @@ class ManifestFileSink:
             keep_exact=self.compaction_keep_ranges,
         )
         prior_upto, prior_neg = self._compaction_state()
-        # watermark over ORIGINAL stream ids only: a compaction id may
-        # sit above the real stream epoch (see max_id above), and
-        # letting it raise the watermark would silently swallow a
-        # future original batch that lands on the same id
+        # watermark over ORIGINAL stream records only, identified by
+        # each RECORD's own compaction marker — NOT by id membership in
+        # prior_comp_ids. A compaction id can collide with a later real
+        # stream batch id (batches 0-2 → compaction record 2; a
+        # backfill-only compaction then takes id 3; the stream's next
+        # batch is ALSO 3): excluding by id would pin the watermark
+        # below that real batch forever, leaving its manifest record
+        # live next to the compaction that already folded its rows
+        # (permanent double-read, unreclaimable by vacuum). A live
+        # compaction still never raises the watermark — it is excluded
+        # here by what it IS, not what id it got.
+        live_ids = {b.batch_id for b in live}
         live_nonneg = [
-            b.batch_id
-            for b in live
-            if b.batch_id >= 0 and b.batch_id not in prior_comp_ids
+            r["batch_id"]
+            for r in records
+            if not self._is_compaction(r)
+            and r["batch_id"] >= 0
+            and r["batch_id"] in live_ids
         ]
         record = {
             "batch_id": max_id,

@@ -404,10 +404,24 @@ class IndexGrowthGuard:
 
     def observe(self, n_added: int, batch_id: int) -> None:
         st = self._state()
-        if st["last_batch"] is not None and batch_id <= st["last_batch"]:
-            return  # replayed batch: its rows are already counted
+        if batch_id >= 0:
+            # monotone stream space: at-or-below the high-water id means
+            # a replayed batch whose rows are already counted
+            if st["last_batch"] is not None and batch_id <= st["last_batch"]:
+                return
+            st["last_batch"] = batch_id
+        else:
+            # reserved negative backfill ids sit OUTSIDE the monotone
+            # space (mirrors the manifest sink): a backfill ingested
+            # AFTER stream batches must still count, so replays are
+            # detected by exact id, not order. Bounded: backfills are
+            # rare one-shot loads, not per-micro-batch events.
+            seen_neg = set(st.get("seen_neg", []))
+            if batch_id in seen_neg:
+                return
+            seen_neg.add(batch_id)
+            st["seen_neg"] = sorted(seen_neg)
         st["live_n"] = int(st["live_n"]) + int(n_added)
-        st["last_batch"] = batch_id
         if st["built_n"] is None and st["live_n"] > 0:
             # geometry was sized by whatever built the first non-empty
             # state — that count is the baseline growth is measured from

@@ -212,6 +212,27 @@ class TestIndexGrowthGuard:
         sink(b, 0)  # replay
         assert sink.growth.status()["live_n"] == 2
 
+    def test_late_backfill_counts_despite_lower_id(self, tmp_path):
+        """A reserved NEGATIVE backfill id ingested AFTER normal stream
+        batches sits outside the monotone id space: it must still add
+        to live_n (order-based replay detection would drop it and the
+        growth warning would fire late), while a REPLAY of the same
+        backfill id stays a no-op."""
+        from stream_loader_spark.streaming.ingest import IndexGrowthGuard
+
+        g = IndexGrowthGuard(str(tmp_path))
+        g.observe(10, 0)
+        g.observe(10, 1)
+        g.observe(100, -1)  # late backfill: id below last_batch
+        assert g.status()["live_n"] == 120
+        g.observe(100, -1)  # backfill replay: exact-id no-op
+        assert g.status()["live_n"] == 120
+        g.observe(50, -2)  # a DIFFERENT reserved id counts
+        assert g.status()["live_n"] == 170
+        g.observe(10, 1)  # stream replay still a no-op
+        g.observe(10, 2)  # and the stream keeps counting
+        assert g.status()["live_n"] == 180
+
     def test_interrupted_reband_fails_closed_then_completes(self, spark, tmp_path):
         import json
 

@@ -396,6 +396,69 @@ class TestBackfillAfterCompaction:
         sink.write_batch(history, -1)  # replay after vacuum: no-op
         assert sink.committed_data(spark).count() == 4 * n
 
+    def test_compaction_id_collision_with_future_stream_batch(self, spark, tmp_path):
+        """Exactly-once must survive a compaction record whose id
+        collides with a LATER real stream batch id: batches 0-2 →
+        compaction record 2; a backfill-only compaction then takes id
+        3 (max live id + 1); the stream's next batch is ALSO 3. The
+        next compaction must still raise ``replaces_upto`` over the
+        real batch 3 (the record-is-a-compaction test, not id
+        membership) so its manifest record is superseded — otherwise
+        its rows are double-read forever and vacuum can never reclaim
+        it."""
+        from datetime import datetime, timezone
+
+        ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        schema = "topic string, partition int, offset bigint, ts timestamp"
+        sink = ManifestFileSink(str(tmp_path / "out"))
+        per = 5
+
+        def rows(base):
+            return spark.createDataFrame(
+                [("t", 0, base + j, ts) for j in range(per)], schema
+            )
+
+        for b in range(3):
+            sink.write_batch(rows(b * 10), b)
+        assert sink.compact_data(spark) is not None  # record id 2
+        sink.vacuum()
+
+        # late backfill, then a backfill-only compaction → record id 3
+        sink.write_batch(rows(-1000), -1)
+        assert sink.compact_data(spark) is not None
+        sink.vacuum()
+        import glob
+        import json as _json
+
+        (comp,) = glob.glob(str(tmp_path / "out" / "_manifest" / "compaction-*.json"))
+        assert _json.loads(open(comp).read())["batch_id"] == 3  # the collision setup
+
+        # the stream resumes: its next micro-batch id is ALSO 3
+        assert not sink.is_batch_committed(3)  # must not be swallowed
+        sink.write_batch(rows(30), 3)
+        assert sink.committed_data(spark).count() == 5 * per
+
+        # folding compaction must supersede the REAL batch 3
+        assert sink.compact_data(spark) is not None
+        assert sink.committed_data(spark).count() == 5 * per  # no double-read
+        rec = max(
+            (
+                _json.loads(open(p).read())
+                for p in glob.glob(
+                    str(tmp_path / "out" / "_manifest" / "compaction-*.json")
+                )
+            ),
+            key=lambda r: r["batch_id"],
+        )
+        assert rec["replaces_upto"] == 3
+        removed = sink.vacuum()
+        assert any("batch=3" in d for d in removed)  # reclaimable again
+        assert len(sink.committed_batches()) == 1
+        assert sink.committed_data(spark).count() == 5 * per
+        assert sink.is_batch_committed(3)  # replay after vacuum: no-op
+        sink.write_batch(rows(30), 3)
+        assert sink.committed_data(spark).count() == 5 * per
+
     def test_legacy_replaces_list_with_negative_ids(self, spark, stream_env):
         """A legacy compaction record enumerating ``replaces`` with a
         negative id keeps its exact semantics: the enumerated backfill
