@@ -36,6 +36,7 @@ def pagerank(
     assume_distinct: bool = False,
     symmetric: bool = False,
     seed_nodes: list[int] | None = None,
+    deg_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -85,78 +86,133 @@ def pagerank(
       graphs whose node table itself is executor-scale.
 
     Per iteration: one join on src, one map-side-combinable SUM by
-    dst, one left join back to the node set (nodes without in-edges
-    keep the base rank). Rank tables are localCheckpoint-ed LAZILY per
-    round: the
-    returned frame is already LogicalRDD-backed (the plan never grows
-    with the iteration count) but the |V|-row block persists inside
-    whichever job first computes it — no per-iteration job floor, the
-    whole fixed-iteration loop runs as one action. The blocks pin
-    executor storage until the caller unpersists or the session ends
-    (same caveat as every checkpoint-hygiene note in this repo).
+    dst, and — only for non-symmetric graphs — one left join back to
+    the node set (nodes without in-edges keep the base rank; with
+    ``symmetric=True`` every node IS a dst, so the contribution table
+    already covers the node set and the join is skipped). On the
+    distributed path rank tables are localCheckpoint-ed LAZILY per
+    round so the plan never grows with the iteration count; on the
+    broadcast path rounds chain inside one plan (each round's
+    broadcast build materializes the previous round exactly once —
+    builds nest, single consumer) with a depth-bounding checkpoint
+    every 8th round. Checkpoint blocks pin executor storage until the
+    caller unpersists or the session ends (same caveat as every
+    checkpoint-hygiene note in this repo).
+
+    ``deg_col``: callers that run SEVERAL rankings over one edge table
+    (plain + personalized) can pass a pre-deduplicated, degree-joined,
+    materialized edge frame once and name its out-degree column here —
+    the dedup/degree/checkpoint prep is then skipped entirely.
     """
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    e = edges.select(
-        F.col(src_col).cast("bigint").alias("src"),
-        F.col(dst_col).cast("bigint").alias("dst"),
-    )
-    if not assume_distinct:
-        # callers that just mirrored a distinct pair set (undirected
-        # graphs) skip this edge-sized shuffle with assume_distinct
-        e = e.distinct()
-    if not broadcast_ranks:
-        # pre-partition by the iteration join key so only ranks reshuffle
-        e = e.repartition(num_partitions, "src") if num_partitions else e.repartition("src")
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # iteration-invariant: materialize once, partitioned by the join key.
-    # EVERYTHING downstream (the node set included) derives from this
-    # checkpointed frame — deriving nodes from `e` instead re-runs the
-    # whole upstream edge build once per checkpoint (measured 3× the
-    # query's cost on the purchase graph).
-    ed = e.join(deg, "src").localCheckpoint(eager=False)
+    if deg_col is not None:
+        # caller contract: edges are already deduplicated, carry the
+        # src out-degree in-row, and are materialized (checkpointed /
+        # persisted) — the shared-graph fast path for callers that run
+        # several rankings over one edge table (e.g. plain + seeded)
+        ed = edges.select(
+            F.col(src_col).cast("bigint").alias("src"),
+            F.col(dst_col).cast("bigint").alias("dst"),
+            F.col(deg_col).cast("bigint").alias("deg"),
+        )
+    else:
+        e = edges.select(
+            F.col(src_col).cast("bigint").alias("src"),
+            F.col(dst_col).cast("bigint").alias("dst"),
+        )
+        if not assume_distinct:
+            # callers that just mirrored a distinct pair set (undirected
+            # graphs) skip this edge-sized shuffle with assume_distinct
+            e = e.distinct()
+        if not broadcast_ranks:
+            # pre-partition by the iteration join key so only ranks reshuffle
+            e = e.repartition(num_partitions, "src") if num_partitions else e.repartition("src")
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        # iteration-invariant: materialize once, partitioned by the join
+        # key. EVERYTHING downstream (the node set included) derives from
+        # this checkpointed frame — deriving nodes from `e` instead
+        # re-runs the whole upstream edge build once per checkpoint
+        # (measured 3× the query's cost on the purchase graph).
+        ed = e.join(deg, "src").localCheckpoint(eager=False)
     if symmetric:
-        # every node appears as a src — distinct src IS the node set
+        # every node appears as a src — distinct src IS the node set.
+        # No checkpoint: on the symmetric path the node set has exactly
+        # ONE consumer (the initial ranks), so pinning it would only
+        # add a serialized build-time job.
         nodes = ed.select(F.col("src").alias("node")).distinct()
     else:
         nodes = (
             ed.select(F.col("src").alias("node"))
             .union(ed.select(F.col("dst").alias("node")))
             .distinct()
-        )
-    nodes = nodes.localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False)
     base = (100 - damping_pct) * scale // 100
     if seed_nodes is not None:
         if not seed_nodes:
             raise ValueError("seed_nodes must be non-empty when given")
         seed_arr = F.array(*[F.lit(int(x)).cast("bigint") for x in seed_nodes])
-        is_seed = F.array_contains(seed_arr, F.col("node"))
-        base_col = F.when(is_seed, F.lit(base)).otherwise(F.lit(0)).cast("bigint")
-        init_col = F.when(is_seed, F.lit(scale)).otherwise(F.lit(0)).cast("bigint")
+
+        def base_for(col):  # teleport mass lands only on the seeds
+            return (
+                F.when(F.array_contains(seed_arr, col), F.lit(base))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+            )
+
+        init_col = (
+            F.when(F.array_contains(seed_arr, F.col("node")), F.lit(scale))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
     else:
-        base_col = F.lit(base).cast("bigint")
+
+        def base_for(col):
+            return F.lit(base).cast("bigint")
+
         init_col = F.lit(scale).cast("bigint")
     ranks = nodes.select("node", init_col.alias("rank"))
     hint = F.broadcast if broadcast_ranks else (lambda df: df)
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             ed.join(hint(ranks.withColumnRenamed("node", "src")), "src")
             .groupBy("dst")
             .agg(F.sum(F.expr("rank div deg")).alias("s"))
         )
-        ranks = (
-            nodes.join(hint(contrib.withColumnRenamed("dst", "node")), "node", "left")
-            .select(
+        if symmetric:
+            # every node has an in-edge (it appears as a dst), so the
+            # contribution table already covers the whole node set —
+            # the per-round nodes left-join is provably redundant and
+            # skipping it removes one join per iteration
+            ranks = contrib.select(
+                F.col("dst").alias("node"),
+                (
+                    base_for(F.col("dst"))
+                    + F.expr(f"({damping_pct} * s) div 100")
+                ).cast("bigint").alias("rank"),
+            )
+        else:
+            ranks = nodes.join(
+                hint(contrib.withColumnRenamed("dst", "node")), "node", "left"
+            ).select(
                 "node",
                 (
-                    base_col
+                    base_for(F.col("node"))
                     + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
                 ).cast("bigint").alias("rank"),
             )
-            .localCheckpoint(eager=False)
-        )
+        if not broadcast_ranks or (i + 1) % 8 == 0:
+            # distributed path: truncate lineage every round (the rank
+            # join would otherwise re-plan a growing tree). Broadcast
+            # path: each round's broadcast build already materializes
+            # the previous round exactly once (builds nest, single
+            # consumer — no recompute), so per-round checkpoints only
+            # added a serialized AQE job per iteration (measured ~0.4 s
+            # over 5 rounds); a checkpoint every 8th round just bounds
+            # analyzer depth for long loops.
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.col("rank").alias("rank_scaled"))
 
 

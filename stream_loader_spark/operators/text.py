@@ -57,6 +57,77 @@ def tokens_sql(text_col: str) -> str:
     return "filter(split({c}, '\\\\s+'), x -> x != '')".format(c=text_col)
 
 
+def doc_term_counts(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-(document, n-gram) counts WITHOUT a corpus shuffle.
+
+    The usual shape — explode the grams, groupBy(doc, token) — ships
+    every gram occurrence through a corpus-wide exchange just to count
+    duplicates that all live INSIDE one document row. The grouping key
+    contains the doc id, so the aggregate never crosses rows: a per-row
+    run-length histogram (sort the gram array, find run starts, emit
+    (gram, run length)) is exactly equivalent and embarrassingly
+    parallel — the retrieval family's term-count block becomes a narrow
+    codegen'd map over the scan, and the first shuffle any consumer
+    pays is its own (vocab- or doc-sized, partial-aggregated).
+
+    Output: (id_col, *extra_cols, token string, tc bigint), one row per
+    distinct gram per document — identical to the groupBy shape, so
+    every downstream contract (df bands, idf, BM25 rationals) is
+    unchanged. try_element_at guards the i−1 lookback at i=1 (OR does
+    not short-circuit in Spark SQL, and element_at(_, 0) throws).
+    Documents with fewer than ``n`` tokens emit no rows, matching the
+    explode shape.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = documents.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        tokens_col(F.col(text_col)).alias("toks"),
+    ).where(F.size("toks") >= n)
+    grams = (
+        "toks"
+        if n == 1
+        else (
+            f"transform(sequence(1, size(toks) - {n} + 1),"
+            f" i -> array_join(slice(toks, i, {n}), ' '))"
+        )
+    )
+    return (
+        toks.select(
+            id_col, *extra_cols, F.expr(f"array_sort({grams})").alias("s")
+        )
+        .select(
+            id_col,
+            *extra_cols,
+            "s",
+            F.expr(
+                "filter(sequence(1, size(s)),"
+                " i -> i = 1 OR try_element_at(s, i) != try_element_at(s, i - 1))"
+            ).alias("starts"),
+        )
+        .select(
+            id_col,
+            *extra_cols,
+            F.explode(
+                F.expr(
+                    "transform(starts, (st, k) -> struct("
+                    "element_at(s, st) AS token,"
+                    " CAST(coalesce(try_element_at(starts, k + 2), size(s) + 1)"
+                    " - st AS BIGINT) AS tc))"
+                )
+            ).alias("z"),
+        )
+        .select(id_col, *extra_cols, "z.token", "z.tc")
+    )
+
+
 def normalized_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercased, whitespace-collapsed."""
     return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
@@ -187,28 +258,22 @@ def unigram_logprob(
     random-token corpora where distinct ≈ total): it reverts to the
     shuffle join and leaves the skew to AQE.
     """
-    toks = scatter(documents).select(
-        F.col(id_col),
-        *[F.col(c) for c in extra_cols],
-        F.explode(tokens_col(F.col(text_col))).alias("token"),
-    )
-    # Tokenize ONCE: collapse to per-(doc, token) counts first. Both the
-    # vocabulary aggregate and the scoring join then consume the same
-    # shuffle output (ReusedExchange), instead of each branch re-running
-    # the tokenize+explode pipeline from the scan. The map-side partial
-    # aggregate also shrinks the shuffle by the within-doc Zipf factor.
-    # extra_cols ride the group keys — callers pass columns functionally
-    # dependent on the id (e.g. lang), so the key widening is free and
-    # saves them a join back against the source table.
+    # Tokenize ONCE, count IN-ROW: the per-(doc, token) block is built
+    # by doc_term_counts' run-length histogram — no corpus-wide
+    # (doc, token) exchange at all (the grouping key contains the doc
+    # id, so the old groupBy never crossed rows; the shuffle it paid
+    # bought nothing). extra_cols ride along — callers pass columns
+    # functionally dependent on the id (e.g. lang), saving a join back
+    # against the source table.
     # dtc feeds BOTH the vocabulary aggregate and the scoring join, and
     # the broadcast boundary defeats exchange reuse (the whole
-    # scan→tokenize→aggregate pipeline re-ran inside the broadcast
+    # scan→tokenize→histogram pipeline re-ran inside the broadcast
     # build — measured, same lesson as dsir.dsir_logratio). The block
     # is per-(doc, distinct-token) counts — within-doc-Zipf-compressed;
     # on corpora where even that is too big to materialize, trading the
     # checkpoint back for the recompute is the documented knob.
-    dtc = toks.groupBy(id_col, *extra_cols, "token").agg(
-        F.count(F.lit(1)).alias("tc")
+    dtc = doc_term_counts(
+        scatter(documents), text_col, id_col, 1, extra_cols
     ).localCheckpoint(eager=False)
     freq = dtc.groupBy("token").agg(F.sum("tc").alias("c"))
     if broadcast_vocab:
@@ -762,26 +827,10 @@ def inverted_postings(
     single-derivation rule as ``bigram_logprob``, and no ``scatter``
     for the same measured reason).
     """
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
-    toks = (
-        documents
-        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
-        .where(F.size("toks") >= n)
-        .select(
-            id_col,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {n} + 1),"
-                    f" i -> array_join(slice(toks, i, {n}), ' '))"
-                )
-            ).alias("token"),
-        )
-    )
-    dtc = (
-        toks.groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("tc"))
-        .localCheckpoint(eager=True)
+    # in-row histogram, no corpus shuffle (see doc_term_counts) —
+    # the checkpoint build is now a narrow map over the scan
+    dtc = doc_term_counts(documents, text_col, id_col, n).localCheckpoint(
+        eager=True
     )
     keep = (
         dtc.groupBy("token")
@@ -850,15 +899,16 @@ def collocations_pmi(
         .select("z.prev", "z.cur")
     )
     # two consumers of the bigram-type table (scalar N, keyed
-    # marginals): LAZY-checkpoint it so the corpus tokenize+aggregate
-    # runs once — safe here because exactly ONE consumer is a broadcast
-    # (the N build materializes the blocks, the window stage then reads
-    # them); the documented double-materialization race needs two
-    # CONCURRENT broadcast builds (see bigram_logprob's eager bg)
+    # marginals): checkpoint it EAGERLY. A lazy checkpoint here can
+    # still double-compute partitions if AQE schedules the broadcast-N
+    # build and the window shuffle concurrently before first
+    # materialization; the eager write is vocab-scale (|bigram types|
+    # rows, not corpus-sized), so paying it once closes the race for
+    # good — the corpus tokenize+aggregate runs exactly once.
     freq = (
         bg.groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # N as a broadcast SCALAR aggregate, not SUM OVER () — the
     # unpartitioned window serializes the whole bigram-type table
@@ -931,26 +981,9 @@ def bm25_postings(
     aggregate derived from the SAME block (no extra corpus pass); the
     df ceiling bounds every posting group before weights materialize.
     """
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
-    toks = (
-        documents
-        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
-        .where(F.size("toks") >= n)
-        .select(
-            id_col,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {n} + 1),"
-                    f" i -> array_join(slice(toks, i, {n}), ' '))"
-                )
-            ).alias("token"),
-        )
-    )
-    dtc = (
-        toks.groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("tc"))
-        .localCheckpoint(eager=True)
+    # in-row histogram, no corpus shuffle (see doc_term_counts)
+    dtc = doc_term_counts(documents, text_col, id_col, n).localCheckpoint(
+        eager=True
     )
     dl = dtc.groupBy(id_col).agg(F.sum("tc").alias("dl"))
     corpus = dl.agg(
@@ -1026,27 +1059,19 @@ def tfidf_cosine_pairs(
     stopword-band terms would each contribute C(N, 2) and are exactly
     the ones the banding drops). One eager per-(doc, term) checkpoint
     = single corpus derivation for weights, norms, and the join.
+
+    Candidate generation is GROUP-THEN-EXPAND, not a term self-join
+    (the same shape as ``minhash_lsh_pairs``'s banding pass): per token
+    the ≤ ``max_df`` banded postings are collected into one sorted
+    array and the C(df, 2) ordered pairs expand IN-ROW, so the banded
+    weight block crosses the wire ONCE — the naive self-join ships it
+    twice (once per join side) and then sorts both copies. Per-token
+    state is bounded at ``max_df`` structs by the band, never a
+    corpus-sized group.
     """
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
-    toks = (
-        documents
-        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
-        .where(F.size("toks") >= n)
-        .select(
-            id_col,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {n} + 1),"
-                    f" i -> array_join(slice(toks, i, {n}), ' '))"
-                )
-            ).alias("token"),
-        )
-    )
-    dtc = (
-        toks.groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("tc"))
-        .localCheckpoint(eager=True)
+    # in-row histogram, no corpus shuffle (see doc_term_counts)
+    dtc = doc_term_counts(documents, text_col, id_col, n).localCheckpoint(
+        eager=True
     )
     n_docs = dtc.select(id_col).distinct().count()
     keep = (
@@ -1067,6 +1092,10 @@ def tfidf_cosine_pairs(
         # dot product and norm — dropping it is the identity, and it
         # keeps an all-universal-terms doc from reaching 0/0 under ANSI
         .where(F.col("idf_micro") > 0)
+        # three consumers (weight join, both norm rebuilds) would each
+        # re-aggregate the corpus block for df — pin the banded vocab
+        # table once instead (small: banded terms only)
+        .localCheckpoint(eager=True)
     )
     w = dtc.join(F.broadcast(keep), "token").select(
         id_col, "token", (F.col("idf_micro") * F.col("tc")).alias("w")
@@ -1074,20 +1103,43 @@ def tfidf_cosine_pairs(
     # w fits bigint (idf_micro ≤ ~2·10^7, tc per doc-term bounded by doc
     # length) but w·w would not for repetitive docs — go decimal FIRST
     wsq = F.col("w").cast("decimal(19,0)") * F.col("w")
+    # NOT pinned: the final join's two sides each rebuild this with a
+    # broadcast join + map-side-combined aggregate over the two PINNED
+    # blocks — zero extra shuffles, and recompute-from-pinned beats a
+    # serialized checkpoint job here (measured, same as bigram_logprob)
     norms = w.groupBy(id_col).agg(F.sum(wsq).alias("n2"))
-    a = w.select(F.col(id_col).alias("doc_a"), "token", F.col("w").alias("wa"))
-    b = w.select(F.col(id_col).alias("doc_b"), "token", F.col("w").alias("wb"))
+    # one token shuffle: collect the ≤ max_df banded postings per token
+    # (sort_array makes doc_a < doc_b deterministic — ids are unique
+    # within a token group), expand the ordered pairs in-row with the
+    # SAME decimal-first product as the self-join shape (decimal(19,0)
+    # × bigint, identical result type, bit-identical sums)
+    grouped = w.groupBy("token").agg(
+        F.expr(f"sort_array(collect_list(struct({id_col} AS d, w)))").alias("arr")
+    )
     dots = (
-        a.join(b, "token")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(arr, (x, i) ->"
+                    " transform(slice(arr, i + 2, size(arr)), y ->"
+                    " struct(x.d AS doc_a, y.d AS doc_b,"
+                    " CAST(x.w AS DECIMAL(19,0)) * y.w AS p))))"
+                )
+            ).alias("z")
+        )
+        .select("z.doc_a", "z.doc_b", "z.p")
         .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("wa").cast("decimal(19,0)") * F.col("wb")).alias("dot"))
+        .agg(F.sum("p").alias("dot"))
     )
     na = norms.select(F.col(id_col).alias("doc_a"), F.col("n2").alias("n2a"))
     nb = norms.select(F.col(id_col).alias("doc_b"), F.col("n2").alias("n2b"))
     return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
+        # norms is |docs|-sized (one decimal per doc): broadcast keeps
+        # the pair table's (doc_a, doc_b) clustering intact. Fine at the
+        # audit scales this exact baseline is for — the at-scale near-dup
+        # path (MinHash/SimHash) never builds a dense norm table at all
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
         .select(
             "doc_a",
             "doc_b",
