@@ -99,13 +99,28 @@ def doc_term_counts(
             f" i -> array_join(slice(toks, i, {n}), ' '))"
         )
     )
-    return (
+    return runlength_explode(
         toks.select(
             id_col, *extra_cols, F.expr(f"array_sort({grams})").alias("s")
-        )
+        ),
+        (id_col, *extra_cols),
+    )
+
+
+def runlength_explode(
+    df: DataFrame, key_cols: tuple[str, ...], value_name: str = "token"
+) -> DataFrame:
+    """Explode a SORTED array column ``s`` into (value, run length) rows
+    — the in-row equivalent of groupBy(keys, element).count() when the
+    grouping keys make every group live inside one row. Rows with an
+    empty ``s`` emit nothing (same as the explode+groupBy shape).
+    try_element_at guards the lookback at i=1 and the lookahead at the
+    last run (OR does not short-circuit in Spark SQL, and
+    element_at(_, 0) throws)."""
+    return (
+        df.where(F.size("s") >= 1)
         .select(
-            id_col,
-            *extra_cols,
+            *key_cols,
             "s",
             F.expr(
                 "filter(sequence(1, size(s)),"
@@ -113,18 +128,17 @@ def doc_term_counts(
             ).alias("starts"),
         )
         .select(
-            id_col,
-            *extra_cols,
+            *key_cols,
             F.explode(
                 F.expr(
-                    "transform(starts, (st, k) -> struct("
-                    "element_at(s, st) AS token,"
+                    f"transform(starts, (st, k) -> struct("
+                    f"element_at(s, st) AS {value_name},"
                     " CAST(coalesce(try_element_at(starts, k + 2), size(s) + 1)"
                     " - st AS BIGINT) AS tc))"
                 )
             ).alias("z"),
         )
-        .select(id_col, *extra_cols, "z.token", "z.tc")
+        .select(*key_cols, f"z.{value_name}", "z.tc")
     )
 
 

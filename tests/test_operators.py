@@ -1880,3 +1880,99 @@ def test_resize_media_shapes_and_determinism(spark):
     assert out2 == {k: bytes(v.resized) for k, v in out.items()}
     with pytest.raises(ValueError, match="dimensions"):
         resize_media(media, out_w=0)
+
+
+# ------------------------------------------------- in-row term counts
+
+
+class TestDocTermCounts:
+    """doc_term_counts must be bit-identical to the explode+groupBy
+    shape it replaced (the retrieval family's df/idf/BM25 contracts all
+    sit on this block)."""
+
+    def _reference(self, docs, n):
+        from stream_loader_spark.operators.text import tokens_col
+
+        toks = (
+            docs.select(F.col("doc_id"), tokens_col(F.col("text")).alias("toks"))
+            .where(F.size("toks") >= n)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(toks) - {n} + 1),"
+                        f" i -> array_join(slice(toks, i, {n}), ' '))"
+                    )
+                ).alias("token"),
+            )
+        )
+        return toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tc"))
+
+    def test_matches_groupby_reference_unigram_and_bigram(self, spark):
+        from stream_loader_spark.operators.text import doc_term_counts
+
+        rows = [
+            (1, ""),                      # zero tokens -> no rows
+            (2, "  \t \n "),              # whitespace-only -> no rows
+            (3, "solo"),                  # single token (no bigram row)
+            (4, "a a a a"),               # one run
+            (5, "b a b a b"),             # interleaved runs
+            (6, "the quick the quick the"),
+            (7, "x y z"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        for n in (1, 2):
+            got = {
+                (r["doc_id"], r["token"]): r["tc"]
+                for r in doc_term_counts(docs, n=n).collect()
+            }
+            want = {
+                (r["doc_id"], r["token"]): r["tc"]
+                for r in self._reference(docs, n).collect()
+            }
+            assert got == want, n
+        assert got  # bigram case is non-trivial
+
+    def test_extra_cols_ride_along(self, spark):
+        from stream_loader_spark.operators.text import doc_term_counts
+
+        docs = spark.createDataFrame(
+            [(1, "a b a", "en"), (2, "c c", "de")],
+            "doc_id bigint, text string, lang string",
+        )
+        got = {
+            (r["doc_id"], r["lang"], r["token"]): r["tc"]
+            for r in doc_term_counts(docs, extra_cols=("lang",)).collect()
+        }
+        assert got == {
+            (1, "en", "a"): 2,
+            (1, "en", "b"): 1,
+            (2, "de", "c"): 2,
+        }
+
+    def test_schema_and_validation(self, spark):
+        from stream_loader_spark.operators.text import doc_term_counts
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+        out = doc_term_counts(docs, n=2)
+        assert [f.name for f in out.schema.fields] == ["doc_id", "token", "tc"]
+        assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)[
+            "tc"
+        ] == "bigint"
+        with pytest.raises(ValueError, match="n must be >= 1"):
+            doc_term_counts(docs, n=0)
+
+    def test_runlength_explode_generic_values(self, spark):
+        """Non-string elements (the dsir bucket shape) and the empty
+        array both behave like explode+groupBy."""
+        from stream_loader_spark.operators.text import runlength_explode
+
+        df = spark.createDataFrame(
+            [(1, [3, 1, 3, 3]), (2, []), (3, [7])],
+            "id bigint, raw array<int>",
+        ).select("id", F.array_sort("raw").alias("s"))
+        got = {
+            (r["id"], r["bucket"]): r["tc"]
+            for r in runlength_explode(df, ("id",), "bucket").collect()
+        }
+        assert got == {(1, 1): 1, (1, 3): 3, (3, 7): 1}
