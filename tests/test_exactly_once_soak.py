@@ -21,6 +21,8 @@ from datetime import datetime, timezone
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from stream_loader_spark.sinks.manifest import ManifestFileSink
 from stream_loader_spark.sinks.upsert import UpsertSink
 

@@ -15,9 +15,13 @@ SUBPROCESS — full isolation, no fixture interference.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import subprocess
 import sys
+
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -26,6 +26,8 @@ from datetime import datetime, timezone
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from stream_loader_spark.sinks.manifest import ManifestFileSink
 
 TS = datetime(2024, 1, 1, tzinfo=timezone.utc)
