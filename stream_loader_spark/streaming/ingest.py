@@ -1051,25 +1051,15 @@ class IndexIngestSink:
         self._seg_state = BatchDirState(os.path.join(out_dir, "segments"))
 
     def _segment(self, batch_df: DataFrame) -> DataFrame:
-        from stream_loader_spark.operators.text import tokens_col
+        # in-row run-length histogram (operators.text.doc_term_counts):
+        # the (doc, token) aggregate never crosses document rows, so the
+        # per-micro-batch exchange the old explode+groupBy paid bought
+        # nothing — the segment build is a narrow map ahead of the
+        # tbucket-partitioned write
+        from stream_loader_spark.operators.text import doc_term_counts
 
-        toks = (
-            batch_df.select(
-                F.col(self.id_col), tokens_col(F.col(self.text_col)).alias("toks")
-            )
-            .where(F.size("toks") >= self.n)
-            .select(
-                self.id_col,
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(1, size(toks) - {self.n} + 1),"
-                        f" i -> array_join(slice(toks, i, {self.n}), ' '))"
-                    )
-                ).alias("token"),
-            )
-        )
-        return toks.groupBy(self.id_col, "token").agg(
-            F.count(F.lit(1)).alias("tc")
+        return doc_term_counts(
+            batch_df, self.text_col, self.id_col, self.n
         ).withColumn(
             "tbucket", F.pmod(F.xxhash64("token"), F.lit(self.n_buckets))
         )
