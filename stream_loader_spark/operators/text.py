@@ -116,15 +116,24 @@ def runlength_explode(
     empty ``s`` emit nothing (same as the explode+groupBy shape).
     try_element_at guards the lookback at i=1 and the lookahead at the
     last run (OR does not short-circuit in Spark SQL, and
-    element_at(_, 0) throws)."""
+    element_at(_, 0) throws).
+
+    The empty-array guard is a CASE inside the ``starts`` expression,
+    NOT a ``where``: predicate pushdown substitutes the caller's
+    ``s``-defining alias into a Filter operator, and Filter cannot
+    share subexpressions with the Project above it — a ``where(size(s)
+    >= 1)`` re-evaluated the whole gram-build+sort per row just for
+    the size check (measured 1.0 -> 5.0s on inverted_postings at
+    sf0.1). ``sequence(1, 0)`` counts DOWN, hence the guard at all."""
     return (
-        df.where(F.size("s") >= 1)
-        .select(
+        df.select(
             *key_cols,
             "s",
             F.expr(
-                "filter(sequence(1, size(s)),"
+                "CASE WHEN size(s) < 1 THEN array() ELSE"
+                " filter(sequence(1, size(s)),"
                 " i -> i = 1 OR try_element_at(s, i) != try_element_at(s, i - 1))"
+                " END"
             ).alias("starts"),
         )
         .select(

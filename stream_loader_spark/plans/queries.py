@@ -5275,6 +5275,20 @@ def _purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _PURCHASE_GRAPH_MEMO.get("_session") != id(spark):
         _PURCHASE_GRAPH_MEMO.clear()
         _PURCHASE_GRAPH_MEMO["_session"] = id(spark)
+    if sf_dir in _PURCHASE_GRAPH_MEMO:
+        # liveness probe: a harness that unpersists all RDDs between
+        # queries (bench.py's between-slot hygiene) drops the
+        # checkpoint's blocks, and a localCheckpoint-ed frame has no
+        # lineage to recompute from — a dangling memo entry would fail
+        # every later ranking with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+        # (observed in the r12 bench). One take(1) against partition 0
+        # distinguishes live blocks from dropped ones; on failure the
+        # graph is rebuilt, which just returns the memo to the no-
+        # sharing cost the queries paid before the memo existed.
+        try:
+            _PURCHASE_GRAPH_MEMO[sf_dir].take(1)
+        except Exception:
+            del _PURCHASE_GRAPH_MEMO[sf_dir]
     if sf_dir not in _PURCHASE_GRAPH_MEMO:
         orders = load_table(spark, sf_dir, "orders")
         li = load_table(spark, sf_dir, "lineitem")
