@@ -411,7 +411,19 @@ def main() -> None:
     # (multimodal_frames 2.77s benched vs 0.64s solo).
     resampled: list[str] = []
     for name, d in sorted(duck.items()):
-        if d > 0 and timings[name] / d > 5 and timings[name] < 10.0:
+        # The 10s absolute cap keeps the window cheap — but a stall
+        # burst long enough to blow PAST the cap must still re-measure
+        # (r12 observed stats_moments_returnflag at 43s/392x in-bench vs
+        # 1.26s solo: the burst spanned all three passes AND exceeded
+        # the cap, so the polluted min was never retried). A ratio >25
+        # is outside anything a clean plan in this set produces (max
+        # legitimate ratio ~5-15 on the scheduler-floor tail), so it
+        # re-measures unconditionally; the estimator is unchanged
+        # (min across windows, both engines re-timed).
+        if d > 0 and (
+            (timings[name] / d > 5 and timings[name] < 10.0)
+            or timings[name] / d > 25
+        ):
             resampled.append(name)
             fn = QUERIES[name]
             for _ in range(2):

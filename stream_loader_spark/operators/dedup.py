@@ -387,18 +387,23 @@ def minhash_lsh_pairs(
     # ``sort_array`` makes ids[0] the bucket's min id = the star
     # representative, identical to the windowed form's min() — and
     # pair orientation (doc_a < doc_b) positional.
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    # Pre-partition by the GROUP KEY at cluster parallelism and let the
+    # aggregate reuse that exchange (same recipe as
+    # cosine_near_dup_pairs): a user-specified repartition is exempt
+    # from AQE coalescing, so the quadratic bucket expansion keeps
+    # multi-core spread without the post-aggregate round-robin
+    # repartition the r7 form paid — one exchange (and one AQE stage
+    # job) less on the candidate path at any scale (r12: 2 exch -> 1
+    # on the banding side, pair set bit-identical).
     grouped = (
-        bands.groupBy("band", "band_hash")
+        bands.repartition(par, "band", "band_hash")
+        .groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    par = documents.sparkSession.sparkContext.defaultParallelism
-    # round-robin repartition spreads the quadratic small-bucket work
-    # across cores (AQE coalesces the byte-wise-tiny bucket table to
-    # 1-2 partitions otherwise); star expansion is linear either way
     candidates = (
-        grouped.repartition(par)
-        .selectExpr(
+        grouped.selectExpr(
             f"""explode(
                   if(size(ids) <= {int(max_bucket)},
                      flatten(transform(sequence(1, size(ids) - 1),
@@ -422,10 +427,12 @@ def minhash_lsh_pairs(
 
     # Verify only candidate pairs with true Jaccard on the shingle
     # sets, derived solely for the touched documents.
+    # one read of the candidate block instead of two (explode both ends
+    # of each pair), same distinct id set
     touched = (
-        candidates.select(F.col("doc_a").alias(id_col))
-        .union(candidates.select("doc_b"))
-        .distinct()
+        candidates.select(
+            F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+        ).distinct()
     )
     shingle_sets = (
         scatter(documents)
@@ -514,9 +521,9 @@ def incremental_near_dup_pairs(
 
     # shingle only the touched documents: candidate ids first, text after
     touched = (
-        candidates.select(F.col("doc_a").alias(id_col))
-        .union(candidates.select("doc_b"))
-        .distinct()
+        candidates.select(
+            F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+        ).distinct()
     )
     all_docs = corpus_docs.select(id_col, text_col).unionByName(
         new_docs.select(id_col, text_col)
@@ -596,9 +603,9 @@ def near_dup_pairs_touching(
         .localCheckpoint(eager=False)
     )
     touched = (
-        candidates.select(F.col("doc_a").alias(id_col))
-        .union(candidates.select("doc_b"))
-        .distinct()
+        candidates.select(
+            F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+        ).distinct()
     )
     shingle_sets = (
         documents.select(id_col, text_col)
@@ -1123,8 +1130,16 @@ def simhash_pairs(
     # arms, so only true near-pairs survive to the dropDuplicates
     # exchange; a bucket's aggregate row is O(B) member structs (16
     # bytes each), never the B·(B−1)/2 pair expansion.
+    # Pre-partition by the GROUP KEY at cluster parallelism and let the
+    # aggregate reuse the exchange (r12, same recipe as
+    # minhash_lsh_pairs / cosine_near_dup_pairs): a user repartition is
+    # exempt from AQE coalescing, so the quadratic bucket expansion
+    # keeps its multi-core spread without a second post-aggregate
+    # exchange — 2 exch -> 1 on the candidate path, pairs bit-identical.
+    par = documents.sparkSession.sparkContext.defaultParallelism
     grouped = (
-        chunks.groupBy("chunk", "chunk_val")
+        chunks.repartition(par, "chunk", "chunk_val")
+        .groupBy("chunk", "chunk_val")
         .agg(
             F.sort_array(
                 F.collect_list(
@@ -1134,10 +1149,8 @@ def simhash_pairs(
         )
         .where(F.size("ds") >= 2)
     )
-    par = documents.sparkSession.sparkContext.defaultParallelism
     return (
-        grouped.repartition(par)
-        .selectExpr(
+        grouped.selectExpr(
             f"""explode(
                   filter(
                     if(size(ds) <= {int(max_bucket)},

@@ -1008,6 +1008,23 @@ def bm25_postings(
     dtc = doc_term_counts(documents, text_col, id_col, n).localCheckpoint(
         eager=True
     )
+    return _bm25_weights_over(
+        dtc, id_col, min_df=min_df, max_df=max_df, k1_x10=k1_x10, b_x100=b_x100
+    )
+
+
+def _bm25_weights_over(
+    dtc: DataFrame,
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df: int = 50,
+    k1_x10: int = 12,
+    b_x100: int = 75,
+) -> DataFrame:
+    """BM25 weights from a PREPARED per-(doc, term) count block — the
+    shared core of ``bm25_postings`` and ``bm25_search``, split out
+    (r12) so the search path can derive its query bag from the same
+    pinned block instead of re-scanning and re-tokenizing the corpus."""
     dl = dtc.groupBy(id_col).agg(F.sum("tc").alias("dl"))
     corpus = dl.agg(
         F.sum("dl").alias("dl_sum"), F.count(F.lit(1)).alias("n_docs")
@@ -1096,17 +1113,26 @@ def tfidf_cosine_pairs(
     dtc = doc_term_counts(documents, text_col, id_col, n).localCheckpoint(
         eager=True
     )
-    n_docs = dtc.select(id_col).distinct().count()
+    # n_docs folded into the plan as a broadcast scalar (r12): the old
+    # eager ``dtc.select(id).distinct().count()`` was a separate driver
+    # action — one more job per invocation for a value the keep
+    # aggregate can carry via crossJoin. count_distinct over the pinned
+    # block gives the identical integer; cast to double inside log
+    # matches float(n_docs) bit-for-bit.
+    nd = dtc.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
     keep = (
         dtc.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
         .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .crossJoin(F.broadcast(nd))
         .select(
             "token",
             # decimal staging: round(·,6)·10^6 is exact in DECIMAL but a
             # double detour would truncate vs the oracle's rounding
             (
-                F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+                F.round(
+                    F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+                )
                 .cast("decimal(18,6)")
                 * 1000000
             ).cast("bigint").alias("idf_micro"),
@@ -1181,13 +1207,14 @@ def tfidf_cosine_pairs(
 
 def bm25_search(
     documents: DataFrame,
-    query_terms: list[str] | DataFrame,
+    query_terms: list[str] | DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 10,
     n: int = 2,
     min_df: int = 2,
     max_df: int = 50,
+    query_doc: int | None = None,
 ) -> DataFrame:
     """BM25 top-k document search for a bag of query terms — the
     retrieval read path over ``bm25_postings`` (lookup terms → sum the
@@ -1202,17 +1229,35 @@ def bm25_search(
     Scale: the term filter hits the posting table (df-banded, so each
     query term matches at most ``max_df`` docs); scoring touches only
     matched postings, never the corpus.
+
+    ``query_doc`` is the more-like-this form: the query bag is that
+    document's own distinct n-grams, read from the SAME pinned
+    per-(doc, term) block the index derives from (r12) — the old
+    caller-built bag re-scanned and re-tokenized the corpus and paid a
+    distinct exchange for a set the block already holds one row each.
     """
-    w = bm25_postings(
-        documents, text_col, id_col, n=n, min_df=min_df, max_df=max_df
+    dtc = doc_term_counts(documents, text_col, id_col, n).localCheckpoint(
+        eager=True
     )
-    if isinstance(query_terms, DataFrame):
+    w = _bm25_weights_over(
+        dtc, id_col, min_df=min_df, max_df=max_df
+    )
+    if query_doc is not None:
+        # dtc holds one row per (doc, distinct term): the filter IS the
+        # distinct query bag, no re-tokenize, no distinct exchange
+        terms = F.broadcast(
+            dtc.where(F.col(id_col) == query_doc).select("token")
+        )
+        matched = w.join(terms, "token")
+    elif isinstance(query_terms, DataFrame):
         cols = query_terms.columns
-        terms = F.broadcast(query_terms.select(F.col(cols[0]).alias("token")).distinct())
+        terms = F.broadcast(
+            query_terms.select(F.col(cols[0]).alias("token")).distinct()
+        )
         matched = w.join(terms, "token")
     else:
         if not query_terms:
-            raise ValueError("query_terms must be non-empty")
+            raise ValueError("query_terms must be non-empty (or pass query_doc)")
         matched = w.where(
             F.array_contains(F.array(*[F.lit(t) for t in query_terms]), F.col("token"))
         )

@@ -5720,24 +5720,14 @@ def bm25_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a 50-ceiling empties the query bag at sf0.1 — the ceiling is a
     per-use-case knob, set here to keep the search non-degenerate at
     every fixture SF."""
-    from stream_loader_spark.operators.text import bm25_search, tokens_col
+    from stream_loader_spark.operators.text import bm25_search
 
     docs = load_table(spark, sf_dir, "documents")
-    qterms = (
-        docs.where(F.col("doc_id") == 42)
-        .select(tokens_col(F.col("text")).alias("toks"))
-        .where(F.size("toks") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 1),"
-                    " i -> array_join(slice(toks, i, 2), ' '))"
-                )
-            ).alias("token")
-        )
-        .distinct()
-    )
-    return bm25_search(docs, qterms, k=10, n=2, min_df=2, max_df=400)
+    # r12: the query bag comes from the index's own pinned per-(doc,
+    # term) block (query_doc) — the old caller-built bag re-scanned and
+    # re-tokenized the corpus and paid a distinct exchange for the same
+    # term set (oracle unchanged: DISTINCT bigrams of doc 42)
+    return bm25_search(docs, k=10, n=2, min_df=2, max_df=400, query_doc=42)
 
 
 @query(
