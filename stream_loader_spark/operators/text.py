@@ -231,9 +231,11 @@ def repetition_stats(
 
     explode → two hash-aggregates (map-side combine carries one row per
     (doc, token) then one per doc); empty docs have no tokens and are
-    excluded, mirroring the SQL oracle's WHERE clause.
+    excluded, mirroring the SQL oracle's WHERE clause. Both aggregates
+    cluster on a superset of the doc id, so the hash-scatter IS their
+    exchange — the exploded token rows never shuffle.
     """
-    toks = scatter(documents).select(
+    toks = scatter(documents, by=(id_col,)).select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
     per_tok = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
@@ -288,31 +290,43 @@ def unigram_logprob(
     # bought nothing). extra_cols ride along — callers pass columns
     # functionally dependent on the id (e.g. lang), saving a join back
     # against the source table.
-    # dtc feeds BOTH the vocabulary aggregate and the scoring join, and
-    # the broadcast boundary defeats exchange reuse (the whole
-    # scan→tokenize→histogram pipeline re-ran inside the broadcast
-    # build — measured, same lesson as dsir.dsir_logratio). The block
-    # is per-(doc, distinct-token) counts — within-doc-Zipf-compressed;
-    # on corpora where even that is too big to materialize, trading the
-    # checkpoint back for the recompute is the documented knob.
+    # The vocabulary branch and the scoring branch derive dtc
+    # INDEPENDENTLY (two tokenize passes) and only the VOCAB-sized
+    # frequency table is checkpointed — not the corpus-sized per-(doc,
+    # token) block the previous shape materialized. Measured (r12
+    # interleaved A/B at sf0.1, bit-identical output): min 1.86→1.50 s.
+    # Why it also wins at scale: (a) nothing corpus-sized is written to
+    # checkpoint storage; (b) the scoring branch hash-scatters on the
+    # doc id and stays a NARROW pipeline end-to-end, so the final
+    # per-doc aggregate reuses that exchange — the scored token rows
+    # never shuffle (a localCheckpoint here would drop the partitioning
+    # and re-add the exchange; see scatter()). The vocab branch keeps
+    # the plain scatter: it re-keys on token immediately.
     dtc = doc_term_counts(
+        scatter(documents, by=(id_col,)), text_col, id_col, 1, extra_cols
+    )
+    dtc_vocab = doc_term_counts(
         scatter(documents), text_col, id_col, 1, extra_cols
-    ).localCheckpoint(eager=False)
-    freq = dtc.groupBy("token").agg(F.sum("tc").alias("c"))
+    )
+    freq = dtc_vocab.groupBy("token").agg(F.sum("tc").alias("c"))
     if broadcast_vocab:
         # Fold the corpus total into the vocabulary table with an
         # unpartitioned window BEFORE broadcasting: the vocab must fit
         # in memory on this path anyway, and a separate totals
         # aggregate re-reads the whole freq subtree (no exchange reuse
         # across the broadcast boundary) plus costs a crossJoin stage.
+        # Checkpointed EAGERLY so the one corpus pass it costs runs
+        # exactly once (broadcast builds do not dedupe subtrees).
         freq = F.broadcast(
             freq.withColumn("n", F.sum("c").over(Window.partitionBy()))
+            .localCheckpoint(eager=True)
         )
         scored_in = dtc.join(freq, "token")
     else:
         # shuffle-join fallback for pathological vocabularies: keep the
         # scalar-singleton total (a single-partition window over a
         # vocab that was too big to broadcast would be a new choke).
+        freq = freq.localCheckpoint(eager=True)
         total = freq.agg(F.sum("c").alias("n"))
         scored_in = dtc.join(freq, "token").crossJoin(F.broadcast(total))
     scored = (
@@ -620,10 +634,10 @@ def hashed_linear_quality(
     end-to-end: the score is reproducible bit-for-bit on any engine and
     any partitioning (float sums would drift with reduction order).
 
-    Scale: explode + one map-side-combinable hash aggregate — the
-    shuffle carries one (id, sum, count) row per document.
+    Scale: explode + one hash aggregate that reuses the doc-id
+    hash-scatter exchange — the exploded token rows never shuffle.
     """
-    tok = scatter(documents).select(
+    tok = scatter(documents, by=(id_col,)).select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
     )
     h = F.md5(F.col("token"))

@@ -110,8 +110,13 @@ def benchmark_contamination(
     """
     from stream_loader_spark.operators.dedup import with_hash_shingles
 
+    # hash-scatter the corpus on the doc id BEFORE shingling: the final
+    # per-doc overlap aggregate reuses this exchange (explode and the
+    # broadcast join preserve it), so the shingle-exploded rows — ~30×
+    # the document count — never shuffle. with_hash_shingles' internal
+    # scatter sees an already-wide input and no-ops.
     doc_shingles = with_hash_shingles(
-        documents, text_col, id_col, size=shingle_size
+        scatter(documents, by=(id_col,)), text_col, id_col, size=shingle_size
     ).select(F.col(id_col), F.explode("shingles").alias("shingle"))
     bench_shingles = (
         with_hash_shingles(benchmark, text_col, id_col, size=shingle_size)
@@ -198,14 +203,34 @@ def tfidf_top_terms(
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     # "has at least one token" == "has a non-whitespace char": a regex
     # FIND per doc instead of re-running the full split-and-filter
-    # tokenizer on the counting scan
-    n_docs = sdocs.select(
+    # tokenizer on the counting scan. From the RAW input, not sdocs: a
+    # global count is partition-independent, and the repartition
+    # exchange is NOT shared into this subtree in practice (broadcast
+    # boundaries defeat cross-subtree exchange reuse — r12 plan audit
+    # found the claimed ReusedExchange absent, each subtree re-ran the
+    # repartition).
+    n_docs = documents.select(
         F.count(F.when(F.col(text_col).rlike(r"\S"), 1))
         .cast("double")
         .alias("n_docs")
     )
     if broadcast_vocab:
-        dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        # Document frequency straight from the raw scan: one distinct
+        # pass IN-ROW (array_distinct) then explode → one vocab-sized
+        # token-keyed exchange. The previous shape derived df from the
+        # tf aggregate, which re-ran the scan + doc-id repartition +
+        # (doc, token) aggregate inside the broadcast branch (no reuse,
+        # see above) — two exchanges and a corpus shuffle for the same
+        # vocabulary-sized result.
+        dfreq = (
+            documents.select(
+                F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias(
+                    "token"
+                )
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
         scored_in = tf.join(F.broadcast(dfreq.crossJoin(n_docs)), "token")
     else:
         with_df = tf.withColumn(

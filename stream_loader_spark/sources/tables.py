@@ -68,29 +68,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def scatter(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def scatter(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    by: tuple[str, ...] = (),
+) -> DataFrame:
     """Repartition a narrow input so CPU-heavy operators parallelize.
 
     The local fixtures are single parquet files → one input split → one
     task, which serializes explode/HOF-heavy work. At production scale
     inputs arrive in many splits and this is a no-op; locally it costs
     one small shuffle of the raw rows and buys full-core parallelism.
+
+    With ``by`` set, the spread is HASH partitioning on those columns
+    instead of round robin: narrow ops (project/explode/filter,
+    broadcast-join stream side, generate) preserve it, so a downstream
+    aggregate or window clustered on a superset of ``by`` reuses this
+    exchange instead of adding its own — the shuffle moves from the
+    post-explode rows to the raw rows, which is never more bytes. The
+    by-form always repartitions (an already-wide input is still not
+    HASH-partitioned on the key), so callers should only pass ``by``
+    when a downstream operator actually consumes the clustering. Note
+    ``localCheckpoint`` DROPS partitioning info (measured: the consumer
+    adds its exchange back) — the reuse only helps checkpoint-free
+    paths.
     """
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
     memo = _SCATTER_MEMO.setdefault(df, {})
-    if min_partitions not in memo:
+    key = (min_partitions, by)
+    if key not in memo:
         # df.rdd compiles the physical plan (a ~0.1s driver round-trip);
         # memoized per input frame so repeated operator calls over the
         # (memoized) fixture tables pay it once. The already-wide case
         # stores a SENTINEL, not df itself: a value that references its
         # own weak key would pin the entry forever (the repartitioned
         # child references only the session, so it is safe to hold).
-        if df.rdd.getNumPartitions() >= min_partitions:
-            memo[min_partitions] = None
+        if by:
+            memo[key] = df.repartition(min_partitions, *[df[c] for c in by])
+        elif df.rdd.getNumPartitions() >= min_partitions:
+            memo[key] = None
         else:
-            memo[min_partitions] = df.repartition(min_partitions)
-    cached = memo[min_partitions]
+            memo[key] = df.repartition(min_partitions)
+    cached = memo[key]
     return df if cached is None else cached
 
 
