@@ -722,10 +722,14 @@ def ngram_jaccard_pairs(
     # the pinned width keeps the bucket/pair stages parallel where AQE's
     # byte-targeted coalescing would serialize them (shingle buckets are
     # byte-wise tiny but carry quadratic expansion work — bytes are the
-    # wrong cost model for this stage). Both bucket routes consume this
-    # ONE exchange (ReusedExchange): re-running the vocabulary-scale
-    # aggregate per route costs less than a checkpoint materialization
-    # barrier, which also pinned blocks an executor loss can't rebuild.
+    # wrong cost model for this stage). The bucket table is checkpointed
+    # EAGERLY: three consumers read it (the small route plus BOTH sides
+    # of the oversized-bucket self-join), and the r12 plan audit showed
+    # the hoped-for cross-subtree ReusedExchange does NOT fire under
+    # AQE/observe — each consumer re-ran the whole scan→shingle→
+    # aggregate pipeline. One vocabulary-scale materialization replaces
+    # three corpus passes (interleaved A/B at sf0.1: min 1.58→1.30 s,
+    # identical pairs).
     par = documents.sparkSession.sparkContext.defaultParallelism
     grouped = (
         ex.repartition(par, *[F.col(c) for c in block], F.col("shingle"))
@@ -738,6 +742,7 @@ def ngram_jaccard_pairs(
             ).alias("docs")
         )
         .where(F.size("docs") >= 2)
+        .localCheckpoint(eager=True)
     )
     # **Lossless size prefilter** (standard set-similarity join
     # pruning): |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
@@ -1222,6 +1227,8 @@ def ngram_containment_pairs(
         .select(id_col, *block, "z.shingle", "z.nsh")
     )
     par = documents.sparkSession.sparkContext.defaultParallelism
+    # eager checkpoint for the same three-consumer reason as
+    # ngram_jaccard_pairs (cross-subtree exchange reuse does not fire)
     grouped = (
         ex.repartition(par, *[F.col(c) for c in block], F.col("shingle"))
         .groupBy(*block, "shingle")
@@ -1233,6 +1240,7 @@ def ngram_containment_pairs(
             ).alias("docs")
         )
         .where(F.size("docs") >= 2)
+        .localCheckpoint(eager=True)
     )
     small_pairs = (
         grouped.where(F.size("docs") <= max_bucket)
