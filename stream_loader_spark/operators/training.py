@@ -175,20 +175,19 @@ def tfidf_top_terms(
     total-order deterministic.
 
     ONE corpus shuffle, keyed by the document id. The corpus is
-    explicitly hash-partitioned on ``id_col`` up front, and everything
-    downstream reuses that single partitioning: the (doc, token)
+    explicitly hash-partitioned on ``id_col`` up front and the MAIN
+    path reuses that single partitioning end-to-end: the (doc, token)
     tf aggregate needs no exchange (clustering by doc alone co-locates
-    every (doc, token) group), the top-k window partitions by doc and
-    needs no exchange, and Catalyst shares the one repartition exchange
-    across the main/df/N subtrees (ReusedExchange), so no
-    materialization barrier (cache/checkpoint — both measured SLOWER
-    than the shared exchange, and a pinned checkpoint dies with its
-    executor) is needed. Crucially the corpus is NEVER shuffled on the
-    token: document frequency is a vocabulary-sized aggregate (partial
-    map-side per doc-partition, then a tiny token-keyed exchange of
-    per-partition vocabularies — sublinear in corpus size) BROADCAST
-    back onto tf, so "the"-grade Zipf skew has no key to pile up on.
-    The docs-with-tokens scalar N scans the raw text WITHOUT explode
+    every (doc, token) group) and the top-k window partitions by doc
+    and needs no exchange. The df and N subtrees deliberately do NOT
+    touch the repartitioned lineage: cross-subtree ReusedExchange does
+    not fire across broadcast boundaries (r12 plan audit — each
+    subtree re-ran the repartition), so df derives straight from the
+    raw scan via an in-row ``array_distinct`` + explode (one
+    vocabulary-sized token-keyed exchange, partial-aggregated map-side
+    — sublinear in corpus size) and is BROADCAST back onto tf, so
+    "the"-grade Zipf skew has no key to pile up on. The
+    docs-with-tokens scalar N scans the raw text WITHOUT explode
     ("has ≥1 token" ⇔ "has a non-whitespace char" under the \\s+
     tokenizer — a regex FIND per doc), strictly cheaper than
     re-deriving tf for a COUNT DISTINCT. ``broadcast_vocab=False`` is
