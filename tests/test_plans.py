@@ -582,3 +582,43 @@ class TestSinkFixtureGuard:
         st = os.stat("/root/testdata/sf0.001/events.parquet")
         d = _sink_fixture_dir("/root/testdata/sf0.001", "k2_manifest")
         assert str(st.st_mtime_ns) in d
+
+
+class TestScatterByKey:
+    """r12: scatter(by=...) hash-partitions so a downstream per-doc
+    aggregate/window REUSES the scatter exchange instead of adding its
+    own — pinned here because the win is silent to correctness tests."""
+
+    def test_scatter_by_partitioning_reused_through_explode(self, spark):
+        from stream_loader_spark.sources.tables import scatter
+
+        df = spark.range(1000).selectExpr(
+            "id AS doc_id", "array('a','b','c') AS toks"
+        )
+        out = (
+            scatter(df, by=("doc_id",))
+            .select("doc_id", F.explode("toks").alias("t"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # exactly the scatter exchange; the aggregate added none
+        assert plan.count("Exchange ") == 1
+        assert "hashpartitioning(doc_id" in plan
+
+    def test_scatter_by_memoized_separately_from_round_robin(self, spark):
+        from stream_loader_spark.sources.tables import scatter
+
+        df = spark.range(100).selectExpr("id AS doc_id")
+        rr = scatter(df)
+        by = scatter(df, by=("doc_id",))
+        assert scatter(df) is rr
+        assert scatter(df, by=("doc_id",)) is by
+        assert rr is not by
+
+    def test_per_doc_aggregates_ride_the_scatter(self, spark, sf_small):
+        # the operators converted in r12: their plans must keep exactly
+        # one hash exchange on the doc id and no post-explode exchange
+        for name in ("repetition_stats", "benchmark_contamination"):
+            plan = plan_of(spark, name, sf_small)
+            assert "hashpartitioning(doc_id" in plan, name
