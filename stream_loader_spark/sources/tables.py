@@ -98,20 +98,56 @@ def scatter(
     memo = _SCATTER_MEMO.setdefault(df, {})
     key = (min_partitions, by)
     if key not in memo:
-        # df.rdd compiles the physical plan (a ~0.1s driver round-trip);
-        # memoized per input frame so repeated operator calls over the
-        # (memoized) fixture tables pay it once. The already-wide case
-        # stores a SENTINEL, not df itself: a value that references its
-        # own weak key would pin the entry forever (the repartitioned
-        # child references only the session, so it is safe to hold).
+        # The probe below must never EXECUTE anything: under AQE,
+        # obtaining df.rdd materializes every upstream exchange as real
+        # jobs at construction time (measured: >1s of thrown-away work
+        # for a join-derived frame, re-run again at execution). So
+        # frames whose lineage already contains a width-giving operator
+        # (join/aggregate/window/...) are left alone — their parallelism
+        # is arranged upstream (shuffle.partitions, or the scattered
+        # stream side of a broadcast join), and at production scale a
+        # respread here would only add an exchange. Only for a NARROW
+        # lineage (pure projection/filter over a scan, or a checkpointed
+        # LogicalRDD — where obtaining the RDD runs no jobs) do we probe
+        # the split count. Memoized per input frame so repeated operator
+        # calls over the (memoized) fixture tables pay it once. The
+        # already-wide case stores a SENTINEL, not df itself: a value
+        # that references its own weak key would pin the entry forever
+        # (the repartitioned child references only the session, so it is
+        # safe to hold).
         if by:
             memo[key] = df.repartition(min_partitions, *[df[c] for c in by])
+        elif _has_wide_node(df):
+            memo[key] = None
         elif df.rdd.getNumPartitions() >= min_partitions:
             memo[key] = None
         else:
             memo[key] = df.repartition(min_partitions)
     cached = memo[key]
     return df if cached is None else cached
+
+
+# Logical operators that introduce their own data spread (a shuffle, or
+# a broadcast join whose stream side the caller scatters at the narrow
+# base). Matched as node names at the start of an analyzed-plan tree
+# line — expression text never starts a line, so literals cannot alias.
+_WIDE_NODE_RE = None
+
+
+def _has_wide_node(df: DataFrame) -> bool:
+    """True if the frame's analyzed plan contains a width-giving
+    operator, WITHOUT compiling the physical plan or running jobs."""
+    global _WIDE_NODE_RE
+    if _WIDE_NODE_RE is None:
+        import re
+
+        _WIDE_NODE_RE = re.compile(
+            r"(?m)^[\s:+-]*(?:Join|Aggregate|Window|Sort|Deduplicate|"
+            r"Repartition(?:ByExpression)?|Intersect|Except|"
+            r"GlobalLimit|CoGroup|FlatMapGroups)\b"
+        )
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return _WIDE_NODE_RE.search(plan) is not None
 
 
 _SCATTER_MEMO: WeakKeyDictionary = WeakKeyDictionary()

@@ -622,3 +622,34 @@ class TestScatterByKey:
         for name in ("repetition_stats", "benchmark_contamination"):
             plan = plan_of(spark, name, sf_small)
             assert "hashpartitioning(doc_id" in plan, name
+
+    def test_scatter_derived_frame_is_jobless_noop(self, spark):
+        # r12: scatter() must never EXECUTE at construction time. For a
+        # frame whose lineage contains a width-giving operator (join,
+        # aggregate, ...), probing df.rdd would materialize every
+        # upstream exchange as thrown-away jobs under AQE (measured >1s
+        # per composed query) — so scatter must return the frame
+        # unchanged WITHOUT running a single job.
+        from stream_loader_spark.sources.tables import scatter
+
+        a = spark.range(1000).selectExpr("id AS doc_id", "id % 7 AS g")
+        agg = a.groupBy("g").agg(F.count("*").alias("n"))
+        joined = a.join(agg, "g")
+        sc = spark.sparkContext
+        sc.setJobGroup("scatter-derived-probe", "must stay empty")
+        try:
+            out = scatter(joined)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        assert out is joined  # no-op: parallelism is arranged upstream
+        assert list(sc.statusTracker().getJobIdsForGroup("scatter-derived-probe")) == []
+
+    def test_scatter_checkpointed_frame_still_respreads(self, spark):
+        # localCheckpoint DROPS partitioning and truncates lineage to a
+        # LogicalRDD — narrow, so the probe is free and the respread
+        # (load-bearing after every checkpoint locally) must survive.
+        from stream_loader_spark.sources.tables import scatter
+
+        one = spark.range(500).coalesce(1).localCheckpoint(eager=True)
+        par = spark.sparkContext.defaultParallelism
+        assert scatter(one).rdd.getNumPartitions() >= min(par, 500)
