@@ -54,7 +54,14 @@ def blocked_fuzzy_pairs(
         F.col(value_col).alias("__val"),
         *[F.col(c) for c in block_cols],
     )
-    vals = rows.select(*block_cols, "__val").distinct()
+    # the distinct value table feeds BOTH sides of the self-join, and a
+    # broadcast boundary sits between them — cross-subtree ReusedExchange
+    # does not fire there, so without the pin the corpus-wide distinct
+    # pipeline (scan + exchange + aggregate) runs twice. The block is
+    # value-vocabulary scale, not corpus scale.
+    vals = (
+        rows.select(*block_cols, "__val").distinct().localCheckpoint(eager=True)
+    )
 
     a = vals.select(
         *[F.col(c).alias(f"__ba_{c}") for c in block_cols],

@@ -653,3 +653,20 @@ class TestScatterByKey:
         one = spark.range(500).coalesce(1).localCheckpoint(eager=True)
         par = spark.sparkContext.defaultParallelism
         assert scatter(one).rdd.getNumPartitions() >= min(par, 500)
+
+
+class TestFuzzyValsPinned:
+    """r12: blocked_fuzzy_pairs pins the distinct (block, value) table —
+    both self-join sides and both expansion joins read ONE materialized
+    block instead of re-running the corpus-wide distinct (a broadcast
+    boundary sits between the self-join sides, where cross-subtree
+    ReusedExchange never fires). Silent to correctness tests."""
+
+    def test_distinct_value_table_materialized_once(self, spark, sf_small):
+        plan = plan_of(spark, "fuzzy_part_matches", sf_small)
+        # only the two row-expansion joins touch parquet; the candidate
+        # self-join's both sides read the checkpointed RDD
+        assert plan.count("Scan parquet") == 2
+        assert plan.count("Scan ExistingRDD") == 2
+        # the distinct aggregate ran at pin time, not in this plan
+        assert "HashAggregate" not in plan
