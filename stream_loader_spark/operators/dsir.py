@@ -71,7 +71,14 @@ def hashed_feature_counts(
     contribute no rows (and therefore no weight) — mirrored by the
     oracle's inner joins.
     """
-    toks = scatter(documents).selectExpr(
+    # hash-scatter on the doc id: the per-(doc, bucket) aggregate below
+    # groups on a superset of the id, so it reuses this exchange (explode
+    # and projections preserve hash partitioning) — the shuffle moves
+    # from the partial-aggregated (doc, bucket) rows (≤4096 × ~20 B per
+    # document) to the raw document rows, which is strictly fewer bytes
+    # for any non-trivial document. Same recipe as
+    # training.benchmark_contamination / text.repetition_stats.
+    toks = scatter(documents, by=(id_col,)).selectExpr(
         id_col, *extra_cols, f"{tokens_sql(text_col)} AS _toks"
     )
     feats = toks.selectExpr(
@@ -83,8 +90,8 @@ def hashed_feature_counts(
     # hashing every feature inside a transform() lambda is INTERPRETED
     # per element, while md5 over exploded rows runs in whole-stage
     # codegen — the A/B measured 1.3s -> 5.9s for the in-row form at
-    # sf0.1. The exchange here ships ≤4096 partial-aggregated rows per
-    # doc, so codegen'd hashing + map-side combine wins.
+    # sf0.1. Map-side combine still fires on the scatter-partitioned
+    # rows, so codegen'd hashing + the fold into ≤4096 buckets/doc wins.
     exploded = feats.select(id_col, *extra_cols, F.explode("_feats").alias("_f"))
     bucket = F.conv(F.substring(F.md5("_f"), 1, 3), 16, 10).cast("int")
     return (
