@@ -17,9 +17,11 @@ scope alongside ``sampling``/``text``.
 Scale design:
 - Tokenize ONCE per document (hoisted token-array alias, see
   ``dedup.with_hash_shingles`` for why), explode features, and collapse to
-  per-(doc, bucket) counts immediately — the only corpus-sized shuffle,
-  shrunk by the map-side partial aggregate (4096 buckets per doc max,
-  regardless of document length).
+  per-(doc, bucket) counts immediately. The only corpus-sized shuffle is
+  the doc-id hash-scatter of the RAW rows — the per-(doc, bucket)
+  aggregate groups on a superset of the id and reuses that exchange, so
+  the exploded feature rows (≤4096 buckets × ~20 B per doc, more bytes
+  than the raw text) never shuffle.
 - Both distributions are ≤``N_BUCKETS`` rows (the whole point of
   DSIR's feature hashing), so the scoring join is a BROADCAST of a
   4096-row table — no second corpus shuffle; the smoothing totals come
