@@ -4138,12 +4138,19 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = rec.select(
         F.get_json_object("props", "$.k").cast("bigint").alias("uid"),
         F.to_date("ts").alias("dt"),
-    # records without a parseable user id carry no cohort identity and
-    # are excluded EXPLICITLY — the oracle's inner join drops NULL uids
-    # as a side effect of equi-join semantics, but the window form
-    # would otherwise cohort them into a NULL partition and emit rows
-    # the oracle never produces
-    ).where(F.col("uid").isNotNull())
+    )
+    # Records without a parseable user id carry no cohort identity and
+    # must not reach the output (the oracle's inner join drops NULL
+    # uids). A pre-filter `uid IS NOT NULL` here gets predicate-pushed
+    # below the projection and re-evaluates the JSON parse per row —
+    # the measured plan ran get_json_object THREE times per record
+    # (filter + projection + an inferred-constraint copy). Instead the
+    # NULL rows ride the uid exchange into their own window partition,
+    # where count(DISTINCT uid) ignores them, and the one post-
+    # aggregate filter drops the only rows they can produce: groups
+    # with n_active = 0 (a real uid always contributes n_active >= 1
+    # to its group). One parse per record; the trade is shuffling the
+    # id-less rows, the exception in an event stream keyed by k.
     activity = e.select(
         F.min("dt").over(Window.partitionBy("uid")).alias("cohort_dt"),
         "uid",
@@ -4155,6 +4162,7 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         activity.where(F.col("day_offset") <= 7)
         .groupBy("cohort_dt", "day_offset")
         .agg(F.count_distinct("uid").alias("n_active"))
+        .where(F.col("n_active") > 0)
     )
 
 

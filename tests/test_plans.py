@@ -270,6 +270,15 @@ class TestAnalyticsPlanPins:
         assert len(scans) == 1, plan
         assert "Window" in plan and "uid" in plan
 
+    def test_retention_parses_json_once_per_record(self, spark, sf_small):
+        """Round-12: a pre-filter `uid IS NOT NULL` predicate-pushes
+        below the projection and re-evaluates get_json_object per copy
+        (the measured plan ran the parse THREE times per record). The
+        NULL-uid rows are dropped by the post-aggregate n_active > 0
+        filter instead, so the parse must appear exactly once."""
+        plan = plan_of(spark, "retention_cohorts", sf_small)
+        assert plan.count("get_json_object") == 1, plan
+
     def test_anomaly_broadcasts_stats(self, spark, sf_small):
         plan = plan_of(spark, "stream_anomaly_stats", sf_small)
         assert "BroadcastHashJoin" in plan
