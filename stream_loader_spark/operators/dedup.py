@@ -175,12 +175,29 @@ def incremental_exact_dedup(
     is ever hashed; with the hash table bucketed on content_hash the
     anti-join co-locates and the historical side never re-shuffles.
 
+    The in-batch dedup is ONE ``min_by`` aggregate that keeps the
+    min-id row whole (r12: the previous groupBy + left-semi self-join
+    shape scanned and sha2-hashed the batch text TWICE — once per join
+    side, exchange reuse does not fire across the two subtrees — and
+    paid a second exchange for the join; the aggregate shuffles the
+    same full rows the semi-join's left side did, so the bytes moved
+    are unchanged while the batch is read and hashed once). NULL-text
+    rows are excluded explicitly — the old semi-join dropped them as a
+    side effect of NULL equi-join semantics, and the filter is a plain
+    column null-check, not a re-evaluation of the hash.
+
     Returns the surviving batch rows plus their ``content_hash`` so
     the caller can append exactly these hashes to the history table.
     """
-    hashed = new_docs.withColumn("content_hash", F.sha2(F.col(text_col), 256))
-    w_first = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
-    in_batch_unique = hashed.join(w_first, ["content_hash", id_col], "left_semi")
+    hashed = new_docs.where(F.col(text_col).isNotNull()).withColumn(
+        "content_hash", F.sha2(F.col(text_col), 256)
+    )
+    cols = [c for c in new_docs.columns]
+    in_batch_unique = (
+        hashed.groupBy("content_hash")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_row"))
+        .select("_row.*", "content_hash")
+    )
     return in_batch_unique.join(
         seen_hashes.select("content_hash"), "content_hash", "left_anti"
     )
