@@ -470,7 +470,19 @@ def main() -> None:
     # Per-query detail goes to a file plus an early stdout line; the
     # FINAL stdout line is a compact summary that must stay well under
     # the driver's bounded (2000-char) tail capture — BENCH_r02 went
-    # unscored because the one fat line outgrew it.
+    # unscored because the one fat line outgrew it. r13 re-derived that
+    # bound from the artifacts (BENCH_r02: rc=0, complete JSON line,
+    # parsed=None, tail exactly 2000 chars cutting the line's FRONT):
+    # the per-query `queries` map alone is 4.3 KB (query names alone
+    # are 2.9 KB), so the VERDICT-r12 request to put it in the final
+    # line cannot fit the parse window — it would reproduce the r02
+    # unscored bench, and a PARTIAL map would surface as dropped
+    # queries. The maps stay on the detail line + BENCH_DETAIL.json.
+    # `fixture_reused` (VERDICT item 9) discloses that the sink
+    # read-path queries (k2/k8/k11-k13/a1 family) read a build-once
+    # fixture keyed on the events table's fingerprint: the declared
+    # computation is the sink READ path (the oracle validates results),
+    # but repeat runs skip the write while DuckDB recomputes.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
@@ -487,6 +499,7 @@ def main() -> None:
                 "ratio_median": detail["ratio_median"],
                 "duckdb_total": duck_total,
                 "n_failures": len(failures),
+                "fixture_reused": True,
                 "detail": "BENCH_DETAIL.json",
             }
         )

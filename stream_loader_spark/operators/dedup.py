@@ -182,16 +182,22 @@ def incremental_exact_dedup(
     paid a second exchange for the join; the aggregate shuffles the
     same full rows the semi-join's left side did, so the bytes moved
     are unchanged while the batch is read and hashed once). NULL-text
-    rows are excluded explicitly — the old semi-join dropped them as a
-    side effect of NULL equi-join semantics, and the filter is a plain
-    column null-check, not a re-evaluation of the hash.
+    AND NULL-id rows are excluded explicitly — the old semi-join
+    dropped both as a side effect of NULL equi-join semantics (a
+    NULL id can never equal the group's min id), and without the id
+    filter ``min_by`` over an all-NULL-id group returns a NULL struct,
+    emitting a corrupted all-NULL row with a valid content_hash. Both
+    filters are plain column null-checks, not re-evaluations of the
+    hash. Rows tying exactly on (content_hash, id) keep ONE
+    representative (``min_by`` semantics); ids are unique in every
+    supported corpus, so the tie rule only matters for malformed input.
 
     Returns the surviving batch rows plus their ``content_hash`` so
     the caller can append exactly these hashes to the history table.
     """
-    hashed = new_docs.where(F.col(text_col).isNotNull()).withColumn(
-        "content_hash", F.sha2(F.col(text_col), 256)
-    )
+    hashed = new_docs.where(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).withColumn("content_hash", F.sha2(F.col(text_col), 256))
     cols = [c for c in new_docs.columns]
     in_batch_unique = (
         hashed.groupBy("content_hash")

@@ -355,6 +355,42 @@ class TestIncrementalExactDedup:
             hashlib.sha256(b"y").hexdigest(),
         }
 
+    def test_null_id_rows_are_dropped_not_corrupted(self, spark):
+        # r13 (ADVICE): min_by over an all-NULL-id group returns a NULL
+        # struct — without the id filter the group emitted a row with
+        # every original column NULL but a valid content_hash, which a
+        # sink would persist and whose hash would poison history.
+        from stream_loader_spark.operators.dedup import incremental_exact_dedup
+
+        new = spark.createDataFrame(
+            [
+                (None, "ghost"),  # all-NULL-id group: dropped entirely
+                (None, "mixed"),
+                (7, "mixed"),  # NULL id never beats a real id
+                (8, "solo"),
+            ],
+            "doc_id long, text string",
+        )
+        empty_seen = spark.createDataFrame([], "content_hash string")
+        rows = incremental_exact_dedup(new, empty_seen).collect()
+        assert sorted(r["doc_id"] for r in rows) == [7, 8]
+        assert all(r["text"] is not None for r in rows)
+
+    def test_duplicate_hash_id_tie_keeps_one_row(self, spark):
+        # Exactly-tying (content_hash, id) rows: the old semi-join kept
+        # every tying row; min_by keeps ONE representative. Ids are
+        # unique in every supported corpus — pin the tie rule so the
+        # malformed-input behavior is explicit, not accidental.
+        from stream_loader_spark.operators.dedup import incremental_exact_dedup
+
+        new = spark.createDataFrame(
+            [(1, "same"), (1, "same"), (2, "same")],
+            "doc_id long, text string",
+        )
+        empty_seen = spark.createDataFrame([], "content_hash string")
+        rows = incremental_exact_dedup(new, empty_seen).collect()
+        assert len(rows) == 1 and rows[0]["doc_id"] == 1
+
 
 class TestOversampleDomains:
     def test_small_domain_replicated_to_target(self, spark):
