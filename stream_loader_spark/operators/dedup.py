@@ -451,16 +451,19 @@ def minhash_lsh_pairs(
     # Verify only candidate pairs with true Jaccard on the shingle
     # sets, derived solely for the touched documents.
     # one read of the candidate block instead of two (explode both ends
-    # of each pair), same distinct id set
-    touched = (
-        candidates.select(
-            F.explode(F.array("doc_a", "doc_b")).alias(id_col)
-        ).distinct()
+    # of each pair); LEFT SEMI against the raw exploded ids (r13): a
+    # semi-join needs no distinct right side, so the touched-id
+    # deduplication exchange is gone, and the tokenizer only ever sees
+    # the semi-join survivors (candidate-scale), so the corpus-wide
+    # scatter respread of the raw text rows bought nothing — two
+    # exchanges (and two AQE stage jobs) off the verify branch at any
+    # scale, same shingle sets.
+    touched = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     )
     shingle_sets = (
-        scatter(documents)
-        .select(id_col, text_col)
-        .join(touched, id_col)
+        documents.select(id_col, text_col)
+        .join(touched, id_col, "left_semi")
         .selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
         .selectExpr(id_col, f"{hash_shingles_over('_toks')} AS shingles")
         .localCheckpoint(eager=False)
@@ -542,17 +545,17 @@ def incremental_near_dup_pairs(
         .localCheckpoint(eager=False)
     )
 
-    # shingle only the touched documents: candidate ids first, text after
-    touched = (
-        candidates.select(
-            F.explode(F.array("doc_a", "doc_b")).alias(id_col)
-        ).distinct()
+    # shingle only the touched documents: candidate ids first, text
+    # after. LEFT SEMI against the raw exploded ids (r13, same change
+    # as minhash_lsh_pairs): no distinct exchange on the touched ids.
+    touched = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     )
     all_docs = corpus_docs.select(id_col, text_col).unionByName(
         new_docs.select(id_col, text_col)
     )
     shingle_sets = (
-        all_docs.join(touched, id_col)
+        all_docs.join(touched, id_col, "left_semi")
         .selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
         .selectExpr(id_col, f"{hash_shingles_over('_toks')} AS shingles")
         .localCheckpoint(eager=False)
@@ -625,14 +628,14 @@ def near_dup_pairs_touching(
         .dropDuplicates(["doc_a", "doc_b"])
         .localCheckpoint(eager=False)
     )
-    touched = (
-        candidates.select(
-            F.explode(F.array("doc_a", "doc_b")).alias(id_col)
-        ).distinct()
+    # LEFT SEMI against the raw exploded ids (r13, same change as
+    # minhash_lsh_pairs): no distinct exchange on the touched ids.
+    touched = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     )
     shingle_sets = (
         documents.select(id_col, text_col)
-        .join(touched, id_col)
+        .join(touched, id_col, "left_semi")
         .selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
         .selectExpr(id_col, f"{hash_shingles_over('_toks')} AS shingles")
         .localCheckpoint(eager=False)
