@@ -87,7 +87,12 @@ def scatter(
     exchange instead of adding its own — the shuffle moves from the
     post-explode rows to the raw rows, which is never more bytes. The
     by-form always repartitions (an already-wide input is still not
-    HASH-partitioned on the key), so callers should only pass ``by``
+    HASH-partitioned on the key) — EXCEPT when the input is itself a
+    hash repartition on exactly these columns (r13: detected from the
+    analyzed plan, so a double scatter(by=...) returns the same frame
+    and pays one exchange; Catalyst's CollapseRepartition already folds
+    stacked repartitions, this additionally keeps the memo identity).
+    Callers should only pass ``by``
     when a downstream operator actually consumes the clustering. Note
     ``localCheckpoint`` DROPS partitioning info (measured: the consumer
     adds its exchange back) — the reuse only helps checkpoint-free
@@ -116,7 +121,17 @@ def scatter(
         # (the repartitioned child references only the session, so it is
         # safe to hold).
         if by:
-            memo[key] = df.repartition(min_partitions, *[df[c] for c in by])
+            # Idempotence (r13): a frame that IS already a hash
+            # repartition on exactly these columns (an upstream
+            # scatter(by=...) handed straight in) would pay a second,
+            # byte-identical exchange — detected from the analyzed
+            # plan's top node, which is free. Storage-level clustering
+            # (e.g. bucketed tables) is invisible at this API; callers
+            # with such inputs should not pass ``by``.
+            if _is_by_repartition(df, by, min_partitions):
+                memo[key] = None
+            else:
+                memo[key] = df.repartition(min_partitions, *[df[c] for c in by])
         elif _has_wide_node(df):
             memo[key] = None
         elif df.rdd.getNumPartitions() >= min_partitions:
@@ -148,6 +163,23 @@ def _has_wide_node(df: DataFrame) -> bool:
         )
     plan = df._jdf.queryExecution().analyzed().toString()
     return _WIDE_NODE_RE.search(plan) is not None
+
+
+def _is_by_repartition(df: DataFrame, by: tuple[str, ...], min_partitions: int) -> bool:
+    """True when the frame's analyzed plan is ALREADY a hash
+    repartition on exactly the ``by`` columns with at least
+    ``min_partitions`` partitions — the redundant-exchange case a
+    second ``scatter(by=...)`` must not re-pay. Reads only the analyzed
+    plan's first line (no physical planning, no jobs)."""
+    import re
+
+    first = df._jdf.queryExecution().analyzed().toString().split("\n", 1)[0]
+    m = re.match(r"^RepartitionByExpression \[(.*)\], (\d+)\s*$", first)
+    if not m or int(m.group(2)) < min_partitions:
+        return False
+    # attribute refs print as name#id[type]; keep the bare names
+    cols = [c.strip().split("#", 1)[0] for c in m.group(1).split(",")]
+    return cols == list(by)
 
 
 _SCATTER_MEMO: WeakKeyDictionary = WeakKeyDictionary()

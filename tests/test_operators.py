@@ -579,6 +579,38 @@ class TestComponentsStrategyEquivalence:
             big = {r["doc_id"]: r["cluster_id"] for r in mod.dedup_components(docs, pairs).collect()}
             assert small == big, f"trial {trial}: strategy paths diverged"
 
+    def test_semantic_keep_best_identical_under_distributed_components(
+        self, spark, sf_small, monkeypatch
+    ):
+        """r13 (VERDICT item 6): the semantic dedup pipeline routed
+        through DISTRIBUTED label propagation (SMALL_GRAPH_EDGES forced
+        to 0, the >1M-edge regime) must keep exactly the same documents
+        as the default driver-side union-find — the at-scale escape
+        hatch is exercised on the real embedding pipeline, not just
+        synthetic graphs."""
+        from pyspark.sql import functions as F
+        from stream_loader_spark.operators import dedup as mod
+        from stream_loader_spark.operators.similarity import cosine_near_dup_pairs
+        from stream_loader_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_small, "documents").select("doc_id", "n_chars")
+        emb = load_table(spark, sf_small, "embeddings")
+        pairs = cosine_near_dup_pairs(
+            emb, threshold=0.35, num_planes=8, num_bands=4, dim=64
+        ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+
+        kept_default = {
+            r["doc_id"]
+            for r in mod.dedup_keep_best_in_cluster(docs, pairs).collect()
+        }
+        monkeypatch.setattr(mod, "SMALL_GRAPH_EDGES", 0)
+        kept_distributed = {
+            r["doc_id"]
+            for r in mod.dedup_keep_best_in_cluster(docs, pairs).collect()
+        }
+        assert kept_default == kept_distributed
+        assert 0 < len(kept_default) < docs.count()
+
 
 class TestIvfProbePrebuilt:
     def test_prebuilt_index_probe_equals_ivf_topk(self, spark, sf_small):

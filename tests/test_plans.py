@@ -615,6 +615,28 @@ class TestScatterByKey:
         assert plan.count("Exchange ") == 1
         assert "hashpartitioning(doc_id" in plan
 
+    def test_scatter_by_is_idempotent_on_already_scattered_input(self, spark):
+        # r13 (VERDICT item 8): an input that IS already a hash
+        # repartition on the key — an upstream scatter(by=...) handed
+        # straight in — must not pay a second, byte-identical exchange
+        # at any scale. A DIFFERENT key must still respread.
+        from stream_loader_spark.sources.tables import scatter
+
+        df = spark.range(1000).selectExpr("id AS doc_id", "id % 7 AS k")
+        once = scatter(df, by=("doc_id",))
+        twice = scatter(once, by=("doc_id",))
+        assert twice is once
+        plan = twice._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange ") == 1
+        # re-keying still respreads — and Catalyst's CollapseRepartition
+        # folds the stacked repartitions into ONE exchange on the new
+        # key, so even the rekey pays a single shuffle
+        rekeyed = scatter(once, by=("k",))
+        assert rekeyed is not once
+        plan2 = rekeyed._jdf.queryExecution().executedPlan().toString()
+        assert plan2.count("Exchange ") == 1
+        assert "hashpartitioning(k" in plan2
+
     def test_scatter_by_memoized_separately_from_round_robin(self, spark):
         from stream_loader_spark.sources.tables import scatter
 
