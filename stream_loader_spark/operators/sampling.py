@@ -59,12 +59,19 @@ def rebalance_domains(
     sampled set is exactly reproducible on any engine.
     """
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("cnt"))
-    min_cnt = counts.agg(F.min("cnt").alias("min_cnt"))
-    thr = counts.crossJoin(F.broadcast(min_cnt)).select(
+    # min folded in with an unpartitioned window over the |domains|-row
+    # aggregate (r13, same trick as unigram_logprob's vocab total): the
+    # old separate min aggregate + crossJoin re-derived the counts
+    # subtree — a second full corpus scan + aggregation at any scale —
+    # because exchange reuse does not fire across the broadcast
+    # boundary. The window runs on |domains| rows; same doubles, same
+    # floor, bit-identical thresholds.
+    min_cnt = F.min("cnt").over(Window.partitionBy())
+    thr = counts.select(
         domain_col,
         F.greatest(
             F.lit(1).cast("bigint"),
-            F.floor(F.lit(256.0) * F.col("min_cnt") / F.col("cnt")),
+            F.floor(F.lit(256.0) * min_cnt / F.col("cnt")),
         )
         .cast("int")
         .alias("keep_thr"),
@@ -125,9 +132,11 @@ def oversample_domains(
     downstream epoch shuffling can spread copies apart.
     """
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("cnt"))
-    mx = counts.agg(F.max("cnt").alias("mx"))
-    ratio = F.lit(1.0) * F.col("mx") / F.col("cnt")
-    plan = counts.crossJoin(F.broadcast(mx)).select(
+    # max folded in with an unpartitioned window (r13, same change as
+    # rebalance_domains): the separate max aggregate + crossJoin cost a
+    # second corpus scan + aggregation of the counts subtree.
+    ratio = F.lit(1.0) * F.max("cnt").over(Window.partitionBy()) / F.col("cnt")
+    plan = counts.select(
         domain_col,
         F.floor(ratio).cast("bigint").alias("base_copies"),
         F.floor(F.lit(256.0) * (ratio - F.floor(ratio))).cast("int").alias("extra_thr"),
