@@ -634,32 +634,35 @@ def hashed_linear_quality(
     end-to-end: the score is reproducible bit-for-bit on any engine and
     any partitioning (float sums would drift with reduction order).
 
-    Scale: explode + one hash aggregate that reuses the doc-id
-    hash-scatter exchange — the exploded token rows never shuffle.
+    Scale (r13): the whole score is ONE in-row ``aggregate`` fold over
+    the token array — a pure projection over the scan, ZERO exchanges,
+    one corpus pass (same lesson as ``with_minhash``). The previous
+    explode + per-doc hash aggregate + zero-token left join paid a raw-
+    row exchange and a SECOND corpus scan just to re-attach keep=false
+    for token-less documents; the fold scores every document in place
+    (empty/NULL text folds to logit 0 → keep false, identical rows).
+    Integer addition is order-independent, so the fold equals the
+    aggregate bit-for-bit.
     """
-    tok = scatter(documents, by=(id_col,)).select(
-        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    w = (
+        "(CAST(conv(substring(md5(t), 1, 2), 16, 10) AS BIGINT)"
+        " * 2654435761L) % 1001L - 500L"
     )
-    h = F.md5(F.col("token"))
-    bucket = (
-        F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint").alias("bucket")
-    )
-    weight = (F.col("bucket") * F.lit(2654435761)) % 1001 - 500
-    scored = tok.select(id_col, bucket).select(
-        id_col, weight.alias("w_milli")
-    )
-    agg = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("w_milli").alias("logit_milli"),
-    )
-    # zero-token documents produce no exploded rows: join the verdicts
-    # back onto the full corpus so they get an EXPLICIT keep=false
-    # (logit 0 ≤ 0) instead of silently vanishing from the gate output
-    return documents.select(F.col(id_col)).join(agg, id_col, "left").select(
-        id_col,
-        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
-        F.coalesce("logit_milli", F.lit(0)).cast("bigint").alias("logit_milli"),
-        (F.coalesce("logit_milli", F.lit(0)) > 0).alias("keep"),
+    toks = f"coalesce({tokens_sql(text_col)}, array())"
+    return (
+        scatter(documents)
+        .selectExpr(id_col, f"{toks} AS _toks")
+        .selectExpr(
+            id_col,
+            "CAST(size(_toks) AS BIGINT) AS n_tokens",
+            f"aggregate(_toks, 0L, (acc, t) -> acc + ({w})) AS logit_milli",
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "logit_milli",
+            (F.col("logit_milli") > 0).alias("keep"),
+        )
     )
 
 
